@@ -1,0 +1,218 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: scan → filter → project → join → aggregate → sort.
+  *
+  * Covers SURVEY.md §2.1–§2.4, §2.6–§2.7. The reference exercises this
+  * shape in `assignment1/part2/task.py:22-26` (CSV scan → global
+  * multi-column sort → write); the engine re-expresses it over the
+  * harness star schema with Catalyst doing pushdown/pruning/strategy
+  * selection — nothing here drops to RDDs.
+  *
+  * Determinism contract (oracle parity with DuckDB): every query ends
+  * in an `orderBy` over a unique key set, double aggregates are
+  * rounded (coarse precision on large sums so cross-engine summation
+  * order can't straddle a rounding boundary), and sums over integer
+  * columns are cast explicitly (DuckDB widens integer SUM to HUGEINT).
+  */
+object Relational {
+
+  /** Flagship — the reference's global multi-column sort
+    * (`assignment1/part2/task.py:24`: orderBy(cca2, timestamp)) over
+    * `events(user_id, ts)`. Catalyst plans a range-partitioned total
+    * sort (sampling → RangePartitioning → per-partition SortExec), so
+    * at 100 TB this is one shuffle with no driver bottleneck; output
+    * files are globally ordered. `event_id` breaks ties so row order
+    * is total. */
+  def sortExport(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .orderBy(col("user_id").asc, col("ts").asc, col("event_id").asc)
+
+  /** Rich predicate set (SURVEY P5): =, <>, BETWEEN, IN, LIKE,
+    * AND/OR/NOT, CASE WHEN, coalesce/nullif/greatest/least. All pure
+    * Column expressions → pushed into the parquet scan where
+    * deterministic (BETWEEN/IN), folded otherwise. */
+  def filterPredicates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(
+        col("o_totalprice").between(1000.0, 400000.0) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM") &&
+        !(col("o_orderstatus") === "X") &&
+        (col("o_orderpriority").like("%URGENT%") || col("o_totalprice") < 150000.0))
+      .select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"),
+        when(col("o_totalprice") > 200000.0, "big")
+          .when(col("o_totalprice") > 50000.0, "mid")
+          .otherwise("small").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"),
+        round(greatest(col("o_totalprice"), lit(100000.0)), 2).as("floored"),
+        round(least(col("o_totalprice"), lit(100000.0)), 2).as("capped"))
+      .orderBy(col("o_orderkey"))
+
+  /** TPC-H Q1-shaped full-agg suite (SURVEY A5): count/sum/avg/min/max
+    * with partial (map-side) aggregation — the DataFrame rendering of
+    * the reference's `reduceByKey` combiner semantics
+    * (`assignment1/part3/task1/task1.py:52`). Two-column group key of
+    * tiny cardinality → the shuffle moves only partial aggregates. */
+  def aggBasic(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(min(col("l_quantity")), 2).as("min_qty"),
+        round(max(col("l_quantity")), 2).as("max_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Exact multi-column COUNT DISTINCT (SURVEY A5). Spark expands
+    * this to a single-pass expand+agg; at scale the alternative is
+    * approx_count_distinct (HLL) — kept out of the oracle query since
+    * sketch estimates are engine-specific. */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** FK-chain inner equi-join (SURVEY J2): customer ⋈ orders ⋈
+    * lineitem, revenue per customer. Both joins shuffle on their key
+    * (sort-merge/shuffled-hash chosen by Catalyst+AQE); aggregation is
+    * partial→final. No broadcast hint — all sides scale with SF. */
+  def joinInner(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey", "c_name")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "inner")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"), "inner")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_custkey"))
+
+  /** Broadcast join of small dims (SURVEY J3): region and nation are
+    * O(10²) rows at any SF — explicit `broadcast()` hints pin
+    * BroadcastHashJoin so the fact side never shuffles for the dims. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Top-k (SURVEY O2): orderBy+limit plans TakeOrderedAndProject —
+    * per-partition heaps + driver merge of k rows, never a full sort.
+    * Unique `o_orderkey` tiebreak keeps the k-th boundary stable. */
+  def topk(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Set operations (SURVEY §2.7): UNION / INTERSECT / EXCEPT over
+    * aligned single-column key sets. Spark set ops are multiset-exact
+    * (INTERSECT/EXCEPT dedup like SQL); each is a shuffle on the full
+    * row — fine for key-only projections. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val withOrders  = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    val positiveBal = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("custkey"))
+    val bigSpenders = Tables.orders(s, d).filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("custkey"))
+    positiveBal.intersect(withOrders)
+      .except(bigSpenders)
+      .union(Tables.customer(s, d).filter(col("c_acctbal") < -900)
+        .select(col("c_custkey").as("custkey")))
+      .distinct()
+      .orderBy(col("custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sort_export"       -> sortExport,
+    "q_filter_predicates" -> filterPredicates,
+    "q_agg_basic"         -> aggBasic,
+    "q_agg_distinct"      -> aggDistinct,
+    "q_join_inner"        -> joinInner,
+    "q_join_broadcast"    -> joinBroadcast,
+    "q_topk"              -> topk,
+    "q_set_ops"           -> setOps,
+  )
+
+  /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY. */
+  val oracles: Map[String, String] = Map(
+    "q_sort_export" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY user_id, ts, event_id",
+    "q_filter_predicates" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+         CASE WHEN o_totalprice > 200000.0 THEN 'big'
+              WHEN o_totalprice > 50000.0 THEN 'mid' ELSE 'small' END AS bucket,
+         coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+         round(greatest(o_totalprice, 100000.0), 2) AS floored,
+         round(least(o_totalprice, 100000.0), 2) AS capped
+         FROM orders
+         WHERE o_totalprice BETWEEN 1000.0 AND 400000.0
+           AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+           AND NOT (o_orderstatus = 'X')
+           AND (o_orderpriority LIKE '%URGENT%' OR o_totalprice < 150000.0)
+         ORDER BY o_orderkey""",
+    "q_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+         count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         round(min(l_quantity), 2) AS min_qty,
+         round(max(l_quantity), 2) AS max_qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_join_inner" ->
+      """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC LIMIT 100""",
+    "q_set_ops" ->
+      """SELECT custkey FROM (
+           SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+           INTERSECT
+           SELECT o_custkey AS custkey FROM orders
+           EXCEPT
+           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000.0
+           UNION
+           SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < -900
+         ) ORDER BY custkey""",
+  )
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced join shapes (SURVEY.md §2.3 J4–J6).
+  *
+  * The reference's only join is the per-iteration pair-RDD equi-join
+  * in PageRank (`assignment1/part3/task1/task1.py:51`); the engine
+  * widens that to the full join-type surface. Every join here keeps an
+  * equi component so Catalyst can plan a shuffled (or broadcast) hash
+  * join — no cartesian products at any SF; band/as-of predicates ride
+  * along as post-join filters or window passes.
+  */
+object Joins {
+
+  /** Left outer join + aggregate (J4): order stats per customer,
+    * customers without orders kept with zeroed aggregates. `count` on
+    * the join key counts non-null matches only, like SQL. */
+  def joinOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("sum_price"))
+      .orderBy(col("c_custkey"))
+
+  /** Left semi (J4): customers with at least one high-value order —
+    * the relational EXISTS. The probe side streams; no row duplication
+    * regardless of match multiplicity. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** Left anti (J4): customers with no urgent-priority order —
+    * NOT EXISTS. (Every customer has *some* order in the testdata, so
+    * the predicate-free variant would be vacuously empty.) */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Range (band) join (J5): click→purchase pairs of the same user
+    * within a 10-minute band. The `user_id` equi-key anchors the join
+    * (hash/SMJ partitioned by user); the time band is a residual
+    * predicate, so candidate pairs are bounded by per-user activity,
+    * not |events|² — the property that keeps this viable at 100 TB. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    clicks.join(buys,
+        col("user_id") === col("b_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** As-of join (J6): for each purchase, the latest click of the same
+    * user at-or-before the purchase timestamp. Spark has no native
+    * as-of join; rather than an exploding inequality join we union
+    * both sides and take `last(click_ts, ignoreNulls)` over an ordered
+    * per-user window — one shuffle + one sort, linear in |events|.
+    * Clicks sort before purchases on timestamp ties (`is_click` desc)
+    * so a same-instant click matches, mirroring `<=` semantics. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("is_click"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("is_click"), lit(null).cast("timestamp").as("click_ts"),
+        lit(null).cast("long").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_click").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(buys)
+      .withColumn("matched_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .withColumn("matched_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("matched_click_ts"), col("matched_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_outer" -> joinOuter,
+    "q_join_semi"  -> joinSemi,
+    "q_join_anti"  -> joinAnti,
+    "q_join_range" -> joinRange,
+    "q_join_asof"  -> joinAsof,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_outer" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice), 0.0), 2) AS sum_price
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_join_range" ->
+      """SELECT c.user_id, c.event_id AS click_id, b.event_id AS purchase_id,
+         c.ts AS click_ts, b.ts AS purchase_ts
+         FROM events c JOIN events b
+           ON c.user_id = b.user_id
+          AND b.ts > c.ts AND b.ts <= c.ts + INTERVAL 10 MINUTE
+         WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+         ORDER BY click_id, purchase_id""",
+    "q_join_asof" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS is_click, ts AS click_ts, event_id AS click_id
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0 AS is_click, NULL::TIMESTAMP AS click_ts,
+                  NULL::BIGINT AS click_id
+           FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT *,
+             last_value(click_ts IGNORE NULLS) OVER w AS matched_click_ts,
+             last_value(click_id IGNORE NULLS) OVER w AS matched_click_id
+           FROM u
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts ASC, is_click DESC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                matched_click_ts, matched_click_id
+         FROM m WHERE is_click = 0 ORDER BY purchase_id""",
+  )
+}

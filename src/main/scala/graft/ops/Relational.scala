@@ -67,7 +67,7 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        (round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
         round(min(col("l_quantity")), 2).as("min_qty"),
         round(max(col("l_quantity")), 2).as("max_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -177,7 +177,7 @@ object Relational {
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_price,
          round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-         round(avg(l_discount), 6) AS avg_disc,
+         round(sum(l_discount), 2) / count(*) AS avg_disc,
          round(min(l_quantity), 2) AS min_qty,
          round(max(l_quantity), 2) AS max_qty
          FROM lineitem GROUP BY l_returnflag, l_linestatus

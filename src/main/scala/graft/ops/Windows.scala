@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions + multi-dimensional aggregates (SURVEY.md §2.5,
+  * A6). Absent from the reference entirely; required for top-k per
+  * group, as-of joins, and sessionization. Windows shuffle once on the
+  * partition key and sort within partitions — per-group state only, so
+  * they scale with the widest single partition, not the table.
+  */
+object Windows {
+
+  /** Ranking trio + top-k per group (W1/O3): top-3 orders per customer.
+    * `row_number` gets a unique tiebreak (orderkey); `rank`/`dense_rank`
+    * are computed over the price alone so ties share a rank — both
+    * orderings are deterministic. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val byPriceOnly = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(byPrice))
+      .withColumn("rnk", rank().over(byPriceOnly))
+      .withColumn("drnk", dense_rank().over(byPriceOnly))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("rn"), col("rnk"), col("drnk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Analytic functions with a running frame (W2): per-user running
+    * sum of event values plus lag/lead neighbors. ROWS frame over a
+    * fully tiebroken ordering (ts, event_id) → deterministic. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("running_sum",
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** RANGE frame moving average (W3): trailing 24h mean of `value`
+    * per user, keyed on integral epoch micros so Spark and DuckDB
+    * compute the identical frame (DuckDB's `epoch()` is a DOUBLE —
+    * avoided). The mean is `round(sum,2)/count` rather than
+    * `round(avg,…)`: an exact rational average of 2-decimal inputs can
+    * land precisely on a rounding boundary, where cross-engine ULP
+    * noise flips the digit; rounding the (grid-exact) sum first makes
+    * the division bitwise identical in both engines. */
+  def windowMovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-86400000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("es"), col("value"))
+      .withColumn("moving_avg",
+        round(sum(col("value")).over(w), 2) / count(col("value")).over(w))
+      .orderBy(col("user_id"), col("es"), col("event_id"))
+  }
+
+  /** ROLLUP (A6): hierarchical subtotals over (returnflag, linestatus)
+    * + grand total, disambiguated by grouping_id. One pass — Spark
+    * expands grouping sets before the hash aggregate. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** CUBE (A6): all 2^2 grouping sets over (returnflag, linestatus). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank"       -> windowRank,
+    "q_window_running"    -> windowRunning,
+    "q_window_moving_avg" -> windowMovingAvg,
+    "q_agg_rollup"        -> aggRollup,
+    "q_agg_cube"          -> aggCube,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_running" ->
+      """SELECT user_id, ts, event_id, value,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+         lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_value
+         FROM events ORDER BY user_id, ts, event_id""",
+    "q_window_moving_avg" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS es, value,
+         round(sum(value) OVER w, 2) / count(value) OVER w AS moving_avg
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, es, event_id""",
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+  )
+}

@@ -1,0 +1,191 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY.md §2.8) — string, date/time,
+  * math, array higher-order, and JSON/map. All Spark built-ins
+  * (codegen'd Column expressions), zero UDFs; the reference's only
+  * scalar work is `startswith`/`split`/float arithmetic
+  * (`assignment1/part3/task1/task1.py:28-29,47,52`), generalized here
+  * to the families a real pipeline needs.
+  *
+  * Cross-engine parity rules learned the hard way: epoch values stay
+  * integral micros (`unix_micros` ↔ `epoch_us`); libm-backed math
+  * (log/pow) is rounded at 6 since the last ULP may differ; float
+  * arrays are cast to double before arithmetic (exact) so folds are
+  * bit-identical; fold init `0.0 + x₁ ≡ x₁` keeps Spark's `aggregate`
+  * equal to DuckDB's init-less `list_reduce`.
+  */
+object Functions {
+
+  /** String family over `part`: case, trim, length, substring,
+    * concat_ws, split, regexp extract/replace, startswith. Regex
+    * patterns kept in the Java∩RE2-compatible subset. */
+  def fnString(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        split(col("p_name"), " ").as("name_words"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("type_devowel"),
+        col("p_name").startsWith("a").as("starts_a"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time family over `orders.o_orderdate`: calendar fields,
+    * truncation, date casts, day arithmetic, integral epoch. */
+  def fnDatetime(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        to_date(col("o_orderdate")).as("as_date"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since_95"),
+        // o_orderdate arrives as TIMESTAMP_NTZ (parquet isAdjustedToUTC=0);
+        // under the UTC session the cast keeps the wall clock, matching
+        // DuckDB's naive epoch_us.
+        unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_micros"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math family over `lineitem`. sqrt/floor/ceil are IEEE-exact;
+    * log and fractional pow go through libm so they carry a round(6);
+    * pmod maps to plain % on the positive domain. */
+  def fnMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        abs(col("l_quantity") - lit(25.0)).as("qty_dev"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        floor(col("l_discount") * 100).cast("long").as("disc_pct_floor"),
+        ceil(col("l_tax") * 100).cast("long").as("tax_pct_ceil"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+      .orderBy(col("l_orderkey"))
+
+  private def asDouble(arr: Column): Column =
+    transform(arr, x => x.cast("double"))
+
+  /** Array higher-order family over `embeddings.embedding`
+    * (FLOAT[64]): size, slice, element-wise transform, sort, min/max,
+    * and a sum-of-squares fold — the building blocks of the vector
+    * ops in [[Vectors]]. Everything stays inside codegen'd
+    * higher-order functions; no explode, no UDF. */
+  def fnArray(s: SparkSession, d: String): DataFrame = {
+    val darr = asDouble(col("embedding"))
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        slice(darr, 1, 3).as("first3"),
+        slice(sort_array(darr), 1, 2).as("smallest2"),
+        array_max(darr).as("max_v"),
+        array_min(darr).as("min_v"),
+        round(aggregate(transform(darr, x => x * x), lit(0.0), (acc, x) => acc + x), 6)
+          .as("sum_sq"),
+        slice(transform(darr, x => x * lit(2.0)), 1, 2).as("doubled2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** JSON/map family over `events.props` (JSON strings like
+    * `{"k": 87}`): path extraction, typed cast, full parse to
+    * MapType + key listing. `try_element_at` keeps missing keys null
+    * instead of an ANSI-mode error. */
+  def fnJson(s: SparkSession, d: String): DataFrame = {
+    val parsed = from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        try_element_at(parsed, lit("k")).as("k_via_map"),
+        map_keys(parsed).as("keys"),
+        size(map_keys(parsed)).as("n_keys"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string"   -> fnString,
+    "q_fn_datetime" -> fnDatetime,
+    "q_fn_math"     -> fnMath,
+    "q_fn_array"    -> fnArray,
+    "q_fn_json"     -> fnJson,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT p_partkey,
+         lower(p_name) AS name_lower,
+         upper(p_brand) AS brand_upper,
+         length(p_name) AS name_len,
+         substring(p_name, 1, 8) AS name_prefix,
+         concat_ws('|', p_brand, p_type) AS brand_type,
+         string_split(p_name, ' ') AS name_words,
+         regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+         regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devowel,
+         starts_with(p_name, 'a') AS starts_a,
+         trim('  ' || p_brand || '  ') AS trimmed
+         FROM part ORDER BY p_partkey""",
+    "q_fn_datetime" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS y,
+         CAST(quarter(o_orderdate) AS INT) AS q,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         CAST(o_orderdate AS DATE) AS as_date,
+         last_day(o_orderdate) AS month_end,
+         CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
+         epoch_us(o_orderdate) AS epoch_micros
+         FROM orders ORDER BY o_orderkey""",
+    "q_fn_math" ->
+      """SELECT l_orderkey,
+         round(l_extendedprice, 1) AS price_r1,
+         abs(l_quantity - 25.0) AS qty_dev,
+         sqrt(l_quantity) AS qty_sqrt,
+         pow(l_quantity, 2) AS qty_sq,
+         round(ln(l_extendedprice), 6) AS price_ln,
+         CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+         CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+         l_orderkey % 7 AS key_mod7
+         FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""",
+    "q_fn_array" ->
+      """WITH e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS darr,
+                    embedding FROM embeddings)
+         SELECT vec_id,
+         CAST(len(embedding) AS INT) AS n_dims,
+         darr[1:3] AS first3,
+         (list_sort(darr))[1:2] AS smallest2,
+         list_max(darr) AS max_v,
+         list_min(darr) AS min_v,
+         round(list_reduce(list_transform(darr, x -> x * x), (a, b) -> a + b), 6) AS sum_sq,
+         (list_transform(darr, x -> x * 2.0))[1:2] AS doubled2
+         FROM e ORDER BY vec_id""",
+    "q_fn_json" ->
+      """SELECT event_id,
+         json_extract_string(props, '$.k') AS k_str,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k_via_map,
+         json_keys(props) AS keys,
+         CAST(len(json_keys(props)) AS INT) AS n_keys
+         FROM events ORDER BY event_id""",
+  )
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative PageRank, quirk-faithful to the reference
+  * (`assignment1/part3/task1/task1.py`) — see SURVEY.md §2.14:
+  *
+  *  - ranks init to 1.0 per *source* node (`task1.py:37`), not 1/N;
+  *  - contribution = rank/deg to each neighbor, with duplicate edges
+  *    counted at their multiplicity (`groupByKey` keeps duplicates);
+  *  - new rank = 0.15 + 0.85·Σ contributions (`task1.py:52`);
+  *  - after each iteration the rank vector is keyed by contribution
+  *    *receivers* only: a node with out-edges but no in-edges
+  *    contributes once and then drops out (inner `links.join(ranks)`
+  *    at `task1.py:51`); pure-destination nodes accumulate rank but
+  *    never contribute; dangling mass is lost, not redistributed;
+  *  - 10 fixed iterations, no convergence test.
+  *
+  * Spark-first rendering: the adjacency list is never materialized as
+  * arrays — edges stay flat and degrees are a count, so the widest row
+  * is O(1) regardless of a node's fan-out (the 100 TB-safe shape; the
+  * reference's `groupByKey` would OOM on a celebrity node). Loop
+  * invariants (`edges`, `degrees`) are cached (C2, `task3/task3.py:37`)
+  * and each iteration ends in `localCheckpoint` to truncate the
+  * 10-deep lineage (C3, the task4 fault-tolerance experiment).
+  */
+object PageRank {
+
+  /** Parse SNAP-format edge lines: tab-separated `src\tdst`,
+    * `#`-comments skipped (`task1.py:28-30`). Node IDs stay strings,
+    * exactly like the reference (never cast to int). */
+  def parseEdgeLines(raw: DataFrame): DataFrame =
+    raw.filter(!col("value").startsWith("#"))
+      .select(
+        split(col("value"), "\t").getItem(0).as("src"),
+        split(col("value"), "\t").getItem(1).as("dst"))
+
+  /** The iterative core. `edges(src, dst)` of any key type. */
+  def run(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    val e = edges.persist()
+    val degrees = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    var ranks = degrees.select(col("src").as("node"), lit(1.0).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(degrees, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("contrib"))
+      ranks = contribs.groupBy(col("dst"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("contrib"))).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Deterministic edge table derived from the star schema: each
+    * (order, lineitem) pair yields customer→supplier and
+    * supplier→customer edges (supplier keys offset into a disjoint ID
+    * space). Multiplicities are real — a customer ordering 5 items
+    * from a supplier contributes 5 parallel edges, which is exactly
+    * the duplicate-edge quirk the reference preserves. */
+  def starEdges(s: SparkSession, d: String): DataFrame = {
+    val ol = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), (col("l_suppkey") + 10000000L).as("supp"))
+    ol.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(ol.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    run(starEdges(s, d), 10)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> pagerank,
+  )
+
+  /** DuckDB oracle: the 10-iteration loop unrolled into a CTE chain —
+    * same init, same inner-join dropout, same damping. */
+  private val oracleCte: String = {
+    val base =
+      """WITH edges AS (
+           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           UNION ALL
+           SELECT l_suppkey + 10000000 AS src, o_custkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         degrees AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         r0 AS (SELECT src AS node, 1.0 AS pr FROM degrees)"""
+    val iters = (1 to 10).map { i =>
+      s""", r$i AS (
+           SELECT e.dst AS node, 0.15 + 0.85 * sum(r.pr / d.deg) AS pr
+           FROM edges e JOIN degrees d ON e.src = d.src
+           JOIN r${i - 1} r ON e.src = r.node
+           GROUP BY e.dst)"""
+    }.mkString
+    base + iters + " SELECT node, round(pr, 6) AS pr FROM r10 ORDER BY node"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> oracleCte,
+  )
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.PageRank
+import org.apache.spark.sql.functions.col
+
+/** Golden tests for the quirk-faithful PageRank (SURVEY.md §2.14).
+  *
+  * Expected values computed offline with a direct simulation of
+  * `assignment1/part3/task1/task1.py` (init 1.0, contrib = rank/deg
+  * with duplicate-edge multiplicity, rank = 0.15 + 0.85·Σ, inner-join
+  * dropout) on the toy graph fixture — see FIXTURES.md §A2.
+  */
+class PageRankSpec extends SparkSpec {
+
+  private def toyRanks(iters: Int): Map[String, Double] = {
+    val raw = spark.read.text(getClass.getResource("/toy_graph.tsv").getPath)
+    PageRank.run(PageRank.parseEdgeLines(raw), iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  private def assertRanks(got: Map[String, Double], want: Map[String, Double]): Unit = {
+    assert(got.keySet == want.keySet, s"key sets differ: $got vs $want")
+    want.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-9, s"node $k: got ${got(k)}, want $v")
+    }
+  }
+
+  test("iteration 1: node 4 contributes then vanishes; 5 receives only") {
+    assertRanks(toyRanks(1),
+      Map("1" -> 1.0, "2" -> 0.7166666667, "3" -> 1.7083333333, "5" -> 0.575))
+  }
+
+  test("iteration 2: dangling mass lost, duplicate edge weighted") {
+    assertRanks(toyRanks(2),
+      Map("1" -> 1.6020833333, "2" -> 0.7166666667, "3" -> 0.7379166667,
+        "5" -> 0.4545833333))
+  }
+
+  test("iteration 10: reference fixed-point trajectory") {
+    assertRanks(toyRanks(10),
+      Map("1" -> 0.6429615934, "2" -> 0.5195165694, "3" -> 0.5614874152,
+        "5" -> 0.3767291305))
+  }
+
+  test("comment lines are skipped and node IDs stay strings") {
+    val raw = spark.read.text(getClass.getResource("/toy_graph.tsv").getPath)
+    val edges = PageRank.parseEdgeLines(raw)
+    assert(edges.count() == 7) // duplicate 1->2 preserved
+    assert(edges.schema("src").dataType.typeName == "string")
+  }
+
+  test("harness edge table is deterministic and bidirectional") {
+    val e = PageRank.starEdges(spark, sf0001)
+    val n = e.count()
+    assert(n > 0 && n % 2 == 0)
+    assert(e.filter(col("src") >= 10000000L && col("dst") >= 10000000L).count() == 0)
+  }
+}

@@ -1,0 +1,319 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis + document deduplication (SURVEY.md §2.9 and the
+  * north-star LLM-training-data operators): wordcount, TF-IDF, exact
+  * and near dedup (n-gram Jaccard with a SQL oracle; MinHash-LSH and
+  * SimHash as the scale path, golden-tested), language ID heuristic,
+  * quality scoring, token counting, and rolling-hash fingerprinting.
+  *
+  * The wordcount explode→groupBy is the DataFrame rendering of the
+  * canonical `flatMap`+`reduceByKey` shape the reference's PageRank
+  * loop uses (`assignment1/part3/task1/task1.py:51-52`).
+  *
+  * Scale notes: every operator is a constant number of shuffles over
+  * exploded token/shingle rows — no driver-side state, no collect.
+  * The shared-shingle candidate join (n-gram Jaccard) is quadratic in
+  * docs-per-shingle; at 100 TB you first drop stop-shingles (document
+  * frequency cap), which is one extra groupBy — the MinHash banding
+  * path bounds candidates by construction and is the preferred
+  * at-scale dedup.
+  */
+object Text {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Tokenize + count (T1): total and per-doc frequencies per word. */
+  def wordcount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("word"))
+
+  /** TF-IDF (T2): tf per (doc, term) × ln(N/df). N rides along as a
+    * broadcast 1-row aggregate — no collect, no driver scalar. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("word"))
+  }
+
+  /** Exact dedup (T3): content-hash grouping; survivor = min doc_id.
+    * sha2-256 matches DuckDB's sha256 hex. One shuffle on the hash. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** N-gram Jaccard near-dup (T3/J7): distinct 3-word shingles,
+    * shared-shingle candidate pairs, exact Jaccard ≥ 0.1. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        .as("g"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter") / (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.1)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Heuristic language ID (north star): marker-word scores with a
+    * deterministic argmax. On the synthetic corpus everything is
+    * English-ish word soup, so the operator mostly answers 'en' /
+    * 'und' — the mechanics (explode-free list intersection, fixed
+    * tie-break) are what matters. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def score(markers: Seq[String]): Column =
+      size(filter(words(col("text")),
+        w => markers.foldLeft(lit(false))((acc, m) => acc || w === m)))
+    val sEn = score(Seq("the", "a", "of", "and"))
+    val sDe = score(Seq("der", "die", "das", "und"))
+    val sFr = score(Seq("le", "la", "et", "les"))
+    val sEs = score(Seq("el", "los", "que", "y"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"), sEs.as("s_es"))
+      .withColumn("predicted",
+        when(greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) === 0, "und")
+          .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring (north star): length, lexical diversity, stopword
+    * ratio → composite score. Pure double arithmetic on both engines —
+    * identical operations, bit-identical results, no rounding. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(ws).as("n_words"),
+        size(array_distinct(ws)).as("n_distinct"),
+        size(filter(ws, w => w === "the" || w === "a" || w === "of")).as("n_stop"),
+        aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x).as("sum_word_len"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("n_distinct"),
+        (col("n_distinct") / col("n_words").cast("double")).as("ttr"),
+        (col("n_stop") / col("n_words").cast("double")).as("stop_ratio"),
+        (col("sum_word_len") / col("n_words").cast("double")).as("avg_word_len"))
+      .withColumn("quality",
+        lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(lit(1.0), col("n_words") / lit(50.0)))
+      .orderBy(col("doc_id"))
+
+  }
+
+  /** Token counting (north star): whitespace tokens, a chars/4 BPE
+    * estimate, and a regex token family count. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("n_bpe_est"),
+        regexp_count(col("text"), lit("[aeiou]+")).as("n_vowel_runs"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash document fingerprint (north star): left fold of
+    * (31·acc + ascii(w) + len(w)) mod 1e9+7 over the word stream.
+    * The fold starts at 0 so Spark's `aggregate` and DuckDB's
+    * init-less `list_reduce` agree (0·31 + v₁ ≡ v₁). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(
+          transform(words(col("text")), w => (ascii(w) + length(w)).cast("long")),
+          lit(0L),
+          (acc, v) => (acc * 31L + v) % 1000000007L).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // MinHash-LSH and SimHash: the at-scale near-dup path. Hash choices
+  // (xxhash64) are engine-specific, so these are golden-tested in
+  // ScalaTest rather than oracle-compared; the harness records a
+  // rows-only check.
+  // ---------------------------------------------------------------
+
+  val MinhashPerms = 16
+  val MinhashBands = 8
+
+  /** Per-doc MinHash signature over 3-word shingles, banded for LSH:
+    * 16 permutations simulated as xxhash64(seed, shingle), 8 bands of
+    * 2 rows → LSH similarity threshold s* = (1/b)^(1/r) ≈ 0.35.
+    * Cluster representative = min doc_id over each band bucket
+    * (single-pass LSH clustering; transitive closure would iterate
+    * this, like the PageRank loop). */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashClusters(Tables.documents(s, d))
+
+  /** Core MinHash-LSH over any `(doc_id, text)` relation. */
+  def minhashClusters(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        .as("g"))
+      .distinct()
+    // one row per (doc, shingle, permutation slot)
+    val slotHash = sh.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${MinhashPerms - 1}), i -> xxhash64(i, g))")))
+      .toDF("doc_id", "slot", "h")
+    val minhash = slotHash.groupBy("doc_id", "slot").agg(min(col("h")).as("mh"))
+    val bands = minhash
+      .withColumn("band", (col("slot") / lit(MinhashPerms / MinhashBands)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("slot"), col("mh")))),
+          st => st.getField("mh").cast("string")))).as("band_sig"))
+    val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
+    bands.join(reps, Seq("band", "band_sig"))
+      .groupBy("doc_id").agg(min(col("band_rep")).as("cluster_rep"))
+      .withColumn("is_dup", col("doc_id") =!= col("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 64-bit SimHash over the word bag: per-word xxhash64, each bit
+    * votes ±term-frequency, sign → bit. Emits 4×16-bit band keys for
+    * Hamming-LSH bucketing. Work = |tokens|×64 narrow rows, two
+    * shuffles (doc×bit, then doc). */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhash(Tables.documents(s, d))
+
+  /** Core SimHash over any `(doc_id, text)` relation. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val votes = tf
+      .withColumn("h", xxhash64(col("w")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 63), b -> " +
+            "CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END)")))
+      .toDF("doc_id", "b", "vote")
+    val bits = votes.groupBy("doc_id", "b")
+      .agg(sum(col("vote")).as("v"))
+      .select(col("doc_id"),
+        expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
+          .as("bitval"))
+    bits.groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        expr("(simhash >> 48) & 65535").as("band0"),
+        expr("(simhash >> 32) & 65535").as("band1"),
+        expr("(simhash >> 16) & 65535").as("band2"),
+        expr("simhash & 65535").as("band3"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wordcount"     -> wordcount,
+    "q_tfidf"         -> tfidf,
+    "q_dedup_exact"   -> dedupExact,
+    "q_dedup_ngram"   -> dedupNgram,
+    "q_lang_id"       -> langId,
+    "q_text_quality"  -> textQuality,
+    "q_token_count"   -> tokenCount,
+    "q_fingerprint"   -> fingerprint,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_wordcount" ->
+      """SELECT w AS word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY w ORDER BY w""",
+    "q_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word),
+         df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM terms) GROUP BY word),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         SELECT doc_id, tf.word AS word, tf,
+                round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+         ORDER BY doc_id, word""",
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    "q_dedup_ngram" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM docs),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT da, db, inter, sa.n + sb.n - inter AS uni,
+                inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+         FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
+         ORDER BY da, db""",
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id, lang AS labeled_lang,
+           CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS INT) AS s_en,
+           CAST(len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und'))) AS INT) AS s_de,
+           CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS INT) AS s_fr,
+           CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','los','que','y'))) AS INT) AS s_es
+           FROM documents)
+         SELECT *, CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted
+         FROM s ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH base AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents),
+         m AS (SELECT doc_id, n_chars,
+           CAST(len(ws) AS INT) AS n_words,
+           CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+           CAST(len(list_filter(ws, w -> w IN ('the','a','of'))) AS INT) AS n_stop,
+           CAST(list_sum(list_transform(ws, w -> length(w))) AS INT) AS sum_word_len
+           FROM base)
+         SELECT doc_id, n_chars, n_words, n_distinct,
+           n_distinct / CAST(n_words AS DOUBLE) AS ttr,
+           n_stop / CAST(n_words AS DOUBLE) AS stop_ratio,
+           sum_word_len / CAST(n_words AS DOUBLE) AS avg_word_len,
+           0.4 * (n_distinct / CAST(n_words AS DOUBLE))
+             + 0.3 * (1.0 - n_stop / CAST(n_words AS DOUBLE))
+             + 0.3 * least(1.0, n_words / 50.0) AS quality
+         FROM m ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+         CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est,
+         CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs
+         FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_transform(string_split(text, ' '),
+                                    w -> CAST(ascii(w) + length(w) AS BIGINT)),
+                     (a, v) -> (a * 31 + v) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+  )
+}

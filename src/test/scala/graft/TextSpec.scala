@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Text
+import org.apache.spark.sql.functions.col
+
+/** Golden tests for the hash-based near-dup operators (no DuckDB
+  * oracle — xxhash64 is engine-specific, so behavior is pinned on
+  * synthetic fixtures instead). */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+
+  test("minhash: exact and near duplicates cluster; distinct docs don't") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                        // exact dup of 1
+      (3L, base.replace("dog again and again", "dog again and often")), // near dup of 1
+      (4L, "completely different words about query engines and shuffles here"),
+      (5L, "another unrelated document mentioning vectors windows and joins now"),
+    ).toDF("doc_id", "text")
+    val out = Text.minhashClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) == 1L, s"exact dup should cluster to 1, got $out")
+    assert(out(3L) == 1L, s"near dup should cluster to 1, got $out")
+    assert(out(4L) == 4L && out(5L) == 5L, s"distinct docs should self-cluster, got $out")
+  }
+
+  test("simhash: bag-of-words invariant, near dups are hamming-close") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.split(" ").reverse.mkString(" ")),       // permutation: same bag
+      (3L, base.replace("lazy", "sleepy")),              // one word changed
+      (4L, "completely different words about query engines and shuffles here"),
+    ).toDF("doc_id", "text")
+    val out = Text.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(out(1L) == out(2L), "word order must not affect simhash")
+    assert(hamming(out(1L), out(3L)) <= 12,
+      s"one-word change should be hamming-close: ${hamming(out(1L), out(3L))}")
+    assert(hamming(out(1L), out(4L)) > 12,
+      s"unrelated docs should be hamming-far: ${hamming(out(1L), out(4L))}")
+  }
+
+  test("minhash on harness data flags the planted near-duplicates") {
+    val out = Text.dedupMinhash(spark, sf0001)
+    assert(out.filter(col("is_dup")).count() > 0)
+    assert(out.count() == out.select("doc_id").distinct().count())
+  }
+}

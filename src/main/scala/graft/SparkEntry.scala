@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
-      ops.Functions.queries ++ ops.PageRank.queries ++ ops.Text.queries
+      ops.Functions.queries ++ ops.PageRank.queries ++ ops.Text.queries ++
+      ops.Vectors.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Joins.oracles ++ ops.Windows.oracles ++
-      ops.Functions.oracles ++ ops.PageRank.oracles ++ ops.Text.oracles
+      ops.Functions.oracles ++ ops.PageRank.oracles ++ ops.Text.oracles ++
+      ops.Vectors.oracles
 }

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over `embeddings.embedding` (FLOAT[64]) —
+  * SURVEY.md §2.10 + the north-star ANN operators.
+  *
+  * Everything is built from codegen'd higher-order functions
+  * (`zip_with`/`aggregate`): no UDF, no collect, no MLlib. Dot
+  * products are explicit left folds with init 0.0 so Spark's
+  * `aggregate` and DuckDB's init-less `list_reduce` produce
+  * bit-identical doubles — which is what lets cosine scores be
+  * hash-compared unrounded.
+  *
+  * Scale shapes: top-k is a linear scan + TakeOrderedAndProject (the
+  * per-partition-heap plan — no global sort); all-pairs is bounded by
+  * an equi-key (label) plus a band predicate; the IVF variant prunes
+  * the scan to the query's coarse bucket, the standard trick for
+  * making ANN sub-linear at 100 TB (bucket becomes a partition key on
+  * a real cluster).
+  */
+object Vectors {
+
+  /** Embedding cast to double — float→double is exact, and keeps all
+    * downstream arithmetic in one IEEE domain on both engines. */
+  private val darr: Column = transform(col("embedding"), x => x.cast("double"))
+
+  /** Deterministic rational query vector: q(i) = ((i mod 7) - 3) / 3,
+    * i ∈ [0, 64) — passed as a *literal expression*, never collected,
+    * and reproducible exactly in any engine. */
+  // 3.0D: a bare 3.0 parses as DECIMAL(2,1) in Spark SQL and silently
+  // drags the whole array into decimal math (~1e-7 truncation).
+  private val qvec: Column = expr("transform(sequence(0, 63), i -> ((i % 7) - 3) / 3.0D)")
+
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x * y))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(fold(transform(a, x => x * x))) *
+      sqrt(fold(transform(b, x => x * x))))
+
+  /** Brute-force cosine top-k against the literal query (V1). */
+  def vectorTopk(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), cosine(darr, qvec).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(50)
+
+  /** All-pairs near-neighbor (V2): candidates bounded by the label
+    * equi-key plus a vec_id band — the candidate-restriction pattern;
+    * swap the band for an LSH bucket key at scale (see ivf below). */
+  def vectorPairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), darr.as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id") &&
+        col("b.vec_id") <= col("a.vec_id") + 25)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.label").as("label"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.25)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  /** IVF-flavored ANN (north star, scale path): coarse-quantize every
+    * vector into one of 8 sign buckets on dims 0–2, then brute-force
+    * only the query's bucket. On a cluster the bucket is the partition
+    * key, so the scan prunes to 1/8 of the data before any arithmetic;
+    * recall is traded per missing neighbor bucket (documented, exact
+    * variant is vectorTopk). */
+  def vectorIvf(s: SparkSession, d: String): DataFrame = {
+    def bucketOf(v: Column): Column =
+      (when(element_at(v, 1) > 0, 4).otherwise(0) +
+        when(element_at(v, 2) > 0, 2).otherwise(0) +
+        when(element_at(v, 3) > 0, 1).otherwise(0)).cast("int")
+    val qBucket = bucketOf(qvec)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), darr.as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+      .filter(col("bucket") === qBucket)
+      .select(col("vec_id"), col("label"), col("bucket"),
+        cosine(col("v"), qvec).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vector_topk"  -> vectorTopk,
+    "q_vector_pairs" -> vectorPairs,
+    "q_vector_ivf"   -> vectorIvf,
+  )
+
+  private val sqlQvec = "list_transform(range(0, 64), i -> ((i % 7) - 3) / 3.0)"
+  private def sqlDarr(c: String) = s"list_transform($c, x -> CAST(x AS DOUBLE))"
+  private def sqlDot(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def sqlNorm(a: String) =
+    s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
+  private def sqlCos(a: String, b: String) =
+    s"${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
+
+  val oracles: Map[String, String] = Map(
+    "q_vector_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, ${sqlDarr("embedding")} AS v,
+                     $sqlQvec AS q FROM embeddings)
+         SELECT vec_id, label, ${sqlCos("v", "q")} AS cos
+         FROM e ORDER BY cos DESC, vec_id ASC LIMIT 50""",
+    "q_vector_pairs" ->
+      s"""WITH e AS (SELECT vec_id, label, ${sqlDarr("embedding")} AS v FROM embeddings)
+         SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+                ${sqlCos("a.v", "b.v")} AS cos
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                          AND b.vec_id <= a.vec_id + 25
+         WHERE ${sqlCos("a.v", "b.v")} >= 0.25
+         ORDER BY va, vb""",
+    "q_vector_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, ${sqlDarr("embedding")} AS v,
+                     $sqlQvec AS q FROM embeddings),
+         b AS (SELECT *,
+           CAST(CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END AS INT) AS bucket,
+           CAST(CASE WHEN q[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN q[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN q[3] > 0 THEN 1 ELSE 0 END AS INT) AS qbucket
+           FROM e)
+         SELECT vec_id, label, bucket, ${sqlCos("v", "q")} AS cos
+         FROM b WHERE bucket = qbucket
+         ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+  )
+}

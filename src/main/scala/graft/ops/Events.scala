@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.Tables
+import graft.streaming.Streaming
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch renderings of the event-time operators (SURVEY.md §2.11):
+  * the deterministic, oracle-checkable face of [[Streaming]] — the
+  * same transform functions run here over a batch scan and in
+  * `StreamingSpec` over a MemoryStream.
+  */
+object Events {
+
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    Streaming.tumblingCounts(Tables.events(s, d))
+      .orderBy(col("ws"), col("event_type"))
+
+  def streamSliding(s: SparkSession, d: String): DataFrame =
+    Streaming.slidingCounts(Tables.events(s, d))
+      .orderBy(col("ws"))
+
+  def streamSession(s: SparkSession, d: String): DataFrame =
+    Streaming.sessionize(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> streamTumbling,
+    "q_stream_sliding"  -> streamSliding,
+    "q_stream_session"  -> streamSession,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // window(ts, 1h) aligns to the epoch grid == date_trunc('hour').
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    // An event at t belongs to the 4 slide-grid windows with
+    // start in (t - 1h, t]: start = floor15(t) - k*15min, k in 0..3.
+    "q_stream_sliding" ->
+      """WITH base AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS fb, ts FROM events),
+         expanded AS (SELECT fb - unnest([0, 1, 2, 3]) * INTERVAL 15 MINUTE AS ws FROM base)
+         SELECT ws, count(*) AS n FROM expanded GROUP BY ws ORDER BY ws""",
+    // Gaps-and-islands: a new session starts when the gap since the
+    // previous event of the same user is >= 30 minutes; session end =
+    // last event + gap (session_window semantics).
+    "q_stream_session" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+  )
+}

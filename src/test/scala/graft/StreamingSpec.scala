@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Drives the event-time transforms through an actual Structured
+  * Streaming query (MemoryStream source → memory sink) — the same
+  * functions the batch oracle checks (`ops.Events`), here under a
+  * watermark with incremental batches. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tumbling window closes and emits once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF.toDF("ts", "event_type", "value")
+    val agg = Streaming.tumblingCounts(events.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumb").start()
+    try {
+      mem.addData(
+        (t("2024-01-01 00:05:00"), "click", 1.5),
+        (t("2024-01-01 00:20:00"), "click", 2.5))
+      q.processAllAvailable()
+      // nothing can be final yet: watermark is still inside hour 0
+      assert(spark.table("tumb").count() == 0)
+      // an event far in the future advances the watermark past hour 0
+      mem.addData((t("2024-01-01 02:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumb").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val r = rows.head
+      assert(r.getAs[String]("event_type") == "click")
+      assert(r.getAs[Long]("n") == 2L)
+      assert(r.getAs[Double]("sum_value") == 4.0)
+      assert(r.getAs[java.sql.Timestamp]("ws") == t("2024-01-01 00:00:00"))
+    } finally q.stop()
+  }
+
+  test("late rows beyond the watermark are dropped") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF.toDF("ts", "event_type", "value")
+    val agg = Streaming.tumblingCounts(events.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late").start()
+    try {
+      mem.addData((t("2024-01-01 00:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 03:00:00"), "view", 1.0)) // watermark → 02:50
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 00:30:00"), "click", 9.0)) // late: hour-0 closed
+      q.processAllAvailable()
+      val hour0 = spark.table("late").collect()
+        .filter(_.getAs[java.sql.Timestamp]("ws") == t("2024-01-01 00:00:00"))
+      assert(hour0.length == 1 && hour0.head.getAs[Long]("n") == 1L,
+        hour0.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap, streaming") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "value")
+    val agg = Streaming.sessionize(events.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      mem.addData(
+        (t("2024-01-01 00:00:00"), 1L, 1.0),
+        (t("2024-01-01 00:10:00"), 1L, 2.0),  // same session (gap 10m < 30m)
+        (t("2024-01-01 01:30:00"), 1L, 3.0))  // new session
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 05:00:00"), 2L, 0.0)) // advance watermark
+      q.processAllAvailable()
+      val sessions = spark.table("sess").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+      assert(sessions.length == 2, sessions.mkString(";"))
+      assert(sessions(0).getAs[Long]("n_events") == 2L)
+      // session end = last event + gap
+      assert(sessions(0).getAs[java.sql.Timestamp]("session_end") == t("2024-01-01 00:40:00"))
+      assert(sessions(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+}

@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
       ops.Functions.queries ++ ops.PageRank.queries ++ ops.Text.queries ++
-      ops.Vectors.queries ++ ops.Events.queries ++ ops.AllReduce.queries
+      ops.Vectors.queries ++ ops.Events.queries ++ ops.AllReduce.queries ++
+      ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Joins.oracles ++ ops.Windows.oracles ++
       ops.Functions.oracles ++ ops.PageRank.oracles ++ ops.Text.oracles ++
-      ops.Vectors.oracles ++ ops.Events.oracles ++ ops.AllReduce.oracles
+      ops.Vectors.oracles ++ ops.Events.oracles ++ ops.AllReduce.oracles ++
+      ops.Multimodal.oracles
 }

@@ -181,17 +181,20 @@ object Text {
           "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
         .as("g"))
       .distinct()
-    // one row per (doc, shingle, permutation slot)
-    val slotHash = sh.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${MinhashPerms - 1}), i -> xxhash64(i, g))")))
-      .toDF("doc_id", "slot", "h")
-    val minhash = slotHash.groupBy("doc_id", "slot").agg(min(col("h")).as("mh"))
-    val bands = minhash
-      .withColumn("band", (col("slot") / lit(MinhashPerms / MinhashBands)).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("slot"), col("mh")))),
-          st => st.getField("mh").cast("string")))).as("band_sig"))
+    // 16 min-hash slots as 16 aggregate columns over the flat shingle
+    // rows: one shuffle keyed on doc_id, no slot explosion (the naive
+    // shape is |shingles|×16 exploded rows + a (doc,slot) shuffle).
+    val rowsPerBand = MinhashPerms / MinhashBands
+    val minhash = sh.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("g"))).as("mh0"),
+      (1 until MinhashPerms).map(i => min(xxhash64(lit(i), col("g"))).as(s"mh$i")): _*)
+    // band signature = hash of that band's minhash slots
+    val bandCols = (0 until MinhashBands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("band_sig")).as(s"bs$b")
+    }
+    val bands = minhash.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
     val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
     bands.join(reps, Seq("band", "band_sig"))
       .groupBy("doc_id").agg(min(col("band_rep")).as("cluster_rep"))
@@ -206,24 +209,24 @@ object Text {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     simhash(Tables.documents(s, d))
 
-  /** Core SimHash over any `(doc_id, text)` relation. */
+  /** Core SimHash over any `(doc_id, text)` relation. The 64 bit
+    * votes are 64 codegen'd aggregate columns over the flat token
+    * rows — one shuffle keyed on doc_id; the naive rendering
+    * (posexplode of a 64-slot vote array) multiplies the token stream
+    * ×64 before it ever reaches the aggregate. */
   def simhash(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-    val votes = tf
       .withColumn("h", xxhash64(col("w")))
-      .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 63), b -> " +
-            "CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END)")))
-      .toDF("doc_id", "b", "vote")
-    val bits = votes.groupBy("doc_id", "b")
-      .agg(sum(col("vote")).as("v"))
-      .select(col("doc_id"),
-        expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
-          .as("bitval"))
-    bits.groupBy("doc_id").agg(sum(col("bitval")).as("simhash"))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(expr(s"((h >> $b) & 1) = 1"), col("cnt")).otherwise(-col("cnt"))).as(s"v$b")
+    }
+    val fingerprint = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, expr(s"shiftleft(CAST(1 AS BIGINT), $b)")).otherwise(0L))
+      .reduce(_ + _)
+    tf.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
       .select(col("doc_id"), col("simhash"),
         expr("(simhash >> 48) & 65535").as("band0"),
         expr("(simhash >> 32) & 65535").as("band1"),

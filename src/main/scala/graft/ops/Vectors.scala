@@ -52,17 +52,25 @@ object Vectors {
       .limit(50)
 
   /** All-pairs near-neighbor (V2): candidates bounded by the label
-    * equi-key plus a vec_id band — the candidate-restriction pattern;
-    * swap the band for an LSH bucket key at scale (see ivf below). */
+    * equi-key plus a vec_id band of 25. The band rides as an *equi*
+    * block key (block = vec_id div 25; the left side duplicates into
+    * blocks b and b+1 so adjacent-block pairs still meet) — keeping
+    * the join pure-equi matters twice over: no near-cartesian
+    * label-only explosion at scale, and the (interpreted,
+    * non-codegen) cosine fold only ever runs on banded candidates
+    * instead of inside the join condition for every label-pair. */
   def vectorPairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), darr.as("v"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") &&
-        col("a.vec_id") < col("b.vec_id") &&
-        col("b.vec_id") <= col("a.vec_id") + 25)
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        col("a.label").as("label"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), darr.as("v"),
+        floor(col("vec_id") / 25).as("blk"))
+    val probe = e.select(col("vec_id").as("va"), col("label"), col("v").as("va_v"),
+      explode(array(col("blk"), col("blk") + 1)).as("jblk"))
+    val build = e.select(col("vec_id").as("vb"), col("label"), col("v").as("vb_v"),
+      col("blk").as("jblk"))
+    probe.join(build, Seq("label", "jblk"))
+      .filter(col("va") < col("vb") && col("vb") <= col("va") + 25)
+      .select(col("va"), col("vb"), col("label"),
+        cosine(col("va_v"), col("vb_v")).as("cos"))
       .filter(col("cos") >= 0.25)
       .orderBy(col("va"), col("vb"))
   }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Sources
+import graft.functions.ArrayMean
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Reference I/O fidelity (FIXTURES.md §A1/§A3): CSV scan with
+  * inference → global sort → CSV sink round-trip, and the typed
+  * ArrayMean Aggregator against the hand-computed gradient fixture. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv sort: schema inferred, total order, header round-trip") {
+    val in = getClass.getResource("/export_tiny.csv").getPath
+    val out = Files.createTempDirectory("csvsort").toString + "/out"
+    Sources.csvSort(spark, in, out)
+    val back = Sources.readCsv(spark, out)
+    assert(back.columns.toSeq == Seq("cca2", "timestamp", "value"))
+    // timestamp column must have been *inferred* as timestamp
+    assert(Sources.readCsv(spark, in).schema("timestamp").dataType.typeName == "timestamp")
+    val rows = back.collect().map(r => (r.getString(0), r.get(1).toString))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq, "cca2 not sorted")
+    // ties on cca2 are broken by timestamp (reference task.py:24)
+    rows.toSeq.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2) == g.map(_._2).sorted, s"timestamp not sorted within group: $g")
+    }
+    assert(back.count() == 6) // duplicate rows survive (sort, not dedup)
+  }
+
+  test("ArrayMean aggregator matches the hand-computed gradient mean") {
+    val grads = spark.read.json(getClass.getResource("/grads_tiny.json").getPath)
+      .select(col("worker_id"), col("param_id"), col("grad").cast("array<double>").as("grad"))
+      .as[(Long, Long, Array[Double])]
+    val got = grads.groupByKey(_._2)
+      .mapValues(_._3).agg(ArrayMean.toColumn)
+      .collect().toMap
+    assert(got(0L).toSeq == Seq(4.0, 5.0))   // mean of [1,3,5,7],[2,4,6,8]
+    assert(got(1L).toSeq == Seq(1.0, 1.5))   // mean of [0.5,1.5],[0.5,2.5]
+  }
+
+  test("ArrayMean agrees with the posexplode all-reduce rendering") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+    val typed = e.groupByKey(_ => 0)
+      .mapValues(_._2).agg(ArrayMean.toColumn)
+      .collect().head._2
+    val exploded = Tables.embeddings(spark, sf0001)
+      .select(posexplode(transform(col("embedding"), x => x.cast("double"))))
+      .toDF("pos", "g").groupBy("pos").agg(avg("g").as("m"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    typed.zip(exploded).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+  }
+}

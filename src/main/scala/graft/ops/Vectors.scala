@@ -37,12 +37,19 @@ object Vectors {
   private def fold(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  private def dot(a: Column, b: Column): Column =
-    fold(zip_with(a, b, (x, y) => x * y))
+  /** HOF rendering — kept as the reference semantics the native
+    * expression must match (see CosineSimilaritySpec). */
+  private[graft] def cosineHof(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x * y)) /
+      (sqrt(fold(transform(a, x => x * x))) *
+        sqrt(fold(transform(b, x => x * x))))
 
+  /** Production path: the native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]) — one fused loop per row
+    * instead of interpreted lambda dispatch plus a materialized
+    * product array, with bit-identical left-fold semantics. */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(fold(transform(a, x => x * x))) *
-      sqrt(fold(transform(b, x => x * x))))
+    graft.functions.CosineSimilarity.cosineSim(a, b)
 
   /** Brute-force cosine top-k against the literal query (V1). */
   def vectorTopk(s: SparkSession, d: String): DataFrame =

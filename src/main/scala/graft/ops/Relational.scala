@@ -143,7 +143,38 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** Salted two-phase aggregation (skew pattern): the 5 event_type
+    * values are pathologically hot keys at scale — a direct groupBy
+    * sends each key's entire volume to one reducer. Phase 1 aggregates
+    * on (key, salt) with a 16-way salt so hot keys spread across 16
+    * reducers; phase 2 combines the 16 partials per key. Results are
+    * identical to the direct groupBy (the oracle is the plain form);
+    * sums are re-rounded only at the end. AQE's skew handling covers
+    * joins, not aggregations — this is the manual recipe. */
+  def aggSalted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("psum")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** Sketch aggregates (A5 approx tier): HLL distinct counts and
+    * t-digest-style percentiles. Engine-specific estimates → no DuckDB
+    * oracle; RelationalSpec bounds them against exact values. */
+  def aggApprox(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_salted"        -> aggSalted,
+    "q_agg_approx"        -> aggApprox,
     "q_sort_export"       -> sortExport,
     "q_filter_predicates" -> filterPredicates,
     "q_agg_basic"         -> aggBasic,
@@ -154,8 +185,12 @@ object Relational {
     "q_set_ops"           -> setOps,
   )
 
-  /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY. */
+  /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
+    * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    "q_agg_salted" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_sort_export" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY user_id, ts, event_id",
     "q_filter_predicates" ->

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time transforms (SURVEY.md §2.11). Each takes any events
   * relation — batch `read` or `readStream` — and returns the
@@ -48,4 +49,65 @@ object Streaming {
     * state by the watermark horizon. */
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
+
+  // ----- custom state: flatMapGroupsWithState sessionization -----
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionBuf(start: Long, lastTs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Hand-rolled sessionization on the raw state API
+    * (`flatMapGroupsWithState` + EventTimeTimeout) — what
+    * `session_window` compiles to under the hood, exposed for
+    * semantics the built-in can't express (custom merge logic,
+    * per-session early emission). A session closes either when a
+    * later event of the same user arrives past the gap (emitted
+    * immediately) or when the event-time watermark passes
+    * last_ts + gap (timeout fires). State per user is one fixed-size
+    * buffer — bounded regardless of stream length.
+    *
+    * Within a micro-batch, new events are sorted in memory: per-group
+    * per-batch volume is watermark-bounded, not stream-bounded.
+    * Callers must attach `withWatermark("ts", ...)` (EventTimeTimeout
+    * requires it). In batch execution timeouts never fire, so each
+    * user's final (still-open) session is not emitted — the streaming
+    * semantics, applied literally. */
+  def statefulSessions(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionBuf]) =>
+          def emit(b: SessionBuf): SessionOut = SessionOut(user,
+            new java.sql.Timestamp(b.start), new java.sql.Timestamp(b.lastTs + gapMs),
+            b.n, b.sum)
+          if (state.hasTimedOut) {
+            val closed = emit(state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var buf = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              buf = buf match {
+                case Some(b) if t - b.lastTs < gapMs =>
+                  Some(SessionBuf(b.start, math.max(b.lastTs, t), b.n + 1, b.sum + e.value))
+                case Some(b) =>
+                  out += emit(b)
+                  Some(SessionBuf(t, t, 1L, e.value))
+                case None =>
+                  Some(SessionBuf(t, t, 1L, e.value))
+              }
+            }
+            buf.foreach { b =>
+              state.update(b)
+              state.setTimeoutTimestamp(b.lastTs + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
 }

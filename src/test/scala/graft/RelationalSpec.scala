@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Golden bounds for the sketch aggregates (engine-specific
+  * estimates, no DuckDB oracle) and the reference's text sink (S5). */
+class RelationalSpec extends SparkSpec {
+
+  test("approx sketches stay within their error bounds of exact values") {
+    val approx = ops.Relational.aggApprox(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        expr("percentile(l_extendedprice, 0.5)").as("median"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (flag, e) =>
+      val a = approx(flag)
+      val exactOrders = e.getLong(1)
+      val approxOrders = a.getLong(1)
+      assert(math.abs(approxOrders - exactOrders) <= 0.05 * exactOrders + 1,
+        s"$flag: approx $approxOrders vs exact $exactOrders")
+      val exactMedian = e.getDouble(2)
+      val approxMedian = a.getDouble(3)
+      assert(math.abs(approxMedian - exactMedian) <= 0.10 * exactMedian,
+        s"$flag: approx median $approxMedian vs exact $exactMedian")
+    }
+  }
+
+  test("salted aggregation equals the direct groupBy") {
+    val salted = ops.Relational.aggSalted(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val direct = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("s"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == direct.toSeq)
+  }
+
+  test("pagerank text sink round-trips (reference saveAsTextFile, S5)") {
+    val ranks = ops.PageRank.run(
+      ops.PageRank.parseEdgeLines(
+        spark.read.text(getClass.getResource("/toy_graph.tsv").getPath)), 2)
+    val out = Files.createTempDirectory("prtext").toString + "/ranks"
+    ranks.select(concat_ws("\t", col("node"), col("pr")))
+      .write.mode("overwrite").text(out)
+    val back = spark.read.text(out).collect().map(_.getString(0))
+      .map(_.split("\t")).map(a => a(0) -> a(1).toDouble).toMap
+    assert(back.keySet == Set("1", "2", "3", "5"))
+    assert(math.abs(back("1") - 1.6020833333) < 1e-9)
+  }
+}

@@ -60,6 +60,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulSessions: gap-break emits immediately, timeout flushes the rest") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "value")
+      .as[(java.sql.Timestamp, Long, Double)]
+      .map { case (ts, u, v) => Streaming.Ev(u, ts, v) }
+      .withWatermark("ts", "10 minutes") // after map: map drops the watermark tag
+    val q = Streaming.statefulSessions(events, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("fmgs").start()
+    try {
+      mem.addData(
+        (t("2024-01-01 00:00:00"), 1L, 1.0),
+        (t("2024-01-01 00:10:00"), 1L, 2.0))
+      q.processAllAvailable()
+      // second session's first event breaks the gap → session 1 emits
+      mem.addData((t("2024-01-01 01:30:00"), 1L, 3.0))
+      q.processAllAvailable()
+      val afterBreak = spark.table("fmgs").as[Streaming.SessionOut].collect()
+      assert(afterBreak.map(s => (s.user_id, s.n_events, s.sum_value)).toSeq ==
+        Seq((1L, 2L, 3.0)), afterBreak.mkString(";"))
+      assert(afterBreak.head.session_end == t("2024-01-01 00:40:00"))
+      // watermark far past session 2's gap → timeout flushes it
+      mem.addData((t("2024-01-01 06:00:00"), 2L, 0.0))
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 12:00:00"), 3L, 0.0))
+      q.processAllAvailable()
+      val all = spark.table("fmgs").as[Streaming.SessionOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(all.length == 2, all.mkString(";"))
+      assert(all(1).n_events == 1L && all(1).session_start == t("2024-01-01 01:30:00"))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap, streaming") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]

@@ -172,9 +172,40 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot (wide aggregation): per-user event counts, one column per
+    * event_type. Values are enumerated explicitly — at scale an
+    * unlisted pivot first runs a distinct scan to discover columns,
+    * and implicit result schemas are an anti-pattern anyway. */
+  def pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Bounded cross join: region × nation pair grid (5×25 at any SF —
+    * cross joins are only ever legitimate when one side is O(1)). */
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(col("r_name"))
+      .crossJoin(Tables.nation(s, d).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Seeded Bernoulli sample — the training-data subsampling op.
+    * Deterministic for a fixed seed within Spark (sampling is
+    * engine-specific, so the check is rows-only + golden tests). */
+  def sample(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_salted"        -> aggSalted,
     "q_agg_approx"        -> aggApprox,
+    "q_pivot"             -> pivot,
+    "q_join_cross"        -> joinCross,
+    "q_sample"            -> sample,
     "q_sort_export"       -> sortExport,
     "q_filter_predicates" -> filterPredicates,
     "q_agg_basic"         -> aggBasic,
@@ -191,6 +222,17 @@ object Relational {
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_pivot" ->
+      """SELECT user_id,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'error') AS error,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
     "q_sort_export" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY user_id, ts, event_id",
     "q_filter_predicates" ->

@@ -104,22 +104,28 @@ object Functions {
   /** JSON/map family over `events.props` (JSON strings like
     * `{"k": 87}`): path extraction, typed cast, full parse to
     * MapType + key listing. `try_element_at` keeps missing keys null
-    * instead of an ANSI-mode error. */
-  def fnJson(s: SparkSession, d: String): DataFrame = {
-    val parsed = from_json(col("props"),
-      org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.IntegerType))
+    * instead of an ANSI-mode error.
+    *
+    * The document is parsed ONCE into a map column and every output
+    * derives from it — the naive per-column `get_json_object`/
+    * `from_json` shape re-parses the JSON for each projection
+    * (5 parses/row here; JsonToStructs is CodegenFallback so no
+    * subexpression elimination saves it). The multi-reference
+    * `parsed` column keeps CollapseProject from inlining it. */
+  def fnJson(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      .withColumn("parsed", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)))
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-        try_element_at(parsed, lit("k")).as("k_via_map"),
-        map_keys(parsed).as("keys"),
-        size(map_keys(parsed)).as("n_keys"))
+        try_element_at(col("parsed"), lit("k")).cast("string").as("k_str"),
+        try_element_at(col("parsed"), lit("k")).as("k_int"),
+        try_element_at(col("parsed"), lit("k")).as("k_via_map"),
+        map_keys(col("parsed")).as("keys"),
+        size(map_keys(col("parsed"))).as("n_keys"))
       .orderBy(col("event_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string"   -> fnString,

@@ -37,19 +37,23 @@ object PageRank {
         split(col("value"), "\t").getItem(0).as("src"),
         split(col("value"), "\t").getItem(1).as("dst"))
 
-  /** The iterative core. `edges(src, dst)` of any key type. */
+  /** The iterative core. `edges(src, dst)` of any key type.
+    * Lineage is truncated every 3rd iteration rather than every one:
+    * each eager `localCheckpoint` is a full materialization job, and
+    * a 3-deep join/agg lineage replans cheaply — same recompute-bound
+    * idea as C3, a third of the checkpoint cost. */
   def run(edges: DataFrame, iterations: Int = 10): DataFrame = {
     val e = edges.persist()
     val degrees = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     var ranks = degrees.select(col("src").as("node"), lit(1.0).as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = e.join(degrees, "src")
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("contrib"))
       ranks = contribs.groupBy(col("dst"))
         .agg((lit(0.15) + lit(0.85) * sum(col("contrib"))).as("pr"))
         .select(col("dst").as("node"), col("pr"))
-        .localCheckpoint()
+      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }

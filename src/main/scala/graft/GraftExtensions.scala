@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions into the SQL function registry, so
+  * `spark.sql("SELECT cosine_sim(a, b) ...")` works in any session
+  * built with `.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * This is the (c)-tier extension surface from the build guidance;
+  * no custom planner strategies or optimizer rules are injected —
+  * nothing in the operator inventory needs one (SURVEY.md §4), and a
+  * rule that can't prove a semantic win is pure risk. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
+        CosineSimilarity(args.head, args(1))
+      }))
+  }
+}

@@ -235,7 +235,35 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end training-data prep (the composed north-star pipeline):
+    * exact-dedup survivors → quality gate → per-source corpus stats.
+    * Each stage is one of the operators above; the composition is the
+    * point — this is the query shape a 100 TB pretraining corpus
+    * build actually runs, and it stays three shuffles total
+    * (dedup group, quality is narrow, final group). */
+  def pipelinePrep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val survivors = docs
+      .groupBy(sha2(col("text"), 256).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, "doc_id")
+    val ws = words(col("text"))
+    val gated = survivors
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(ws).as("n_words"),
+        (size(array_distinct(ws)) / size(ws).cast("double")).as("ttr"))
+      .filter(col("n_words") >= 20 && col("ttr") >= 0.3)
+    gated.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(ceil(col("n_chars") / lit(4.0)).cast("long")).as("est_tokens"),
+        (round(sum(col("ttr")), 6) / count(lit(1))).as("avg_ttr"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_prep" -> pipelinePrep,
     "q_wordcount"     -> wordcount,
     "q_tfidf"         -> tfidf,
     "q_dedup_exact"   -> dedupExact,
@@ -249,6 +277,21 @@ object Text {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline_prep" ->
+      """WITH survivors AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         gated AS (
+           SELECT d.doc_id, d.source, d.n_chars,
+                  CAST(len(string_split(d.text, ' ')) AS INT) AS n_words,
+                  len(list_distinct(string_split(d.text, ' ')))
+                    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS ttr
+           FROM survivors JOIN documents d USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(n_words) AS BIGINT) AS total_words,
+                CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens,
+                round(sum(ttr), 6) / count(*) AS avg_ttr
+         FROM gated WHERE n_words >= 20 AND ttr >= 0.3
+         GROUP BY source ORDER BY source""",
     "q_wordcount" ->
       """SELECT w AS word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions surface: cosine_sim must be callable
+  * from plain SQL in a session built with GraftExtensions. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("cosine_sim registers via SparkSessionExtensions and works in SQL") {
+    // extensions only apply at session creation: getOrCreate would
+    // silently reuse the shared no-extensions session from other
+    // suites, so tear down and let later suites rebuild theirs
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val got = spark.sql(
+        """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same,
+                  cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth""")
+        .collect().head
+      assert(math.abs(got.getDouble(0) - 1.0) < 1e-15)
+      assert(math.abs(got.getDouble(1)) < 1e-15)
+      // type check fires for wrong arity/types
+      val err = intercept[Exception] {
+        spark.sql("SELECT cosine_sim(array('a'), array('b'))").collect()
+      }
+      assert(err.getMessage.toLowerCase.contains("array<double>"))
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

@@ -38,12 +38,23 @@ object PageRank {
         split(col("value"), "\t").getItem(1).as("dst"))
 
   /** The iterative core. `edges(src, dst)` of any key type.
+    *
+    * `numPartitions > 0` reproduces the reference's partition-sweep
+    * experiment (C1, `task2/task2.py:36` — `groupByKey().repartition(n)`
+    * swept over {10,50,100,200,300}): the loop-invariant edge relation
+    * is hash-repartitioned on `src`, which also co-locates the
+    * per-iteration `edges ⋈ ranks` probe. Results are partition-count
+    * invariant (PageRankSpec pins this) — only shuffle layout changes.
+    *
     * Lineage is truncated every 3rd iteration rather than every one:
     * each eager `localCheckpoint` is a full materialization job, and
     * a 3-deep join/agg lineage replans cheaply — same recompute-bound
     * idea as C3, a third of the checkpoint cost. */
-  def run(edges: DataFrame, iterations: Int = 10): DataFrame = {
-    val e = edges.persist()
+  def run(edges: DataFrame, iterations: Int = 10, numPartitions: Int = 0): DataFrame = {
+    val laidOut =
+      if (numPartitions > 0) edges.repartition(numPartitions, col("src"))
+      else edges
+    val e = laidOut.persist()
     val degrees = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     var ranks = degrees.select(col("src").as("node"), lit(1.0).as("pr"))
     for (i <- 1 to iterations) {

@@ -49,6 +49,21 @@ class PageRankSpec extends SparkSpec {
     assert(edges.schema("src").dataType.typeName == "string")
   }
 
+  test("ranks are invariant under the partition sweep (task2 analog)") {
+    val raw = spark.read.text(getClass.getResource("/toy_graph.tsv").getPath)
+    val edges = PageRank.parseEdgeLines(raw)
+    val base = PageRank.run(edges, 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq(2, 8).foreach { n =>
+      val swept = PageRank.run(edges, 10, numPartitions = n).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(swept.keySet == base.keySet)
+      base.foreach { case (k, v) =>
+        assert(math.abs(swept(k) - v) < 1e-12, s"n=$n node=$k")
+      }
+    }
+  }
+
   test("harness edge table is deterministic and bidirectional") {
     val e = PageRank.starEdges(spark, sf0001)
     val n = e.count()

@@ -94,6 +94,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming over the real events parquet matches batch") {
+    // readStream needs an explicit schema; ts arrives as raw nanos
+    // (TIMESTAMP(NANOS) parquet) exactly as in Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+    // the file stream source wants a directory to watch
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = Streaming.tumblingCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("filesrc").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filesrc").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ws"), r.getAs[String]("event_type")) ->
+          r.getAs[Long]("n")).toMap
+      val batch = Streaming.tumblingCounts(Tables.events(spark, sf0001)).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ws"), r.getAs[String]("event_type")) ->
+          r.getAs[Long]("n")).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap, streaming") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]

@@ -26,6 +26,10 @@ object ArrayMean extends Aggregator[Array[Double], (Array[Double], Long), Array[
   override def reduce(b: (Array[Double], Long), a: Array[Double]): (Array[Double], Long) = {
     if (a == null) return b
     val sums = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+    // ragged groups are a data bug: fail loudly rather than silently
+    // truncating (or overrunning) the element-wise sum
+    require(a.length == sums.length,
+      s"ArrayMean: ragged arrays in group (${a.length} vs ${sums.length})")
     var i = 0
     while (i < a.length) { sums(i) += a(i); i += 1 }
     (sums, b._2 + 1)
@@ -34,6 +38,8 @@ object ArrayMean extends Aggregator[Array[Double], (Array[Double], Long), Array[
   override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
     if (x._1.isEmpty) return y
     if (y._1.isEmpty) return x
+    require(x._1.length == y._1.length,
+      s"ArrayMean: ragged partial buffers (${x._1.length} vs ${y._1.length})")
     val sums = x._1
     var i = 0
     while (i < sums.length) { sums(i) += y._1(i); i += 1 }

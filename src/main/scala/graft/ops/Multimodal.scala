@@ -51,14 +51,21 @@ object Multimodal {
           .otherwise("audio").as("kind"))
       .orderBy(col("media_id"))
 
-  /** Harness media table for the typed pipeline. */
+  /** Harness media table for the typed pipeline — one documents scan,
+    * deriving payload and metadata together (joining back through
+    * multimodalMeta would scan and encode twice and pay its sort). */
   def mediaTable(s: SparkSession, d: String): Dataset[Media] = {
     import s.implicits._
-    multimodalMeta(s, d)
-      .join(Tables.documents(s, d).select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload")), "media_id")
-      .select(col("media_id"), col("kind"), col("payload"),
-        col("width"), col("height"), col("n_frames"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        when(pmod(col("n_chars"), lit(3)) === 0, "video")
+          .when(pmod(col("n_chars"), lit(3)) === 1, "image")
+          .otherwise("audio").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (lit(64) + pmod(col("n_chars"), lit(640))).cast("int").as("width"),
+        (lit(64) + pmod(col("n_chars") * 7, lit(480))).cast("int").as("height"),
+        (lit(1) + pmod(col("n_chars"), lit(8))).cast("int").as("n_frames"))
       .as[Media]
   }
 
@@ -71,6 +78,7 @@ object Multimodal {
   private[graft] def stubDecodeFrame(payload: Array[Byte], frameIdx: Int,
       nPixels: Int): Array[Float] = {
     val out = new Array[Float](nPixels)
+    if (payload.isEmpty) return out // empty media → black frame, not % 0
     var i = 0
     while (i < nPixels) {
       out(i) = (payload((frameIdx + i) % payload.length) & 0xFF) / 255.0f

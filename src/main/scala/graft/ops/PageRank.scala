@@ -66,6 +66,10 @@ object PageRank {
         .select(col("dst").as("node"), col("pr"))
       if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
     }
+    // ranks is checkpointed (no lineage back to e/degrees) — release
+    // the loop invariants instead of leaking two cache entries per run
+    e.unpersist()
+    degrees.unpersist()
     ranks
   }
 

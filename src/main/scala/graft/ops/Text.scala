@@ -63,6 +63,9 @@ object Text {
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
+      // <3 words → no shingles; without the guard sequence(1, size-2)
+      // runs DESCENDING into element_at(ws, 0), which throws
+      .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 2), i -> " +
           "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
@@ -172,10 +175,13 @@ object Text {
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashClusters(Tables.documents(s, d))
 
-  /** Core MinHash-LSH over any `(doc_id, text)` relation. */
+  /** Core MinHash-LSH over any `(doc_id, text)` relation. Documents
+    * too short to shingle (<3 words) self-cluster via the final left
+    * join instead of crashing the shingle explode. */
   def minhashClusters(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 2), i -> " +
           "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
@@ -196,8 +202,11 @@ object Text {
     val bands = minhash.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
     val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
-    bands.join(reps, Seq("band", "band_sig"))
-      .groupBy("doc_id").agg(min(col("band_rep")).as("cluster_rep"))
+    val clustered = bands.join(reps, Seq("band", "band_sig"))
+      .groupBy("doc_id").agg(min(col("band_rep")).as("rep"))
+    docs.select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
       .withColumn("is_dup", col("doc_id") =!= col("cluster_rep"))
       .orderBy(col("doc_id"))
   }

@@ -22,22 +22,24 @@ class BucketingSpec extends SparkSpec {
       .option("path", s"$wh/b_lineitem").mode("overwrite").saveAsTable("b_lineitem")
 
     // tiny test tables would broadcast; force the SMJ path the
-    // pattern targets at scale
+    // pattern targets at scale (restored in finally — the shared
+    // session outlives this suite)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    val joined =
-      try spark.table("b_orders")
-        .join(spark.table("b_lineitem"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
-      finally {}
-
-    // execute THIS DataFrame so its adaptive plan finalizes
-    val rows = joined.collect()
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val (rows, plan) =
+      try {
+        val joined = spark.table("b_orders")
+          .join(spark.table("b_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+        // execute THIS DataFrame so its adaptive plan finalizes
+        val r = joined.collect()
+        (r, joined.queryExecution.executedPlan.toString)
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     assert(rows.nonEmpty)
-    val plan = joined.queryExecution.executedPlan.toString
     val joinSection = plan.linesIterator
       .dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
     assert(plan.contains("SortMergeJoin"), plan)

@@ -34,6 +34,19 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-15)
   }
 
+  test("mismatched lengths and null elements return NULL like the HOF fold") {
+    import spark.implicits._
+    val mismatched = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(cosineSim(col("a"), col("b")).as("c"))
+    assert(mismatched.collect().head.isNullAt(0))
+    val nulls = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b").select(cosineSim(col("a"), col("b")).as("c"))
+    assert(nulls.collect().head.isNullAt(0))
+    val fine = Seq((Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(cosineSim(col("a"), col("b")).as("c"))
+    assert(math.abs(fine.collect().head.getDouble(0) - 1.0) < 1e-15)
+  }
+
   test("expression is codegen'd (its Project carries the * codegen marker)") {
     val plan = embs.select(cosineSim(col("v"), col("v")).as("c"))
       .queryExecution.executedPlan.toString

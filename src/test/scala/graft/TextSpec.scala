@@ -43,6 +43,20 @@ class TextSpec extends SparkSpec {
       s"unrelated docs should be hamming-far: ${hamming(out(1L), out(4L))}")
   }
 
+  test("short documents (<3 words) survive shingle-based ops and self-cluster") {
+    val docs = Seq(
+      (1L, "solo"),
+      (2L, "two words"),
+      (3L, base),
+      (4L, base),
+    ).toDF("doc_id", "text")
+    val out = Text.minhashClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), s"every doc must appear: $out")
+    assert(out(1L) == 1L && out(2L) == 2L)
+    assert(out(4L) == 3L)
+  }
+
   test("minhash on harness data flags the planted near-duplicates") {
     val out = Text.dedupMinhash(spark, sf0001)
     assert(out.filter(col("is_dup")).count() > 0)

@@ -24,10 +24,20 @@ object Events {
     Streaming.sessionize(Tables.events(s, d))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Stateful dedup (ST5) as a declared query: the input is doubled
+    * (union all with itself) so `dropDuplicates(event_id)` has real
+    * work; first-event-wins semantics, oracle is the plain relation. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    Streaming.dedupEvents(ev.unionByName(ev))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding"  -> streamSliding,
     "q_stream_session"  -> streamSession,
+    "q_stream_dedup"    -> streamDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -43,6 +53,9 @@ object Events {
       """WITH base AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS fb, ts FROM events),
          expanded AS (SELECT fb - unnest([0, 1, 2, 3]) * INTERVAL 15 MINUTE AS ws FROM base)
          SELECT ws, count(*) AS n FROM expanded GROUP BY ws ORDER BY ws""",
+    "q_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+         ORDER BY event_id""",
     // Gaps-and-islands: a new session starts when the gap since the
     // previous event of the same user is >= 30 minutes; session end =
     // last event + gap (session_window semantics).

@@ -127,7 +127,59 @@ object Functions {
         size(map_keys(col("parsed"))).as("n_keys"))
       .orderBy(col("event_id"))
 
+  /** String family, batch 2: edit distance, padding, character
+    * translation, reverse/repeat, substring position. */
+  def fnString2(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), lit("Brand#13")).as("brand_dist"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, "*").as("brand_rpad"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels_up"),
+        reverse(col("p_brand")).as("brand_rev"),
+        repeat(col("p_brand"), 2).as("brand_twice"),
+        instr(col("p_name"), "a").as("first_a_pos"))
+      .orderBy(col("p_partkey"))
+
+  /** Array family, batch 2: set operations between word slices.
+    * Spark's array_intersect/union/except preserve left-operand order
+    * while DuckDB's list ops don't — both sides sort, and missing
+    * array_position maps 0 ↔ NULL via coalesce. */
+  def fnArray2(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), slice(ws, 1, 6).as("a"), slice(ws, 4, 6).as("b"))
+      .select(
+        col("doc_id"),
+        sort_array(array_distinct(col("a"))).as("a_sorted"),
+        sort_array(array_intersect(col("a"), col("b"))).as("inter"),
+        sort_array(array_union(col("a"), col("b"))).as("uni"),
+        sort_array(array_except(col("a"), col("b"))).as("diff"),
+        array_position(col("a"), element_at(col("b"), 1)).as("pos_of_b1"),
+        flatten(array(col("a"), col("b"))).as("flat"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bitwise family over lineitem keys: and/or/xor, shifts,
+    * popcount. */
+  def fnBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        (col("l_orderkey").bitwiseAND(col("l_partkey"))).as("k_and"),
+        (col("l_orderkey").bitwiseOR(col("l_partkey"))).as("k_or"),
+        (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("k_xor"),
+        expr("shiftleft(l_linenumber, 3)").as("ln_shl"),
+        expr("shiftright(l_orderkey, 2)").as("k_shr"),
+        bit_count(col("l_orderkey")).as("k_bits"))
+      .orderBy(col("l_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string2"  -> fnString2,
+    "q_fn_array2"   -> fnArray2,
+    "q_fn_bitwise"  -> fnBitwise,
     "q_fn_string"   -> fnString,
     "q_fn_datetime" -> fnDatetime,
     "q_fn_math"     -> fnMath,
@@ -136,6 +188,38 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fn_string2" ->
+      """SELECT p_partkey,
+         CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS brand_dist,
+         lpad(p_brand, 12, '*') AS brand_lpad,
+         rpad(p_brand, 12, '*') AS brand_rpad,
+         translate(p_type, 'aeiou', 'AEIOU') AS type_vowels_up,
+         reverse(p_brand) AS brand_rev,
+         repeat(p_brand, 2) AS brand_twice,
+         CAST(strpos(p_name, 'a') AS INT) AS first_a_pos
+         FROM part ORDER BY p_partkey""",
+    "q_fn_array2" ->
+      """WITH s AS (SELECT doc_id,
+                    (string_split(text, ' '))[1:6] AS a,
+                    (string_split(text, ' '))[4:9] AS b
+                    FROM documents)
+         SELECT doc_id,
+         list_sort(list_distinct(a)) AS a_sorted,
+         list_sort(list_intersect(a, b)) AS inter,
+         list_sort(list_distinct(list_concat(a, b))) AS uni,
+         list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS diff,
+         coalesce(list_position(a, b[1]), 0) AS pos_of_b1,
+         flatten([a, b]) AS flat
+         FROM s ORDER BY doc_id""",
+    "q_fn_bitwise" ->
+      """SELECT l_orderkey,
+         l_orderkey & l_partkey AS k_and,
+         l_orderkey | l_partkey AS k_or,
+         xor(l_orderkey, l_partkey) AS k_xor,
+         CAST(l_linenumber << 3 AS INT) AS ln_shl,
+         l_orderkey >> 2 AS k_shr,
+         CAST(bit_count(l_orderkey) AS INT) AS k_bits
+         FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""",
     "q_fn_string" ->
       """SELECT p_partkey,
          lower(p_name) AS name_lower,

@@ -55,10 +55,15 @@ object PageRank {
       if (numPartitions > 0) edges.repartition(numPartitions, col("src"))
       else edges
     val e = laidOut.persist()
-    val degrees = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    var ranks = degrees.select(col("src").as("node"), lit(1.0).as("pr"))
+    val degrees = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the edges ⋈ degrees join is loop-invariant: materialize it once
+    // instead of recomputing it in all 10 iterations
+    val withDeg = e.join(degrees, "src")
+      .select(col("src"), col("dst"), col("deg")).persist()
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("pr"))
     for (i <- 1 to iterations) {
-      val contribs = e.join(degrees, "src")
+      val contribs = withDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("contrib"))
       ranks = contribs.groupBy(col("dst"))
@@ -66,10 +71,10 @@ object PageRank {
         .select(col("dst").as("node"), col("pr"))
       if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
     }
-    // ranks is checkpointed (no lineage back to e/degrees) — release
-    // the loop invariants instead of leaking two cache entries per run
+    // ranks is checkpointed (no lineage back to the invariants) —
+    // release them instead of leaking cache entries per run
     e.unpersist()
-    degrees.unpersist()
+    withDeg.unpersist()
     ranks
   }
 

@@ -175,38 +175,65 @@ object Text {
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashClusters(Tables.documents(s, d))
 
-  /** Core MinHash-LSH over any `(doc_id, text)` relation. Documents
-    * too short to shingle (<3 words) self-cluster via the final left
-    * join instead of crashing the shingle explode. */
-  def minhashClusters(docs: DataFrame): DataFrame = {
+  /** Per-doc LSH band signatures: distinct 3-word shingles → 16
+    * min-hash slots as 16 aggregate columns (one shuffle keyed on
+    * doc_id, no slot explosion — the naive shape is |shingles|×16
+    * exploded rows + a (doc,slot) shuffle) → 8 band signatures.
+    * Documents too short to shingle (<3 words) are absent. */
+  private def minhashBands(docs: DataFrame): DataFrame = {
     val sh = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
+      // <3 words → no shingles; without the guard sequence(1, size-2)
+      // runs DESCENDING into element_at(ws, 0), which throws
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 2), i -> " +
           "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
         .as("g"))
       .distinct()
-    // 16 min-hash slots as 16 aggregate columns over the flat shingle
-    // rows: one shuffle keyed on doc_id, no slot explosion (the naive
-    // shape is |shingles|×16 exploded rows + a (doc,slot) shuffle).
     val rowsPerBand = MinhashPerms / MinhashBands
     val minhash = sh.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("g"))).as("mh0"),
       (1 until MinhashPerms).map(i => min(xxhash64(lit(i), col("g"))).as(s"mh$i")): _*)
-    // band signature = hash of that band's minhash slots
     val bandCols = (0 until MinhashBands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("band_sig")).as(s"bs$b")
     }
-    val bands = minhash.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+    minhash.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
+
+  /** Core MinHash-LSH over any `(doc_id, text)` relation — one-pass
+    * clustering (rep = min doc over each band bucket; not transitive).
+    * Unshingleable docs self-cluster via the final left join. */
+  def minhashClusters(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
     val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
     val clustered = bands.join(reps, Seq("band", "band_sig"))
       .groupBy("doc_id").agg(min(col("band_rep")).as("rep"))
     docs.select(col("doc_id"))
       .join(clustered, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("is_dup", col("doc_id") =!= col("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Transitive-closure MinHash clustering: band buckets become star
+    * edges (bucket-rep → member) and [[Components]] propagates min
+    * labels to a fixed point, so chains A~B~C collapse into one
+    * cluster even when A and C never share a bucket — the semantics a
+    * real corpus dedup wants. */
+  def minhashClustersClosure(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(docs)
+    val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
+    val edges = bands.join(reps, Seq("band", "band_sig"))
+      .filter(col("doc_id") =!= col("band_rep"))
+      .select(col("band_rep").as("src"), col("doc_id").as("dst"))
+      .distinct()
+    val comps = Components.connectedComponents(edges)
+    docs.select(col("doc_id"))
+      .join(comps, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
       .withColumn("is_dup", col("doc_id") =!= col("cluster_rep"))
       .orderBy(col("doc_id"))
   }
@@ -282,6 +309,8 @@ object Text {
     "q_token_count"   -> tokenCount,
     "q_fingerprint"   -> fingerprint,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_minhash_cc" -> ((s: SparkSession, d: String) =>
+      minhashClustersClosure(Tables.documents(s, d))),
     "q_dedup_simhash" -> dedupSimhash,
   )
 

@@ -176,7 +176,44 @@ object Functions {
         bit_count(col("l_orderkey")).as("k_bits"))
       .orderBy(col("l_orderkey"))
 
+  /** Null-handling family over the nullable side of an outer join:
+    * coalesce/nvl/nvl2-style branches, null predicates, na.fill. */
+  def fnNull(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey", "c_acctbal")
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 350000.0)
+          .select(col("o_custkey"), col("o_totalprice")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("o_totalprice").isNull.as("no_big_order"),
+        coalesce(round(col("o_totalprice"), 2), lit(0.0)).as("big_or_zero"),
+        when(col("o_totalprice").isNotNull, "has").otherwise("none").as("nvl2_style"),
+        round(ifnull(col("o_totalprice"), col("c_acctbal")), 2).as("price_or_bal"))
+      .na.fill(-1.0, Seq("big_or_zero"))
+      .orderBy(col("c_custkey"), col("big_or_zero"))
+
+  /** Window distribution family (W1 extension): ntile buckets,
+    * percent_rank, cume_dist, first/last value over a running frame. */
+  def windowDist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("cheapest",
+        first(col("o_orderkey")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("quartile"), col("pct_rank"), col("cume"), col("cheapest"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_null"     -> fnNull,
+    "q_window_dist" -> windowDist,
     "q_fn_string2"  -> fnString2,
     "q_fn_array2"   -> fnArray2,
     "q_fn_bitwise"  -> fnBitwise,
@@ -188,6 +225,27 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fn_null" ->
+      """SELECT c_custkey,
+         o_totalprice IS NULL AS no_big_order,
+         coalesce(round(o_totalprice, 2), 0.0) AS big_or_zero,
+         CASE WHEN o_totalprice IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_style,
+         round(ifnull(o_totalprice, c_acctbal), 2) AS price_or_bal
+         FROM customer LEFT JOIN (SELECT o_custkey, o_totalprice FROM orders
+                                  WHERE o_totalprice > 350000.0) o
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey, big_or_zero""",
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+         ntile(4) OVER w AS quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         first_value(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
     "q_fn_string2" ->
       """SELECT p_partkey,
          CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS brand_dist,

@@ -40,8 +40,10 @@ object Text {
     val docs = Tables.documents(s, d)
     val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
     val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = terms.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // tf is already one row per (doc, word): df falls out of it with a
+    // plain count — re-exploding the corpus for df would run the
+    // tokenize+shuffle twice
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(df, "word")
       .crossJoin(broadcast(n))
@@ -92,14 +94,18 @@ object Text {
     * 'und' — the mechanics (explode-free list intersection, fixed
     * tie-break) are what matters. */
   def langId(s: SparkSession, d: String): DataFrame = {
+    // tokenize once into a multi-referenced column; scoring per lang
+    // over the same array (inlining words() per score would re-split
+    // the text 4× through interpreted HOF lambdas)
     def score(markers: Seq[String]): Column =
-      size(filter(words(col("text")),
+      size(filter(col("ws"),
         w => markers.foldLeft(lit(false))((acc, m) => acc || w === m)))
     val sEn = score(Seq("the", "a", "of", "and"))
     val sDe = score(Seq("der", "die", "das", "und"))
     val sFr = score(Seq("le", "la", "et", "les"))
     val sEs = score(Seq("el", "los", "que", "y"))
     Tables.documents(s, d)
+      .withColumn("ws", words(col("text")))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         sEn.as("s_en"), sDe.as("s_de"), sFr.as("s_fr"), sEs.as("s_es"))
       .withColumn("predicted",

@@ -156,7 +156,11 @@ object Functions {
         sort_array(array_intersect(col("a"), col("b"))).as("inter"),
         sort_array(array_union(col("a"), col("b"))).as("uni"),
         sort_array(array_except(col("a"), col("b"))).as("diff"),
-        array_position(col("a"), element_at(col("b"), 1)).as("pos_of_b1"),
+        // try_element_at: b is empty for docs under 4 words and plain
+        // element_at throws under ANSI; a null probe makes
+        // array_position null, coalesced to 0 exactly like the oracle
+        coalesce(array_position(col("a"), try_element_at(col("b"), lit(1))), lit(0L))
+          .as("pos_of_b1"),
         flatten(array(col("a"), col("b"))).as("flat"))
       .orderBy(col("doc_id"))
   }
@@ -188,8 +192,9 @@ object Functions {
         col("o_totalprice").isNull.as("no_big_order"),
         coalesce(round(col("o_totalprice"), 2), lit(0.0)).as("big_or_zero"),
         when(col("o_totalprice").isNotNull, "has").otherwise("none").as("nvl2_style"),
-        round(ifnull(col("o_totalprice"), col("c_acctbal")), 2).as("price_or_bal"))
-      .na.fill(-1.0, Seq("big_or_zero"))
+        round(ifnull(col("o_totalprice"), col("c_acctbal")), 2).as("price_or_bal"),
+        round(col("o_totalprice"), 2).as("filled_price")) // genuinely nullable
+      .na.fill(-1.0, Seq("filled_price"))
       .orderBy(col("c_custkey"), col("big_or_zero"))
 
   /** Window distribution family (W1 extension): ntile buckets,
@@ -230,7 +235,8 @@ object Functions {
          o_totalprice IS NULL AS no_big_order,
          coalesce(round(o_totalprice, 2), 0.0) AS big_or_zero,
          CASE WHEN o_totalprice IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_style,
-         round(ifnull(o_totalprice, c_acctbal), 2) AS price_or_bal
+         round(ifnull(o_totalprice, c_acctbal), 2) AS price_or_bal,
+         coalesce(round(o_totalprice, 2), -1.0) AS filled_price
          FROM customer LEFT JOIN (SELECT o_custkey, o_totalprice FROM orders
                                   WHERE o_totalprice > 350000.0) o
            ON c_custkey = o_custkey
@@ -266,7 +272,7 @@ object Functions {
          list_sort(list_intersect(a, b)) AS inter,
          list_sort(list_distinct(list_concat(a, b))) AS uni,
          list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS diff,
-         coalesce(list_position(a, b[1]), 0) AS pos_of_b1,
+         CAST(coalesce(list_position(a, b[1]), 0) AS BIGINT) AS pos_of_b1,
          flatten([a, b]) AS flat
          FROM s ORDER BY doc_id""",
     "q_fn_bitwise" ->

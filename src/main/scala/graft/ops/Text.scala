@@ -209,20 +209,29 @@ object Text {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
   }
 
-  /** Core MinHash-LSH over any `(doc_id, text)` relation — one-pass
-    * clustering (rep = min doc over each band bucket; not transitive).
-    * Unshingleable docs self-cluster via the final left join. */
-  def minhashClusters(docs: DataFrame): DataFrame = {
+  /** Band-bucket membership joined with each bucket's min-doc rep:
+    * `(doc_id, band, band_sig, band_rep)`. */
+  private def bandsWithReps(docs: DataFrame): DataFrame = {
     val bands = minhashBands(docs)
     val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
-    val clustered = bands.join(reps, Seq("band", "band_sig"))
-      .groupBy("doc_id").agg(min(col("band_rep")).as("rep"))
+    bands.join(reps, Seq("band", "band_sig"))
+  }
+
+  /** Shared clustering tail: left-join every doc (unshingleable ones
+    * included) to its `(doc_id, rep)` assignment; unmatched docs
+    * self-cluster. */
+  private def toClusters(docs: DataFrame, assignment: DataFrame): DataFrame =
     docs.select(col("doc_id"))
-      .join(clustered, Seq("doc_id"), "left")
+      .join(assignment, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
       .withColumn("is_dup", col("doc_id") =!= col("cluster_rep"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Core MinHash-LSH over any `(doc_id, text)` relation — one-pass
+    * clustering (rep = min doc over each band bucket; not transitive). */
+  def minhashClusters(docs: DataFrame): DataFrame =
+    toClusters(docs,
+      bandsWithReps(docs).groupBy("doc_id").agg(min(col("band_rep")).as("rep")))
 
   /** Transitive-closure MinHash clustering: band buckets become star
     * edges (bucket-rep → member) and [[Components]] propagates min
@@ -230,18 +239,13 @@ object Text {
     * cluster even when A and C never share a bucket — the semantics a
     * real corpus dedup wants. */
   def minhashClustersClosure(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
-    val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
-    val edges = bands.join(reps, Seq("band", "band_sig"))
+    val edges = bandsWithReps(docs)
       .filter(col("doc_id") =!= col("band_rep"))
       .select(col("band_rep").as("src"), col("doc_id").as("dst"))
       .distinct()
     val comps = Components.connectedComponents(edges)
-    docs.select(col("doc_id"))
-      .join(comps, col("doc_id") === col("node"), "left")
-      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
-      .withColumn("is_dup", col("doc_id") =!= col("cluster_rep"))
-      .orderBy(col("doc_id"))
+      .select(col("node").as("doc_id"), col("comp").as("rep"))
+    toClusters(docs, comps)
   }
 
   /** 64-bit SimHash over the word bag: per-word xxhash64, each bit

@@ -15,6 +15,20 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("pointer jumping converges a 60-hop chain in ~log rounds") {
+    val edges = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges, maxIterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60 && got.values.forall(_ == 1L), s"chain must collapse: $got")
+  }
+
+  test("non-convergence fails loudly instead of returning split components") {
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(edges, maxIterations = 2)
+    }
+  }
+
   test("convergence within diameter; isolated self-edges stable") {
     val edges = Seq((5L, 5L)).toDF("src", "dst")
     val got = Components.connectedComponents(edges)

@@ -200,7 +200,42 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Statistical aggregate family (A5 extension): spread, dependence,
+    * shape, and interpolated median. skewness/kurtosis use population
+    * moments in Spark vs sample-corrected in DuckDB, so the oracle
+    * recomputes Spark's definition from raw moments. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(skewness(col("l_quantity")), 4).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"),
+        round(median(col("l_quantity")), 2).as("median_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Ordered collect family: collect_list/collect_set surface with a
+    * deterministic sort before join — per-nation supplier rosters,
+    * groups bounded by the dimension's cardinality (collect over an
+    * unbounded fact group would be the anti-pattern). Also argmax:
+    * max_by keyed on the unique s_suppkey. */
+  def aggCollect(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_supp"),
+        array_join(sort_array(collect_list(col("s_name"))), ",").as("roster"),
+        size(array_distinct(collect_list(col("s_nationkey").cast("int")))).as("n_distinct_nk"),
+        max_by(col("s_name"), col("s_suppkey")).as("latest_supplier"))
+      .orderBy(col("n_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_stats"         -> aggStats,
+    "q_agg_collect"       -> aggCollect,
     "q_agg_salted"        -> aggSalted,
     "q_agg_approx"        -> aggApprox,
     "q_pivot"             -> pivot,
@@ -222,6 +257,31 @@ object Relational {
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // Spark's skewness/kurtosis are population moments (m3/m2^1.5,
+    // m4/m2^2-3); DuckDB's are sample-corrected, so recompute from
+    // centered deltas.
+    "q_agg_stats" ->
+      """WITH m AS (SELECT l_returnflag AS rf, avg(l_quantity) AS mu
+                    FROM lineitem GROUP BY 1),
+         j AS (SELECT l_returnflag, l_quantity, l_extendedprice,
+                      l_quantity - mu AS dx
+               FROM lineitem JOIN m ON l_returnflag = rf)
+         SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(avg(dx*dx*dx) / pow(avg(dx*dx), 1.5), 4) AS skew_qty,
+           round(avg(dx*dx*dx*dx) / pow(avg(dx*dx), 2) - 3, 4) AS kurt_qty,
+           round(median(l_quantity), 2) AS median_qty
+         FROM j GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_collect" ->
+      """SELECT n_name, count(*) AS n_supp,
+         string_agg(s_name, ',' ORDER BY s_name) AS roster,
+         CAST(count(DISTINCT s_nationkey) AS INT) AS n_distinct_nk,
+         arg_max(s_name, s_suppkey) AS latest_supplier
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q_pivot" ->
       """SELECT user_id,
          count(*) FILTER (event_type = 'click') AS click,

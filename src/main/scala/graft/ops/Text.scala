@@ -88,6 +88,41 @@ object Text {
       .orderBy(col("da"), col("db"))
   }
 
+  /** IDF-filtered n-gram Jaccard (the at-scale variant of
+    * [[dedupNgram]]): shingles whose document frequency exceeds
+    * `maxDf` are dropped from the shingle UNIVERSE before any join —
+    * stop-shingles are what make shared-shingle candidate generation
+    * quadratic on real corpora (every doc shares "in the end" with
+    * every other). Jaccard is then exact over the filtered sets; the
+    * oracle applies the identical cap, so results stay
+    * hash-comparable. */
+  def dedupNgramIdf(s: SparkSession, d: String, maxDf: Int = 20): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        .as("g"))
+      .distinct()
+    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("g")
+    val fsh = sh.join(rare, "g")
+    val sizes = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = fsh.as("a").join(fsh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("inter"),
+        (col("inter") / (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.1)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Heuristic language ID (north star): marker-word scores with a
     * deterministic argmax. On the synthetic corpus everything is
     * English-ish word soup, so the operator mostly answers 'en' /
@@ -146,7 +181,8 @@ object Text {
       .select(col("doc_id"),
         size(words(col("text"))).as("n_ws_tokens"),
         ceil(col("n_chars") / lit(4.0)).cast("long").as("n_bpe_est"),
-        regexp_count(col("text"), lit("[aeiou]+")).as("n_vowel_runs"))
+        regexp_count(col("text"), lit("[aeiou]+")).as("n_vowel_runs"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).as("n_word_tokens"))
       .orderBy(col("doc_id"))
 
   /** Rolling-hash document fingerprint (north star): left fold of
@@ -314,6 +350,7 @@ object Text {
     "q_tfidf"         -> tfidf,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_ngram"   -> dedupNgram,
+    "q_dedup_ngram_idf" -> ((s: SparkSession, d: String) => dedupNgramIdf(s, d)),
     "q_lang_id"       -> langId,
     "q_text_quality"  -> textQuality,
     "q_token_count"   -> tokenCount,
@@ -369,6 +406,22 @@ object Text {
          FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
          ORDER BY da, db""",
+    "q_dedup_ngram_idf" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM docs),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+         rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY g)
+                  WHERE df <= 20),
+         fsh AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   FROM fsh a JOIN fsh b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT da, db, inter,
+                inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+         FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
+         ORDER BY da, db""",
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id, lang AS labeled_lang,
            CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS INT) AS s_en,
@@ -401,7 +454,8 @@ object Text {
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
          CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est,
-         CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs
+         CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_word_tokens
          FROM documents ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id,

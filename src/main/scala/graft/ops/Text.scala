@@ -123,6 +123,41 @@ object Text {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Feature-hashed document embeddings (the hashing trick): each
+    * word maps to one of 64 buckets via a polynomial character hash
+    * chosen to be expressible identically in any engine (fold of
+    * 31·acc + ascii(char) mod 1000003, then mod 64 — xxhash would be
+    * engine-specific); the document vector is the bucket-count
+    * histogram. Nested higher-order functions only — no explode, no
+    * shuffle: embedding generation is a narrow map, the shape that
+    * matters when the corpus is 100 TB. */
+  private def hashedVec(textCol: Column): Column = {
+    val buckets = transform(words(textCol), w =>
+      pmod(aggregate(split(w, ""), lit(0L),
+        (a, c) => (a * 31L + ascii(c)) % 1000003L), lit(64L)))
+    transform(sequence(lit(0), lit(63)), i =>
+      size(filter(buckets, b => b === i.cast("bigint"))).cast("double"))
+  }
+
+  def hashEmbed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), hashedVec(col("text")).as("vec"))
+      .orderBy(col("doc_id"))
+
+  /** Document similarity through the hashed vectors: cosine of every
+    * doc against the query document (doc 0), via the native
+    * cosine_sim expression; the query vector rides along as a 1-row
+    * broadcast, never collected. Text → vector → ANN in one plan. */
+  def docSim(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.documents(s, d).select(col("doc_id"), hashedVec(col("text")).as("vec"))
+    val query = vecs.filter(col("doc_id") === 0).select(col("vec").as("qvec"))
+    vecs.crossJoin(broadcast(query))
+      .select(col("doc_id"),
+        graft.functions.CosineSimilarity.cosineSim(col("vec"), col("qvec")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** Heuristic language ID (north star): marker-word scores with a
     * deterministic argmax. On the synthetic corpus everything is
     * English-ish word soup, so the operator mostly answers 'en' /
@@ -351,6 +386,8 @@ object Text {
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_ngram_idf" -> ((s: SparkSession, d: String) => dedupNgramIdf(s, d)),
+    "q_hash_embed"    -> hashEmbed,
+    "q_doc_sim"       -> docSim,
     "q_lang_id"       -> langId,
     "q_text_quality"  -> textQuality,
     "q_token_count"   -> tokenCount,
@@ -422,6 +459,32 @@ object Text {
          FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
          ORDER BY da, db""",
+    "q_hash_embed" ->
+      """WITH v AS (SELECT doc_id,
+           list_transform(range(0, 64), i ->
+             CAST(len(list_filter(
+               list_transform(string_split(text, ' '), w ->
+                 list_reduce(list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)), (a, v) -> (a * 31 + v) % 1000003)
+                   % 64),
+               b -> b = i)) AS DOUBLE)) AS vec
+           FROM documents)
+         SELECT doc_id, vec FROM v ORDER BY doc_id""",
+    "q_doc_sim" ->
+      """WITH v AS (SELECT doc_id,
+           list_transform(range(0, 64), i ->
+             CAST(len(list_filter(
+               list_transform(string_split(text, ' '), w ->
+                 list_reduce(list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)), (a, v) -> (a * 31 + v) % 1000003)
+                   % 64),
+               b -> b = i)) AS DOUBLE)) AS vec
+           FROM documents),
+         q AS (SELECT vec AS qvec FROM v WHERE doc_id = 0)
+         SELECT doc_id,
+           list_reduce(list_transform(range(1, 65), i -> vec[i] * qvec[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(vec, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(qvec, x -> x * x), (x, y) -> x + y))) AS cos
+         FROM v CROSS JOIN q
+         ORDER BY cos DESC, doc_id ASC LIMIT 20""",
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id, lang AS labeled_lang,
            CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and'))) AS INT) AS s_en,

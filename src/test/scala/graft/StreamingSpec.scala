@@ -124,6 +124,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed query restarts exactly-once from a file source") {
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("ckptsrc")
+    val outDir = java.nio.file.Files.createTempDirectory("ckptout").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v DOUBLE")
+
+    def writeBatch(name: String, ids: Range): Unit = {
+      import spark.implicits._
+      ids.map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/$name")
+    }
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$srcDir/*")
+      .withColumn("doubled", col("v") * 2)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    writeBatch("b1", 0 until 10)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(outDir).count() == 10)
+
+    // new data lands while no query is running; restart from checkpoint
+    writeBatch("b2", 10 until 25)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 25, "restart must process only the new batch, no dups")
+    assert(out.select(countDistinct(col("id"))).collect().head.getLong(0) == 25)
+  }
+
   test("session windows merge events within the gap, streaming") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]

@@ -50,7 +50,15 @@ object PageRank {
     * each eager `localCheckpoint` is a full materialization job, and
     * a 3-deep join/agg lineage replans cheaply — same recompute-bound
     * idea as C3, a third of the checkpoint cost. */
-  def run(edges: DataFrame, iterations: Int = 10, numPartitions: Int = 0): DataFrame = {
+  /** `broadcastRanks`: ship the rank vector to every executor each
+    * iteration instead of shuffling the (much larger) edge relation
+    * into a sort-merge join — localCheckpoint leaves ranks with an
+    * unknown size estimate, so Catalyst won't choose this on its own.
+    * Right when the node set is dimension-bounded (the harness graph:
+    * customers + suppliers); keep the default shuffle join for
+    * billion-node graphs where the vector doesn't fit an executor. */
+  def run(edges: DataFrame, iterations: Int = 10, numPartitions: Int = 0,
+      broadcastRanks: Boolean = false): DataFrame = {
     val laidOut =
       if (numPartitions > 0) edges.repartition(numPartitions, col("src"))
       else edges
@@ -63,8 +71,9 @@ object PageRank {
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("pr"))
     for (i <- 1 to iterations) {
+      val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
       val contribs = withDeg
-        .join(ranks, col("src") === col("node"))
+        .join(rankSide, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("contrib"))
       ranks = contribs.groupBy(col("dst"))
         .agg((lit(0.15) + lit(0.85) * sum(col("contrib"))).as("pr"))
@@ -94,7 +103,7 @@ object PageRank {
   }
 
   def pagerank(s: SparkSession, d: String): DataFrame =
-    run(starEdges(s, d), 10)
+    run(starEdges(s, d), 10, broadcastRanks = true)
       .select(col("node"), round(col("pr"), 6).as("pr"))
       .orderBy(col("node"))
 

@@ -131,17 +131,26 @@ object Text {
     * histogram. Nested higher-order functions only — no explode, no
     * shuffle: embedding generation is a narrow map, the shape that
     * matters when the corpus is 100 TB. */
-  private def hashedVec(textCol: Column): Column = {
-    val buckets = transform(words(textCol), w =>
-      pmod(aggregate(split(w, ""), lit(0L),
-        (a, c) => (a * 31L + ascii(c)) % 1000003L), lit(64L)))
-    transform(sequence(lit(0), lit(63)), i =>
-      size(filter(buckets, b => b === i.cast("bigint"))).cast("double"))
-  }
+  /** Histogram as ONE fold over the bucket array. The tempting shape —
+    * `transform(sequence(0,63), i -> size(filter(buckets, _ === i)))` —
+    * re-evaluates the bucket-hash expression for every output dim even
+    * when `buckets` is a named column (a lambda body re-evaluates its
+    * captured expression per element, and CollapseProject inlines
+    * single-textual-reference columns): that shape benched at 34 s for
+    * 5000 docs. `aggregate` evaluates its input array exactly once and
+    * folds counts into a 64-slot accumulator. */
+  private def withHashedVec(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("buckets", transform(words(col("text")), w =>
+        pmod(aggregate(split(w, ""), lit(0L),
+          (a, c) => (a * 31L + ascii(c)) % 1000003L), lit(64L)).cast("int")))
+      .withColumn("vec",
+        aggregate(col("buckets"), array_repeat(lit(0.0), 64),
+          (acc, b) => transform(acc, (v, j) => when(j === b, v + 1.0).otherwise(v))))
 
   def hashEmbed(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), hashedVec(col("text")).as("vec"))
+    withHashedVec(Tables.documents(s, d))
+      .select(col("doc_id"), col("vec"))
       .orderBy(col("doc_id"))
 
   /** Document similarity through the hashed vectors: cosine of every
@@ -149,7 +158,7 @@ object Text {
     * cosine_sim expression; the query vector rides along as a 1-row
     * broadcast, never collected. Text → vector → ANN in one plan. */
   def docSim(s: SparkSession, d: String): DataFrame = {
-    val vecs = Tables.documents(s, d).select(col("doc_id"), hashedVec(col("text")).as("vec"))
+    val vecs = withHashedVec(Tables.documents(s, d)).select(col("doc_id"), col("vec"))
     val query = vecs.filter(col("doc_id") === 0).select(col("vec").as("qvec"))
     vecs.crossJoin(broadcast(query))
       .select(col("doc_id"),

@@ -28,6 +28,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 6) // duplicate rows survive (sort, not dedup)
   }
 
+  test("orc round-trip preserves schema and values") {
+    val out = Files.createTempDirectory("orc").toString + "/li"
+    val src = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.agg(sum(col("l_quantity"))).collect().head.getDouble(0) ==
+      src.agg(sum(col("l_quantity"))).collect().head.getDouble(0))
+  }
+
   test("ArrayMean aggregator matches the hand-computed gradient mean") {
     val grads = spark.read.json(getClass.getResource("/grads_tiny.json").getPath)
       .select(col("worker_id"), col("param_id"), col("grad").cast("array<double>").as("grad"))

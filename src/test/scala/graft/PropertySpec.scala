@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+
+/** Property-based invariants (SURVEY.md §5.3), driven with ScalaCheck
+  * directly (the scalatest-plus bridge isn't in the offline cache):
+  * each property runs against small generated datasets through the
+  * real operators. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 5): Unit = {
+    val res = SchkTest.check(
+      SchkTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val wordGen = Gen.oneOf("the", "fast", "sort", "merge", "join",
+    "scan", "hash", "row", "batch", "key")
+  private val docGen = for {
+    n <- Gen.choose(3, 30)
+    ws <- Gen.listOfN(n, wordGen)
+  } yield ws.mkString(" ")
+
+  test("global sort is a permutation: multiset of rows is preserved") {
+    check(Prop.forAll(Gen.listOfN(30, Gen.choose(0L, 5L).flatMap(u =>
+      Gen.choose(0L, 1000L).map(t => (u, t))))) { rows =>
+      val df = rows.toDF("user_id", "ts")
+      val sorted = df.orderBy(col("user_id"), col("ts")).collect()
+      sorted.length == rows.length &&
+        sorted.map(r => (r.getLong(0), r.getLong(1))).sorted.sameElements(rows.sorted) &&
+        sorted.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+          rows.sorted.toSeq // fully sorted output
+    })
+  }
+
+  test("exact dedup is idempotent and keeps one row per distinct text") {
+    check(Prop.forAll(Gen.listOfN(12, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = docs.groupBy(sha2(col("text"), 256).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val twice = once.groupBy(col("fp")).agg(min(col("keep_id")).as("keep_id"))
+      once.count() == texts.distinct.length && twice.count() == once.count()
+    })
+  }
+
+  test("tumbling window counts sum to the plain count") {
+    check(Prop.forAll(Gen.listOfN(25, for {
+      h <- Gen.choose(0, 5); m <- Gen.choose(0, 59)
+      et <- Gen.oneOf("click", "view")
+    } yield (java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"), et, 1.0))) { rows =>
+      val events = rows.toDF("ts", "event_type", "value")
+      val windowed = Streaming.tumblingCounts(events)
+      windowed.agg(sum(col("n"))).collect().head.getLong(0) == rows.length
+    })
+  }
+
+  test("minhash: a document always clusters with its exact copy") {
+    check(Prop.forAll(docGen, docGen) { (t1, t2) =>
+      val docs = Seq((1L, t1), (2L, t1), (3L, t2 + " unique tail words here"))
+        .toDF("doc_id", "text")
+      val out = Text2.clusters(docs)
+      out(2L) == 1L && out(1L) == 1L
+    }, n = 4)
+  }
+
+  private object Text2 {
+    def clusters(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.ops.Text.minhashClusters(docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+}

@@ -28,6 +28,42 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 6) // duplicate rows survive (sort, not dedup)
   }
 
+  test("hive-style partitioned write prunes partitions on read") {
+    val out = Files.createTempDirectory("part").toString + "/docs"
+    Tables.documents(spark, sf0001)
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    val en = back.filter(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    // pruned read returns exactly the en rows
+    val expected = Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en").count()
+    assert(en.count() == expected)
+    // partition column survives the round-trip
+    assert(back.columns.contains("lang"))
+  }
+
+  test("mergeSchema unions evolved parquet schemas") {
+    val dir = Files.createTempDirectory("evolve").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
+    Seq((2L, 3.5)).toDF("id", "v2").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "p"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("v2").isNotNull).count() == 1)
+  }
+
+  test("compression codecs round-trip (zstd, snappy)") {
+    for (codec <- Seq("zstd", "snappy")) {
+      val out = Files.createTempDirectory(s"codec$codec").toString + "/t"
+      Tables.region(spark, sf0001).write
+        .option("compression", codec).mode("overwrite").parquet(out)
+      assert(spark.read.parquet(out).count() == 5)
+    }
+  }
+
   test("orc round-trip preserves schema and values") {
     val out = Files.createTempDirectory("orc").toString + "/li"
     val src = Tables.lineitem(spark, sf0001)

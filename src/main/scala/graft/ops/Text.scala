@@ -60,66 +60,61 @@ object Text {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** N-gram Jaccard near-dup (T3/J7): distinct 3-word shingles,
-    * shared-shingle candidate pairs, exact Jaccard ≥ 0.1. */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  /** Oracle-coupled constant: the IDF cap used by BOTH the Spark
+    * query and its DuckDB oracle (interpolated into the SQL). */
+  val NgramMaxDf = 20
+
+  /** Distinct 3-word shingles per document. Docs under 3 words yield
+    * none; without the guard sequence(1, size-2) runs DESCENDING into
+    * element_at(ws, 0), which throws. */
+  private def docShingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words(col("text")).as("ws"))
-      // <3 words → no shingles; without the guard sequence(1, size-2)
-      // runs DESCENDING into element_at(ws, 0), which throws
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 2), i -> " +
           "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
         .as("g"))
       .distinct()
+
+  /** Shared-shingle candidate pairs with exact Jaccard:
+    * `(da, db, inter, na, nb, jac)`, jac ≥ `minJac`. */
+  private def jaccardPairs(sh: DataFrame, minJac: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-    pairs
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .select(col("da"), col("db"), col("inter"),
-        (col("na") + col("nb") - col("inter")).as("uni"),
-        (col("inter") / (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
-      .filter(col("jac") >= 0.1)
-      .orderBy(col("da"), col("db"))
+      .withColumn("jac",
+        col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= minJac)
   }
+
+  /** N-gram Jaccard near-dup (T3/J7): distinct 3-word shingles,
+    * shared-shingle candidate pairs, exact Jaccard ≥ 0.1. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(docShingles(Tables.documents(s, d)), 0.1)
+      .select(col("da"), col("db"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"), col("jac"))
+      .orderBy(col("da"), col("db"))
 
   /** IDF-filtered n-gram Jaccard (the at-scale variant of
     * [[dedupNgram]]): shingles whose document frequency exceeds
-    * `maxDf` are dropped from the shingle UNIVERSE before any join —
-    * stop-shingles are what make shared-shingle candidate generation
-    * quadratic on real corpora (every doc shares "in the end" with
-    * every other). Jaccard is then exact over the filtered sets; the
-    * oracle applies the identical cap, so results stay
+    * [[NgramMaxDf]] are dropped from the shingle UNIVERSE before any
+    * join — stop-shingles are what make shared-shingle candidate
+    * generation quadratic on real corpora (every doc shares "in the
+    * end" with every other). Jaccard is then exact over the filtered
+    * sets; the oracle interpolates the same cap, so results stay
     * hash-comparable. */
-  def dedupNgramIdf(s: SparkSession, d: String, maxDf: Int = 20): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 2), i -> " +
-          "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
-        .as("g"))
-      .distinct()
+  def dedupNgramIdf(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(Tables.documents(s, d))
     val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") <= NgramMaxDf)
       .select("g")
-    val fsh = sh.join(rare, "g")
-    val sizes = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = fsh.as("a").join(fsh.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .select(col("da"), col("db"), col("inter"),
-        (col("inter") / (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
-      .filter(col("jac") >= 0.1)
+    jaccardPairs(sh.join(rare, "g"), 0.1)
+      .select(col("da"), col("db"), col("inter"), col("jac"))
       .orderBy(col("da"), col("db"))
   }
 
@@ -394,7 +389,7 @@ object Text {
     "q_tfidf"         -> tfidf,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_ngram"   -> dedupNgram,
-    "q_dedup_ngram_idf" -> ((s: SparkSession, d: String) => dedupNgramIdf(s, d)),
+    "q_dedup_ngram_idf" -> dedupNgramIdf,
     "q_hash_embed"    -> hashEmbed,
     "q_doc_sim"       -> docSim,
     "q_lang_id"       -> langId,
@@ -406,6 +401,23 @@ object Text {
       minhashClustersClosure(Tables.documents(s, d))),
     "q_dedup_simhash" -> dedupSimhash,
   )
+
+  /** Shared oracle CTE fragments — single source for SQL that appears
+    * in multiple oracles (same pattern as PageRank's unrolled CTE). */
+  private val shinglesCte =
+    """docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM docs),
+       sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx)"""
+
+  private val hashedVecCte =
+    """v AS (SELECT doc_id,
+         list_transform(range(0, 64), i ->
+           CAST(len(list_filter(
+             list_transform(string_split(text, ' '), w ->
+               list_reduce(list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)), (a, v) -> (a * 31 + v) % 1000003)
+                 % 64),
+             b -> b = i)) AS DOUBLE)) AS vec
+         FROM documents)"""
 
   val oracles: Map[String, String] = Map(
     "q_pipeline_prep" ->
@@ -440,9 +452,7 @@ object Text {
       """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
     "q_dedup_ngram" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM docs),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      s"""WITH $shinglesCte,
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
                    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -453,11 +463,9 @@ object Text {
          WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
          ORDER BY da, db""",
     "q_dedup_ngram_idf" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM docs),
-         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+      s"""WITH $shinglesCte,
          rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY g)
-                  WHERE df <= 20),
+                  WHERE df <= $NgramMaxDf),
          fsh AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
          sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
@@ -469,24 +477,10 @@ object Text {
          WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
          ORDER BY da, db""",
     "q_hash_embed" ->
-      """WITH v AS (SELECT doc_id,
-           list_transform(range(0, 64), i ->
-             CAST(len(list_filter(
-               list_transform(string_split(text, ' '), w ->
-                 list_reduce(list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)), (a, v) -> (a * 31 + v) % 1000003)
-                   % 64),
-               b -> b = i)) AS DOUBLE)) AS vec
-           FROM documents)
+      s"""WITH $hashedVecCte
          SELECT doc_id, vec FROM v ORDER BY doc_id""",
     "q_doc_sim" ->
-      """WITH v AS (SELECT doc_id,
-           list_transform(range(0, 64), i ->
-             CAST(len(list_filter(
-               list_transform(string_split(text, ' '), w ->
-                 list_reduce(list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)), (a, v) -> (a * 31 + v) % 1000003)
-                   % 64),
-               b -> b = i)) AS DOUBLE)) AS vec
-           FROM documents),
+      s"""WITH $hashedVecCte,
          q AS (SELECT vec AS qvec FROM v WHERE doc_id = 0)
          SELECT doc_id,
            list_reduce(list_transform(range(1, 65), i -> vec[i] * qvec[i]), (x, y) -> x + y)

@@ -29,10 +29,8 @@ class PropertySpec extends SparkSpec {
       Gen.choose(0L, 1000L).map(t => (u, t))))) { rows =>
       val df = rows.toDF("user_id", "ts")
       val sorted = df.orderBy(col("user_id"), col("ts")).collect()
-      sorted.length == rows.length &&
-        sorted.map(r => (r.getLong(0), r.getLong(1))).sorted.sameElements(rows.sorted) &&
-        sorted.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
-          rows.sorted.toSeq // fully sorted output
+      // full equality with rows.sorted implies permutation + total order
+      sorted.map(r => (r.getLong(0), r.getLong(1))).toSeq == rows.sorted.toSeq
     })
   }
 
@@ -62,14 +60,9 @@ class PropertySpec extends SparkSpec {
     check(Prop.forAll(docGen, docGen) { (t1, t2) =>
       val docs = Seq((1L, t1), (2L, t1), (3L, t2 + " unique tail words here"))
         .toDF("doc_id", "text")
-      val out = Text2.clusters(docs)
+      val out = graft.ops.Text.minhashClusters(docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       out(2L) == 1L && out(1L) == 1L
     }, n = 4)
-  }
-
-  private object Text2 {
-    def clusters(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-      graft.ops.Text.minhashClusters(docs)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 }

@@ -60,6 +60,9 @@ class SourcesSpec extends SparkSpec {
       val out = Files.createTempDirectory(s"codec$codec").toString + "/t"
       Tables.region(spark, sf0001).write
         .option("compression", codec).mode("overwrite").parquet(out)
+      // the codec must actually be applied, not silently defaulted
+      val files = new java.io.File(out).listFiles().map(_.getName)
+      assert(files.exists(_.endsWith(s".$codec.parquet")), files.mkString(","))
       assert(spark.read.parquet(out).count() == 5)
     }
   }

@@ -36,8 +36,31 @@ object AllReduce {
       .orderBy(col("pos"))
   }
 
+  /** The typed-UDAF rendering of the same dataflow: per-worker
+    * element-wise mean via [[graft.functions.ArrayMean]] (whole arrays
+    * in the aggregation buffer, merged associatively — partial→final
+    * like a combiner), then exploded for the oracle compare. The two
+    * renderings bracket the design space: array-buffer wins for few
+    * groups × long vectors, the posexplode form for huge group
+    * counts. */
+  def gradAllreduceTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.embeddings(s, d)
+      .select(pmod(col("vec_id"), lit(4L)).as("worker"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])]
+    ds.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.ArrayMean.toColumn.name("mean_vec"))
+      .toDF("worker", "mean_vec")
+      .select(col("worker"), posexplode(col("mean_vec")))
+      .toDF("worker", "pos0", "g")
+      .select(col("worker"), (col("pos0") + 1).as("pos"), round(col("g"), 6).as("grad_mean"))
+      .orderBy(col("worker"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_grad_allreduce" -> gradAllreduce,
+    "q_grad_allreduce_typed" -> gradAllreduceTyped,
   )
 
   val oracles: Map[String, String] = Map(
@@ -50,5 +73,12 @@ object AllReduce {
          SELECT pos, count(*) AS n_workers,
                 round(sum(wsum) / count(*), 6) AS grad_mean
          FROM wsums GROUP BY pos ORDER BY pos""",
+    "q_grad_allreduce_typed" ->
+      """WITH shards AS (
+           SELECT vec_id % 4 AS worker, unnest(range(1, 65)) AS pos, embedding
+           FROM embeddings)
+         SELECT worker, pos,
+                round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS grad_mean
+         FROM shards GROUP BY worker, pos ORDER BY worker, pos""",
   )
 }

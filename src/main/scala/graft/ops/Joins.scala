@@ -100,7 +100,21 @@ object Joins {
       .orderBy(col("purchase_id"))
   }
 
+  /** As-of join with a lookback tolerance (J6 variant): matches
+    * further back than 2 hours are discarded — the `tolerance`
+    * parameter of real as-of APIs, rendered as a post-window filter
+    * on the matched timestamp (still one shuffle + one sort). */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame =
+    joinAsof(s, d)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        when(col("matched_click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS"),
+          col("matched_click_ts")).as("matched_click_ts"),
+        when(col("matched_click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS"),
+          col("matched_click_id")).as("matched_click_id"))
+      .orderBy(col("purchase_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_tol" -> joinAsofTolerance,
     "q_join_outer" -> joinOuter,
     "q_join_semi"  -> joinSemi,
     "q_join_anti"  -> joinAnti,
@@ -109,6 +123,26 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_join_asof_tol" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 1 AS is_click, ts AS click_ts, event_id AS click_id
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts, event_id, 0 AS is_click, NULL::TIMESTAMP AS click_ts,
+                  NULL::BIGINT AS click_id
+           FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT *,
+             last_value(click_ts IGNORE NULLS) OVER w AS mts,
+             last_value(click_id IGNORE NULLS) OVER w AS mid
+           FROM u
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts ASC, is_click DESC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                CASE WHEN mts >= ts - INTERVAL 2 HOUR THEN mts END AS matched_click_ts,
+                CASE WHEN mts >= ts - INTERVAL 2 HOUR THEN mid END AS matched_click_id
+         FROM m WHERE is_click = 0 ORDER BY purchase_id""",
     "q_join_outer" ->
       """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
          round(coalesce(sum(o_totalprice), 0.0), 2) AS sum_price

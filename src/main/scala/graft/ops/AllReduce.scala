@@ -68,16 +68,16 @@ object AllReduce {
       """WITH shards AS (
            SELECT vec_id % 4 AS worker, unnest(range(1, 65)) AS pos, embedding
            FROM embeddings),
-         vals AS (SELECT worker, pos, CAST(embedding[pos] AS DOUBLE) AS g FROM shards),
+         vals AS (SELECT worker, CAST(pos AS INT) AS pos, CAST(embedding[pos] AS DOUBLE) AS g FROM shards),
          wsums AS (SELECT worker, pos, sum(g) AS wsum FROM vals GROUP BY worker, pos)
-         SELECT pos, count(*) AS n_workers,
+         SELECT CAST(pos AS INT) AS pos, count(*) AS n_workers,
                 round(sum(wsum) / count(*), 6) AS grad_mean
          FROM wsums GROUP BY pos ORDER BY pos""",
     "q_grad_allreduce_typed" ->
       """WITH shards AS (
            SELECT vec_id % 4 AS worker, unnest(range(1, 65)) AS pos, embedding
            FROM embeddings)
-         SELECT worker, pos,
+         SELECT worker, CAST(pos AS INT) AS pos,
                 round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS grad_mean
          FROM shards GROUP BY worker, pos ORDER BY worker, pos""",
   )

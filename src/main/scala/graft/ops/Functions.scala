@@ -243,7 +243,7 @@ object Functions {
          ORDER BY c_custkey, big_or_zero""",
     "q_window_dist" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
-         ntile(4) OVER w AS quartile,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
          percent_rank() OVER w AS pct_rank,
          cume_dist() OVER w AS cume,
          first_value(o_orderkey) OVER (PARTITION BY o_custkey
@@ -288,7 +288,7 @@ object Functions {
       """SELECT p_partkey,
          lower(p_name) AS name_lower,
          upper(p_brand) AS brand_upper,
-         length(p_name) AS name_len,
+         CAST(length(p_name) AS INT) AS name_len,
          substring(p_name, 1, 8) AS name_prefix,
          concat_ws('|', p_brand, p_type) AS brand_type,
          string_split(p_name, ' ') AS name_words,

@@ -154,7 +154,7 @@ object Multimodal {
     // (q_multimodal_features) is stub-backed and golden-tested instead.
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
-         octet_length(encode(text)) AS n_bytes,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
          sha256(text) AS content_hash,
          CAST(64 + n_chars % 640 AS INT) AS width,
          CAST(64 + (n_chars * 7) % 480 AS INT) AS height,

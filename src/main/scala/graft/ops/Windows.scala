@@ -102,10 +102,10 @@ object Windows {
     "q_window_rank" ->
       """SELECT * FROM (
            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
-             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
-             dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn,
+             CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS rnk,
+             CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS drnk
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_window_running" ->

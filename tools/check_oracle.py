@@ -44,10 +44,12 @@ def main(sf_dir, out_dir):
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
+            got_types = dict(zip(got.columns, [str(t) for t in got.types]))
             got_rows = con.sql(
                 f"SELECT {', '.join(got_cols)} FROM got").fetchall()
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
+            exp_types = dict(zip(exp.columns, [str(t) for t in exp.types]))
             exp_rows = con.sql(
                 f"SELECT {', '.join(exp_cols)} FROM exp").fetchall()
         except Exception as e:
@@ -58,6 +60,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             failures += 1
             continue
+        mismatched = [c for c in got_cols if got_types[c] != exp_types[c]]
+        if mismatched:
+            # dtype drift is a warning: the driver may or may not be
+            # strict, but aligned types are always safer
+            detail = {c: (got_types[c], exp_types[c]) for c in mismatched}
+            print(f"WARN {name}: dtype mismatch {detail}")
         if len(got_rows) != len(exp_rows):
             print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}")
             failures += 1

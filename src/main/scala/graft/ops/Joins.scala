@@ -56,8 +56,12 @@ object Joins {
     * (hash/SMJ partitioned by user); the time band is a residual
     * predicate, so candidate pairs are bounded by per-user activity,
     * not |events|² — the property that keeps this viable at 100 TB. */
-  def joinRange(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def joinRange(s: SparkSession, d: String): DataFrame =
+    rangeCore(Tables.events(s, d))
+
+  /** Core band join over any events relation (testable with synthetic
+    * timestamps). */
+  def rangeCore(ev: DataFrame): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
     val buys = ev.filter(col("event_type") === "purchase")
@@ -78,8 +82,11 @@ object Joins {
     * per-user window — one shuffle + one sort, linear in |events|.
     * Clicks sort before purchases on timestamp ties (`is_click` desc)
     * so a same-instant click matches, mirroring `<=` semantics. */
-  def joinAsof(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  def joinAsof(s: SparkSession, d: String): DataFrame =
+    asofCore(Tables.events(s, d))
+
+  /** Core as-of join over any events relation. */
+  def asofCore(ev: DataFrame): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"),
         lit(1).as("is_click"), col("ts").as("click_ts"),

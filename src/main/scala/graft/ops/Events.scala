@@ -57,13 +57,14 @@ object Events {
       """SELECT event_id, ts, user_id, event_type FROM events
          ORDER BY event_id""",
     // Gaps-and-islands: a new session starts when the gap since the
-    // previous event of the same user is >= 30 minutes; session end =
-    // last event + gap (session_window semantics).
+    // previous event of the same user STRICTLY exceeds 30 minutes (an
+    // event at exactly gap distance merges — session_window
+    // semantics); session end = last event + gap.
     "q_stream_session" ->
       """WITH marked AS (
            SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS brk
            FROM events),

@@ -36,7 +36,10 @@ object Streaming {
 
   /** Per-user session windows with a 30-minute inactivity gap (ST3).
     * Session end = last event + gap (Spark's session_window
-    * semantics); a gap of exactly 30 minutes starts a new session. */
+    * semantics); an event at EXACTLY gap distance still merges —
+    * sessions split only when the gap strictly exceeds 30 minutes
+    * (pinned by StreamingSpec's boundary test; the DuckDB oracle's
+    * break predicate is `>`, not `>=`). */
   def sessionize(events: DataFrame): DataFrame =
     events
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -93,7 +96,9 @@ object Streaming {
             it.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
               buf = buf match {
-                case Some(b) if t - b.lastTs < gapMs =>
+                // <= : an event at exactly gap distance merges, matching
+                // session_window (see the boundary spec)
+                case Some(b) if t - b.lastTs <= gapMs =>
                   Some(SessionBuf(b.start, math.max(b.lastTs, t), b.n + 1, b.sum + e.value))
                 case Some(b) =>
                   out += emit(b)

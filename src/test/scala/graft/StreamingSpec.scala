@@ -124,6 +124,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session gap boundary: exactly 30 minutes merges, beyond splits") {
+    import spark.implicits._
+    def sessionsFor(gapTs: String): Long =
+      Streaming.sessionize(Seq(
+        (t("2024-01-01 10:00:00"), 7L, 1.0),
+        (t(gapTs), 7L, 1.0)).toDF("ts", "user_id", "value"))
+        .count()
+    assert(sessionsFor("2024-01-01 10:30:00") == 1L, "gap == 30min: still merges")
+    assert(sessionsFor("2024-01-01 10:30:01") == 2L, "gap > 30min: new session")
+  }
+
+  test("moving-average RANGE frame includes the row exactly 24h back") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:00"), 10.0),
+      (2L, t("2024-01-02 00:00:00"), 20.0),   // exactly 24h later: in frame
+      (3L, t("2024-01-02 00:00:01"), 30.0))   // 24h+1s after row 1: row 1 out
+      .toDF("event_id", "ts", "value").withColumn("user_id", lit(1L))
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-86400000000L, 0L)
+    val avgs = rows.withColumn("m", round(sum(col("value")).over(w), 2) / count(col("value")).over(w))
+      .orderBy("event_id").collect().map(_.getAs[Double]("m"))
+    assert(avgs(1) == 15.0, s"24h-back row must be in frame: ${avgs.toSeq}")
+    assert(avgs(2) == 25.0, s"row beyond 24h must be excluded: ${avgs.toSeq}")
+  }
+
   test("checkpointed query restarts exactly-once from a file source") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("ckptsrc")

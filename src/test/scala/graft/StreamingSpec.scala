@@ -135,6 +135,24 @@ class StreamingSpec extends SparkSpec {
     assert(sessionsFor("2024-01-01 10:30:01") == 2L, "gap > 30min: new session")
   }
 
+  test("window boundaries are start-inclusive, end-exclusive") {
+    import spark.implicits._
+    // tumbling: an event exactly on the hour belongs to ITS hour
+    val tumb = Streaming.tumblingCounts(Seq(
+      (t("2024-01-01 11:00:00"), "click", 1.0)).toDF("ts", "event_type", "value"))
+      .collect()
+    assert(tumb.length == 1 &&
+      tumb.head.getAs[java.sql.Timestamp]("ws") == t("2024-01-01 11:00:00"))
+    // sliding 1h/15m: an event on the slide grid lands in exactly 4
+    // windows, the newest starting at its own timestamp
+    val slid = Streaming.slidingCounts(Seq(
+      (t("2024-01-01 11:00:00"), "click", 1.0)).toDF("ts", "event_type", "value"))
+      .collect().map(_.getAs[java.sql.Timestamp]("ws")).sortBy(_.getTime)
+    assert(slid.length == 4, slid.mkString(";"))
+    assert(slid.head == t("2024-01-01 10:15:00")) // 10:00 window excluded (end == ts)
+    assert(slid.last == t("2024-01-01 11:00:00"))
+  }
+
   test("moving-average RANGE frame includes the row exactly 24h back") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

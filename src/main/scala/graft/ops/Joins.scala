@@ -111,14 +111,14 @@ object Joins {
     * further back than 2 hours are discarded — the `tolerance`
     * parameter of real as-of APIs, rendered as a post-window filter
     * on the matched timestamp (still one shuffle + one sort). */
-  def joinAsofTolerance(s: SparkSession, d: String): DataFrame =
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val within = col("matched_click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS")
     joinAsof(s, d)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
-        when(col("matched_click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS"),
-          col("matched_click_ts")).as("matched_click_ts"),
-        when(col("matched_click_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS"),
-          col("matched_click_id")).as("matched_click_id"))
+        when(within, col("matched_click_ts")).as("matched_click_ts"),
+        when(within, col("matched_click_id")).as("matched_click_id"))
       .orderBy(col("purchase_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_asof_tol" -> joinAsofTolerance,
@@ -129,9 +129,10 @@ object Joins {
     "q_join_asof"  -> joinAsof,
   )
 
-  val oracles: Map[String, String] = Map(
-    "q_join_asof_tol" ->
-      """WITH u AS (
+  /** Shared oracle CTE: the as-of union + ordered window (tie-break
+    * ORDER BY ts, is_click DESC, event_id) used by both as-of oracles. */
+  private val asofCte =
+    """u AS (
            SELECT user_id, ts, event_id, 1 AS is_click, ts AS click_ts, event_id AS click_id
            FROM events WHERE event_type = 'click'
            UNION ALL
@@ -145,7 +146,11 @@ object Joins {
            FROM u
            WINDOW w AS (PARTITION BY user_id
                         ORDER BY ts ASC, is_click DESC, event_id ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+
+  val oracles: Map[String, String] = Map(
+    "q_join_asof_tol" ->
+      s"""WITH $asofCte
          SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
                 CASE WHEN mts >= ts - INTERVAL 2 HOUR THEN mts END AS matched_click_ts,
                 CASE WHEN mts >= ts - INTERVAL 2 HOUR THEN mid END AS matched_click_id
@@ -175,23 +180,9 @@ object Joins {
          WHERE c.event_type = 'click' AND b.event_type = 'purchase'
          ORDER BY click_id, purchase_id""",
     "q_join_asof" ->
-      """WITH u AS (
-           SELECT user_id, ts, event_id, 1 AS is_click, ts AS click_ts, event_id AS click_id
-           FROM events WHERE event_type = 'click'
-           UNION ALL
-           SELECT user_id, ts, event_id, 0 AS is_click, NULL::TIMESTAMP AS click_ts,
-                  NULL::BIGINT AS click_id
-           FROM events WHERE event_type = 'purchase'),
-         m AS (
-           SELECT *,
-             last_value(click_ts IGNORE NULLS) OVER w AS matched_click_ts,
-             last_value(click_id IGNORE NULLS) OVER w AS matched_click_id
-           FROM u
-           WINDOW w AS (PARTITION BY user_id
-                        ORDER BY ts ASC, is_click DESC, event_id ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      s"""WITH $asofCte
          SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-                matched_click_ts, matched_click_id
+                mts AS matched_click_ts, mid AS matched_click_id
          FROM m WHERE is_click = 0 ORDER BY purchase_id""",
   )
 }

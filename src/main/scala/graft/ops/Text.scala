@@ -136,9 +136,13 @@ object Text {
     * folds counts into a 64-slot accumulator. */
   private def withHashedVec(docs: DataFrame): DataFrame =
     docs
-      .withColumn("buckets", transform(words(col("text")), w =>
-        pmod(aggregate(split(w, ""), lit(0L),
-          (a, c) => (a * 31L + ascii(c)) % 1000003L), lit(64L)).cast("int")))
+      // empty tokens (double spaces) are dropped BEFORE hashing: Spark
+      // would fold them to bucket 0 while DuckDB's init-less
+      // list_reduce errors on the empty char list
+      .withColumn("buckets",
+        transform(filter(words(col("text")), w => w =!= ""), w =>
+          pmod(aggregate(split(w, ""), lit(0L),
+            (a, c) => (a * 31L + ascii(c)) % 1000003L), lit(64L)).cast("int")))
       .withColumn("vec",
         aggregate(col("buckets"), array_repeat(lit(0.0), 64),
           (acc, b) => transform(acc, (v, j) => when(j === b, v + 1.0).otherwise(v))))
@@ -413,7 +417,7 @@ object Text {
     """v AS (SELECT doc_id,
          list_transform(range(0, 64), i ->
            CAST(len(list_filter(
-             list_transform(string_split(text, ' '), w ->
+             list_transform(list_filter(string_split(text, ' '), w -> w != ''), w ->
                list_reduce(list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)), (a, v) -> (a * 31 + v) % 1000003)
                  % 64),
              b -> b = i)) AS DOUBLE)) AS vec

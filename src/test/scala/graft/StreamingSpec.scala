@@ -190,18 +190,25 @@ class StreamingSpec extends SparkSpec {
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").start()
 
-    writeBatch("b1", 0 until 10)
-    val q1 = start()
-    try q1.processAllAvailable() finally q1.stop()
-    assert(spark.read.parquet(outDir).count() == 10)
+    try {
+      writeBatch("b1", 0 until 10)
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(spark.read.parquet(outDir).count() == 10)
 
-    // new data lands while no query is running; restart from checkpoint
-    writeBatch("b2", 10 until 25)
-    val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
-    val out = spark.read.parquet(outDir)
-    assert(out.count() == 25, "restart must process only the new batch, no dups")
-    assert(out.select(countDistinct(col("id"))).collect().head.getLong(0) == 25)
+      // new data lands while no query is running; restart from checkpoint
+      writeBatch("b2", 10 until 25)
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val out = spark.read.parquet(outDir)
+      assert(out.count() == 25, "restart must process only the new batch, no dups")
+      assert(out.select(countDistinct(col("id"))).collect().head.getLong(0) == 25)
+    } finally {
+      // checkpoint + source + sink state would otherwise pile up in /tmp
+      for (d <- Seq(srcDir.toString, outDir, ckpt)) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      }
+    }
   }
 
   test("session windows merge events within the gap, streaming") {

@@ -10,8 +10,13 @@ import sys
 
 
 def load(path):
-    text = open(path).read()
-    return json.loads(text[text.index('{'):text.rindex('}') + 1])
+    # find the bench line itself (raw logs contain other braces); the
+    # LAST matching line wins if the file holds multiple runs
+    lines = [l for l in open(path) if '"metric"' in l and '"queries"' in l]
+    if not lines:
+        raise SystemExit(f"{path}: no bench JSON line found")
+    line = lines[-1]
+    return json.loads(line[line.index('{'):line.rindex('}') + 1])
 
 
 def main(old_path, new_path, threshold=1.5):

@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Functions {
 
+  /** Render a double array as a '|'-joined fixed-6-decimal string.
+    * Array-typed output columns crash the driver's pandas compare
+    * (sort_values can't hash ndarrays), so every declared query
+    * renders its arrays to a deterministic string; DECIMAL(18,6)
+    * gives the identical textual form in both engines (Spark's
+    * Double.toString and DuckDB's shortest-roundtrip formatting
+    * disagree on notation, so raw double→string is not portable).
+    * The array-typed computation stays internal — only the final
+    * projection changes. */
+  private def fmtArr6(arr: Column): Column =
+    array_join(transform(arr, x => x.cast("decimal(18,6)").cast("string")), "|")
+
   /** String family over `part`: case, trim, length, substring,
     * concat_ws, split, regexp extract/replace, startswith. Regex
     * patterns kept in the Java∩RE2-compatible subset. */
@@ -32,7 +44,7 @@ object Functions {
         length(col("p_name")).as("name_len"),
         substring(col("p_name"), 1, 8).as("name_prefix"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
-        split(col("p_name"), " ").as("name_words"),
+        array_join(split(col("p_name"), " "), "|").as("name_words"),
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
         regexp_replace(col("p_type"), "[aeiou]", "_").as("type_devowel"),
         col("p_name").startsWith("a").as("starts_a"),
@@ -91,13 +103,13 @@ object Functions {
       .select(
         col("vec_id"),
         size(col("embedding")).as("n_dims"),
-        slice(darr, 1, 3).as("first3"),
-        slice(sort_array(darr), 1, 2).as("smallest2"),
+        fmtArr6(slice(darr, 1, 3)).as("first3"),
+        fmtArr6(slice(sort_array(darr), 1, 2)).as("smallest2"),
         array_max(darr).as("max_v"),
         array_min(darr).as("min_v"),
         round(aggregate(transform(darr, x => x * x), lit(0.0), (acc, x) => acc + x), 6)
           .as("sum_sq"),
-        slice(transform(darr, x => x * lit(2.0)), 1, 2).as("doubled2"))
+        fmtArr6(slice(transform(darr, x => x * lit(2.0)), 1, 2)).as("doubled2"))
       .orderBy(col("vec_id"))
   }
 
@@ -123,7 +135,7 @@ object Functions {
         try_element_at(col("parsed"), lit("k")).cast("string").as("k_str"),
         try_element_at(col("parsed"), lit("k")).as("k_int"),
         try_element_at(col("parsed"), lit("k")).as("k_via_map"),
-        map_keys(col("parsed")).as("keys"),
+        array_join(map_keys(col("parsed")), "|").as("keys"),
         size(map_keys(col("parsed"))).as("n_keys"))
       .orderBy(col("event_id"))
 
@@ -152,16 +164,16 @@ object Functions {
       .select(col("doc_id"), slice(ws, 1, 6).as("a"), slice(ws, 4, 6).as("b"))
       .select(
         col("doc_id"),
-        sort_array(array_distinct(col("a"))).as("a_sorted"),
-        sort_array(array_intersect(col("a"), col("b"))).as("inter"),
-        sort_array(array_union(col("a"), col("b"))).as("uni"),
-        sort_array(array_except(col("a"), col("b"))).as("diff"),
+        array_join(sort_array(array_distinct(col("a"))), "|").as("a_sorted"),
+        array_join(sort_array(array_intersect(col("a"), col("b"))), "|").as("inter"),
+        array_join(sort_array(array_union(col("a"), col("b"))), "|").as("uni"),
+        array_join(sort_array(array_except(col("a"), col("b"))), "|").as("diff"),
         // try_element_at: b is empty for docs under 4 words and plain
         // element_at throws under ANSI; a null probe makes
         // array_position null, coalesced to 0 exactly like the oracle
         coalesce(array_position(col("a"), try_element_at(col("b"), lit(1))), lit(0L))
           .as("pos_of_b1"),
-        flatten(array(col("a"), col("b"))).as("flat"))
+        array_join(flatten(array(col("a"), col("b"))), "|").as("flat"))
       .orderBy(col("doc_id"))
   }
 
@@ -268,12 +280,14 @@ object Functions {
                     (string_split(text, ' '))[4:9] AS b
                     FROM documents)
          SELECT doc_id,
-         list_sort(list_distinct(a)) AS a_sorted,
-         list_sort(list_intersect(a, b)) AS inter,
-         list_sort(list_distinct(list_concat(a, b))) AS uni,
-         list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS diff,
+         coalesce(array_to_string(list_sort(list_distinct(a)), '|'), '') AS a_sorted,
+         -- DuckDB's array_to_string([]) is NULL while Spark's
+         -- array_join([]) is '' — coalesce the empty-list case
+         coalesce(array_to_string(list_sort(list_intersect(a, b)), '|'), '') AS inter,
+         coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), '|'), '') AS uni,
+         coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), '|'), '') AS diff,
          CAST(coalesce(list_position(a, b[1]), 0) AS BIGINT) AS pos_of_b1,
-         flatten([a, b]) AS flat
+         array_to_string(flatten([a, b]), '|') AS flat
          FROM s ORDER BY doc_id""",
     "q_fn_bitwise" ->
       """SELECT l_orderkey,
@@ -291,7 +305,7 @@ object Functions {
          CAST(length(p_name) AS INT) AS name_len,
          substring(p_name, 1, 8) AS name_prefix,
          concat_ws('|', p_brand, p_type) AS brand_type,
-         string_split(p_name, ' ') AS name_words,
+         array_to_string(string_split(p_name, ' '), '|') AS name_words,
          regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
          regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devowel,
          starts_with(p_name, 'a') AS starts_a,
@@ -326,19 +340,22 @@ object Functions {
                     embedding FROM embeddings)
          SELECT vec_id,
          CAST(len(embedding) AS INT) AS n_dims,
-         darr[1:3] AS first3,
-         (list_sort(darr))[1:2] AS smallest2,
+         array_to_string(list_transform(darr[1:3],
+           x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), '|') AS first3,
+         array_to_string(list_transform((list_sort(darr))[1:2],
+           x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), '|') AS smallest2,
          list_max(darr) AS max_v,
          list_min(darr) AS min_v,
          round(list_reduce(list_transform(darr, x -> x * x), (a, b) -> a + b), 6) AS sum_sq,
-         (list_transform(darr, x -> x * 2.0))[1:2] AS doubled2
+         array_to_string(list_transform((list_transform(darr, x -> x * 2.0))[1:2],
+           x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), '|') AS doubled2
          FROM e ORDER BY vec_id""",
     "q_fn_json" ->
       """SELECT event_id,
          json_extract_string(props, '$.k') AS k_str,
          CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
          CAST(json_extract_string(props, '$.k') AS INT) AS k_via_map,
-         json_keys(props) AS keys,
+         coalesce(array_to_string(json_keys(props), '|'), '') AS keys,
          CAST(len(json_keys(props)) AS INT) AS n_keys
          FROM events ORDER BY event_id""",
   )

@@ -147,9 +147,14 @@ object Text {
         aggregate(col("buckets"), array_repeat(lit(0.0), 64),
           (acc, b) => transform(acc, (v, j) => when(j === b, v + 1.0).otherwise(v))))
 
+  /** Declared rendering: the vec counts are integral doubles, joined
+    * as int strings so the driver's pandas compare (which can't hash
+    * ndarray cells) sees a scalar column; the array-typed vec stays
+    * the operator surface (see [[docSim]]). */
   def hashEmbed(s: SparkSession, d: String): DataFrame =
     withHashedVec(Tables.documents(s, d))
-      .select(col("doc_id"), col("vec"))
+      .select(col("doc_id"),
+        array_join(transform(col("vec"), v => v.cast("int").cast("string")), "|").as("vec"))
       .orderBy(col("doc_id"))
 
   /** Document similarity through the hashed vectors: cosine of every
@@ -482,7 +487,9 @@ object Text {
          ORDER BY da, db""",
     "q_hash_embed" ->
       s"""WITH $hashedVecCte
-         SELECT doc_id, vec FROM v ORDER BY doc_id""",
+         SELECT doc_id,
+           array_to_string(list_transform(vec, x -> CAST(CAST(x AS INT) AS VARCHAR)), '|') AS vec
+         FROM v ORDER BY doc_id""",
     "q_doc_sim" ->
       s"""WITH $hashedVecCte,
          q AS (SELECT vec AS qvec FROM v WHERE doc_id = 0)

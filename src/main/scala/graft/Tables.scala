@@ -23,12 +23,19 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos (runtime conf, so
-    * this works under any session the harness builds) and truncate to
+    * reader rejects outright. Read it as raw nanos and truncate to
     * micros — the same ns→us truncation DuckDB applies, keeping oracle
-    * timestamps bit-identical. */
+    * timestamps bit-identical.
+    *
+    * SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong` on the
+    * session if unset (needed because the harness may hand us a fresh
+    * unconfigured session); any nanos-timestamp parquet read later in
+    * the same session will also arrive as raw longs. Sessions built by
+    * [[Verify]]/[[Bench]]/the test harness set it at construction, so
+    * for them this is a no-op. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -62,15 +62,18 @@ object Events {
     // semantics); session end = last event + gap.
     "q_stream_session" ->
       """WITH marked AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, ts, value, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS brk
            FROM events),
          sess AS (
+           -- same total order (ts, event_id) as the brk window: with
+           -- duplicate (user_id, ts) rows an arbitrary tie order could
+           -- assign the break to the wrong row and split a session
            SELECT user_id, ts, value,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM marked)
          SELECT user_id, min(ts) AS session_start,

@@ -271,16 +271,7 @@ object Text {
     * exploded rows + a (doc,slot) shuffle) → 8 band signatures.
     * Documents too short to shingle (<3 words) are absent. */
   private def minhashBands(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      // <3 words → no shingles; without the guard sequence(1, size-2)
-      // runs DESCENDING into element_at(ws, 0), which throws
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 2), i -> " +
-          "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
-        .as("g"))
-      .distinct()
+    val sh = docShingles(docs)
     val rowsPerBand = MinhashPerms / MinhashBands
     val minhash = sh.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("g"))).as("mh0"),

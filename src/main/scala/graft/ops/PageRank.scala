@@ -50,19 +50,34 @@ object PageRank {
     * each eager `localCheckpoint` is a full materialization job, and
     * a 3-deep join/agg lineage replans cheaply — same recompute-bound
     * idea as C3, a third of the checkpoint cost. */
-  /** `broadcastRanks`: ship the rank vector to every executor each
-    * iteration instead of shuffling the (much larger) edge relation
-    * into a sort-merge join — localCheckpoint leaves ranks with an
-    * unknown size estimate, so Catalyst won't choose this on its own.
-    * Right when the node set is dimension-bounded (the harness graph:
-    * customers + suppliers); keep the default shuffle join for
-    * billion-node graphs where the vector doesn't fit an executor. */
+  /** Broadcast ceiling for the per-iteration rank vector. A rank row
+    * is a key + a double (~24 B serialized): 4M nodes ≈ 100 MB
+    * broadcast — a safe per-executor footprint. Under the ceiling,
+    * shipping the vector beats shuffling the (much larger) edge
+    * relation into a sort-merge join ×10 iterations; past it (the
+    * billion-node graphs a 100 TB corpus implies) the broadcast would
+    * be a 10×-repeated driver round-trip that eventually fails
+    * outright, so the loop falls back to the shuffle join. */
+  val BroadcastMaxNodes = 4000000L
+
+  /** The broadcast decision: one count of distinct endpoints over the
+    * (persisted) edge relation — an upper bound on every iteration's
+    * rank-vector size (the init vector is src-keyed, later ones
+    * dst-keyed). localCheckpoint leaves ranks with an unknown size
+    * estimate, so Catalyst/AQE can't make this call on its own. */
+  private[graft] def chooseBroadcast(e: DataFrame): Boolean =
+    e.select(col("src").as("n")).unionByName(e.select(col("dst").as("n")))
+      .distinct().count() <= BroadcastMaxNodes
+
+  /** `broadcastRanks`: None (default) size-gates per [[chooseBroadcast]];
+    * Some(b) forces the choice (spec bracketing). */
   def run(edges: DataFrame, iterations: Int = 10, numPartitions: Int = 0,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Option[Boolean] = None): DataFrame = {
     val laidOut =
       if (numPartitions > 0) edges.repartition(numPartitions, col("src"))
       else edges
     val e = laidOut.persist()
+    val doBroadcast = broadcastRanks.getOrElse(chooseBroadcast(e))
     val degrees = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // the edges ⋈ degrees join is loop-invariant: materialize it once
     // instead of recomputing it in all 10 iterations
@@ -71,7 +86,7 @@ object PageRank {
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("pr"))
     for (i <- 1 to iterations) {
-      val rankSide = if (broadcastRanks) broadcast(ranks) else ranks
+      val rankSide = if (doBroadcast) broadcast(ranks) else ranks
       val contribs = withDeg
         .join(rankSide, col("src") === col("node"))
         .select(col("dst"), (col("pr") / col("deg")).as("contrib"))
@@ -84,6 +99,50 @@ object PageRank {
     // release them instead of leaking cache entries per run
     e.unpersist()
     withDeg.unpersist()
+    ranks
+  }
+
+  /** Textbook PageRank — the variant SURVEY §2.14 documents alongside
+    * the quirk-faithful [[run]] (standard formulation, e.g. the
+    * original Brin/Page paper): ranks init to 1/N over the FULL node
+    * set (sources ∪ sinks); every node is keyed every iteration;
+    * dangling (no-out-edge) mass is redistributed uniformly:
+    * pr' = 0.15/N + 0.85·(Σ contribs + danglingMass/N), so total mass
+    * is conserved at 1.0 per iteration. Same scale shape as [[run]]:
+    * flat edges, O(1) rows, invariants persisted, lineage cut every
+    * 3rd iteration; the dangling mass flows back as a 1-row broadcast,
+    * never a collect. */
+  def runTextbook(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    val e = edges.persist()
+    val doBroadcast = chooseBroadcast(e)
+    val degrees = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(degrees, "src")
+      .select(col("src"), col("dst"), col("deg")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count().toDouble
+    // sinks: nodes with no out-edges; their rank mass would otherwise
+    // leak (the quirk variant deliberately loses it)
+    val dangling = nodes.join(
+      degrees.select(col("src").as("node")), Seq("node"), "left_anti").persist()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    for (i <- 1 to iterations) {
+      val rankSide = if (doBroadcast) broadcast(ranks) else ranks
+      val contribs = withDeg
+        .join(rankSide, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("c"))
+      val dm = dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val contribSide = if (doBroadcast) broadcast(contribs) else contribs
+      ranks = nodes
+        .join(contribSide, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("node"),
+          (lit(0.15 / n) + lit(0.85) *
+            (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("pr"))
+      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+    }
+    e.unpersist(); withDeg.unpersist(); nodes.unpersist(); dangling.unpersist()
     ranks
   }
 
@@ -102,26 +161,61 @@ object PageRank {
       .unionByName(ol.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
+  /** One-directional star edges (customer→supplier only): suppliers
+    * become pure sinks with NO out-edges — the graph shape that
+    * actually exercises the textbook variant's dangling-mass
+    * redistribution (the symmetric [[starEdges]] graph has none). */
+  def starEdgesDirected(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+
   def pagerank(s: SparkSession, d: String): DataFrame =
-    run(starEdges(s, d), 10, broadcastRanks = true)
+    run(starEdges(s, d), 10)
       .select(col("node"), round(col("pr"), 6).as("pr"))
       .orderBy(col("node"))
 
+  def pagerankTextbook(s: SparkSession, d: String): DataFrame =
+    runTextbook(starEdgesDirected(s, d), 10)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+
+  /** The reference's own input format end-to-end (`task1.py:26-54`):
+    * SNAP text lines `src\tdst` plus a `#` comment header, parsed by
+    * [[parseEdgeLines]] — node IDs stay STRINGS through the whole loop
+    * exactly like the reference. The lines are rendered from the star
+    * schema so the DuckDB oracle can rebuild the identical graph. */
+  def pagerankSnap(s: SparkSession, d: String): DataFrame = {
+    val lines = starEdges(s, d)
+      .select(concat_ws("\t", col("src"), col("dst")).as("value"))
+    val header = s.range(1).select(lit("# FromNodeId\tToNodeId").as("value"))
+    run(parseEdgeLines(header.unionByName(lines)), 10)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> pagerank,
+    "q_pagerank_textbook" -> pagerankTextbook,
+    "q_pagerank_snap" -> pagerankSnap,
   )
 
-  /** DuckDB oracle: the 10-iteration loop unrolled into a CTE chain —
-    * same init, same inner-join dropout, same damping. */
-  private val oracleCte: String = {
+  private val symEdgesSql =
+    """SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       UNION ALL
+       SELECT l_suppkey + 10000000 AS src, o_custkey AS dst
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+
+  /** DuckDB oracle: the 10-iteration quirk loop unrolled into a CTE
+    * chain — same init, same inner-join dropout, same damping.
+    * `edgesSql` parameterizes the key type (BIGINT star keys vs the
+    * VARCHAR keys of the SNAP-text rendering). */
+  private def quirkOracle(edgesSql: String): String = {
     val base =
-      """WITH edges AS (
-           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           UNION ALL
-           SELECT l_suppkey + 10000000 AS src, o_custkey AS dst
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         degrees AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      s"""WITH edges AS MATERIALIZED ($edgesSql),
+         degrees AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          r0 AS (SELECT src AS node, 1.0 AS pr FROM degrees)"""
     val iters = (1 to 10).map { i =>
       s""", r$i AS (
@@ -133,7 +227,52 @@ object PageRank {
     base + iters + " SELECT node, round(pr, 6) AS pr FROM r10 ORDER BY node"
   }
 
+  /** Textbook oracle: 1/N init over all nodes, per-iteration dangling
+    * mass (`dm_i`) redistributed uniformly, LEFT JOIN keeps every node.
+    * Double literals written `…e0` — a bare `0.15` is DECIMAL in
+    * DuckDB and would poison the IEEE parity with Spark's doubles.
+    * Base CTEs are MATERIALIZED: DuckDB otherwise inlines them into
+    * every one of the 10 unrolled iterations, re-opening the parquet
+    * per reference until the file-handle limit blows. */
+  private val textbookOracle: String = {
+    val base =
+      """WITH edges AS MATERIALIZED (
+           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         degrees AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+         nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS (SELECT node, 1.0e0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    val iters = (1 to 10).map { i =>
+      s""", c$i AS (
+           SELECT e.dst AS node, sum(r.pr / d.deg) AS c
+           FROM edges e JOIN degrees d ON e.src = d.src
+           JOIN r${i - 1} r ON e.src = r.node
+           GROUP BY e.dst),
+         dm$i AS (
+           SELECT coalesce(sum(r.pr), 0.0e0) AS dm
+           FROM r${i - 1} r LEFT JOIN degrees d ON r.node = d.src
+           WHERE d.src IS NULL),
+         r$i AS (
+           SELECT nd.node, 0.15e0 / nn.n + 0.85e0 * (coalesce(c.c, 0.0e0) + dm.dm / nn.n) AS pr
+           FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node
+           CROSS JOIN dm$i dm CROSS JOIN nn)"""
+    }.mkString
+    base + iters + " SELECT node, round(pr, 6) AS pr FROM r10 ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
-    "q_pagerank" -> oracleCte,
+    "q_pagerank" -> quirkOracle(symEdgesSql),
+    "q_pagerank_textbook" -> textbookOracle,
+    // identical graph, VARCHAR node ids (the SNAP parse keeps strings)
+    "q_pagerank_snap" -> quirkOracle(
+      """SELECT CAST(o_custkey AS VARCHAR) AS src,
+                CAST(l_suppkey + 10000000 AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         UNION ALL
+         SELECT CAST(l_suppkey + 10000000 AS VARCHAR) AS src,
+                CAST(o_custkey AS VARCHAR) AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""),
   )
 }

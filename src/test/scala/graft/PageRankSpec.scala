@@ -64,6 +64,53 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  private def toyTextbook(iters: Int): Map[String, Double] = {
+    val raw = spark.read.text(getClass.getResource("/toy_graph.tsv").getPath)
+    PageRank.runTextbook(PageRank.parseEdgeLines(raw), iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  // Expected values from a direct simulation of the standard
+  // formulation: 1/N init over all nodes, dangling mass (node 5, no
+  // out-edges) redistributed uniformly, every node keyed every
+  // iteration. Total mass stays exactly 1.0.
+  test("textbook variant: 1/N init, node 4 never drops out") {
+    assertRanks(toyTextbook(1),
+      Map("1" -> 0.234, "2" -> 0.1773333333, "3" -> 0.3756666667,
+        "4" -> 0.064, "5" -> 0.149))
+  }
+
+  test("textbook variant: dangling mass redistributed, mass conserved") {
+    val r2 = toyTextbook(2)
+    assertRanks(r2,
+      Map("1" -> 0.3746466667, "2" -> 0.18793, "3" -> 0.2513966667,
+        "4" -> 0.05533, "5" -> 0.1306966667))
+    assert(math.abs(r2.values.sum - 1.0) < 1e-12)
+    assertRanks(toyTextbook(10),
+      Map("1" -> 0.2940935898, "2" -> 0.2215584153, "3" -> 0.2793349683,
+        "4" -> 0.0555802624, "5" -> 0.1494327642))
+  }
+
+  test("broadcast gate: small graphs broadcast, forced paths agree") {
+    val raw = spark.read.text(getClass.getResource("/toy_graph.tsv").getPath)
+    val edges = PageRank.parseEdgeLines(raw)
+    assert(PageRank.chooseBroadcast(edges))
+    val bc = PageRank.run(edges, 5, broadcastRanks = Some(true)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sh = PageRank.run(edges, 5, broadcastRanks = Some(false)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bc.keySet == sh.keySet)
+    bc.foreach { case (k, v) => assert(math.abs(sh(k) - v) < 1e-12, s"node=$k") }
+  }
+
+  test("SNAP-text end-to-end matches the star-schema pagerank") {
+    val viaText = PageRank.pagerankSnap(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = PageRank.pagerank(spark, sf0001).collect()
+      .map(r => r.getLong(0).toString -> r.getDouble(1)).toMap
+    assert(viaText == direct)
+  }
+
   test("harness edge table is deterministic and bidirectional") {
     val e = PageRank.starEdges(spark, sf0001)
     val n = e.count()

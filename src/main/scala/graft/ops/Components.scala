@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Connected components by min-label propagation with pointer
@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   * pointer-jump — `comp ← label(comp)` — halves label-chain depth,
   * so rounds needed are O(log diameter), not O(diameter): a 1M-hop
   * chain converges in ~20 rounds. Per-node state is one label, the
-  * widest row is O(1). Convergence is detected by a changed-label
-  * count (a scalar action per round); if `maxIterations` is somehow
-  * exhausted first the run FAILS LOUDLY rather than returning
-  * silently-split components.
+  * widest row is O(1). Convergence is detected by an accumulator
+  * filled while the round's localCheckpoint job streams the labels
+  * past — one job per round, not checkpoint + a separate scan; if
+  * `maxIterations` is somehow exhausted first the run FAILS LOUDLY
+  * rather than returning silently-split components.
   */
 object Components {
 
@@ -49,10 +50,24 @@ object Components {
         .select(col("node"),
           least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"),
           (col("changed") || col("jcomp") < col("comp")).as("changed"))
+      // count changed labels as the checkpoint job streams rows past —
+      // piggybacking on the materialization instead of a second
+      // filter/isEmpty job halves the actions per round. Task retries
+      // can only overcount, and the test is ==0, so a retry can't fake
+      // convergence; an undercount is impossible (every partition runs
+      // to success exactly once in the checkpoint job).
+      val acc = jumped.sparkSession.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
+      val changedIdx = jumped.schema.fieldIndex("changed")
+      val counted = jumped.map { r =>
+        // `changed` is null when a node has no inbound neighbor (null OR
+        // false folds to null) — that means unchanged
+        if (!r.isNullAt(changedIdx) && r.getBoolean(changedIdx)) acc.add(1L)
+        r
+      }(Encoders.row(jumped.schema))
       val prev = labels
-      labels = jumped.localCheckpoint()
+      labels = counted.localCheckpoint()
       prev.unpersist() // cap checkpoint residency at 2 label tables
-      converged = labels.filter(col("changed")).isEmpty
+      converged = acc.value == 0L
       labels = labels.select(col("node"), col("comp"))
     }
     und.unpersist()

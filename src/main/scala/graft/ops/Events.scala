@@ -24,6 +24,12 @@ object Events {
     Streaming.sessionize(Tables.events(s, d))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Watermark policy (ST4) as a declared query: closed windows only —
+    * see [[Streaming.tumblingClosed]]. */
+  def streamWatermark(s: SparkSession, d: String): DataFrame =
+    Streaming.tumblingClosed(Tables.events(s, d))
+      .orderBy(col("ws"), col("event_type"))
+
   /** Stateful dedup (ST5) as a declared query: the input is doubled
     * (union all with itself) so `dropDuplicates(event_id)` has real
     * work; first-event-wins semantics, oracle is the plain relation. */
@@ -38,6 +44,7 @@ object Events {
     "q_stream_sliding"  -> streamSliding,
     "q_stream_session"  -> streamSession,
     "q_stream_dedup"    -> streamDedup,
+    "q_stream_watermark" -> streamWatermark,
   )
 
   val oracles: Map[String, String] = Map(
@@ -56,6 +63,17 @@ object Events {
     "q_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type FROM events
          ORDER BY event_id""",
+    // terminal watermark = max(ts) - 10min; only windows closed at or
+    // below it are emitted (the append-mode output set)
+    "q_stream_watermark" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+         agg AS (SELECT date_trunc('hour', ts) AS ws,
+                        date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+                        event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+                 FROM events GROUP BY 1, 2, 3)
+         SELECT a.ws, a.we, a.event_type, a.n, a.sum_value
+         FROM agg a CROSS JOIN wm WHERE a.we <= wm.wm
+         ORDER BY ws, event_type""",
     // Gaps-and-islands: a new session starts when the gap since the
     // previous event of the same user STRICTLY exceeds 30 minutes (an
     // event at exactly gap distance merges — session_window

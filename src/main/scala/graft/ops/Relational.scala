@@ -194,9 +194,16 @@ object Relational {
   /** Seeded Bernoulli sample — the training-data subsampling op.
     * Deterministic for a fixed seed within Spark (sampling is
     * engine-specific, so the check is rows-only + golden tests). */
+  /** Deterministic ~10% Bernoulli sample: a polynomial hash of the
+    * row key modulo 1000, thresholded. Unlike `df.sample` (whose RNG
+    * stream is engine- and partitioning-specific), a key-hash sample
+    * is reproducible across engines, runs, AND cluster sizes — the
+    * property a training-data pipeline needs from a sample — and it's
+    * a pushable scan predicate instead of a per-partition RNG. */
   def sample(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(pmod(pmod(col("l_orderkey") * 31L + col("l_linenumber"), lit(1000003L)),
+        lit(1000L)) < 100L)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
@@ -254,6 +261,10 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    "q_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE (l_orderkey * 31 + l_linenumber) % 1000003 % 1000 < 100
+         ORDER BY l_orderkey, l_linenumber""",
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -26,6 +26,16 @@ object Text {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** Engine-portable polynomial character hash: fold of
+    * 31·acc + ascii(char) mod [[HashMod]]. Expressible identically in
+    * DuckDB (`list_reduce` over `string_split`) because the 0-init
+    * first step `(0·31 + c₁) mod M ≡ c₁` matches an init-less fold.
+    * Used wherever a hash must cross the oracle boundary; the
+    * production hash stays xxhash64 (stronger mixing, codegen'd). */
+  private[ops] val HashMod = 1000003L
+  private[ops] def charHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (a, ch) => (a * 31L + ascii(ch)) % HashMod)
+
   /** Tokenize + count (T1): total and per-doc frequencies per word. */
   def wordcount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -141,8 +151,7 @@ object Text {
       // list_reduce errors on the empty char list
       .withColumn("buckets",
         transform(filter(words(col("text")), w => w =!= ""), w =>
-          pmod(aggregate(split(w, ""), lit(0L),
-            (a, c) => (a * 31L + ascii(c)) % 1000003L), lit(64L)).cast("int")))
+          pmod(charHash(w), lit(64L)).cast("int")))
       .withColumn("vec",
         aggregate(col("buckets"), array_repeat(lit(0.0), 64),
           (acc, b) => transform(acc, (v, j) => when(j === b, v + 1.0).otherwise(v))))
@@ -286,11 +295,13 @@ object Text {
 
   /** Band-bucket membership joined with each bucket's min-doc rep:
     * `(doc_id, band, band_sig, band_rep)`. */
-  private def bandsWithReps(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(docs)
+  private def withBucketReps(bands: DataFrame): DataFrame = {
     val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
     bands.join(reps, Seq("band", "band_sig"))
   }
+
+  private def bandsWithReps(docs: DataFrame): DataFrame =
+    withBucketReps(minhashBands(docs))
 
   /** Shared clustering tail: left-join every doc (unshingleable ones
     * included) to its `(doc_id, rep)` assignment; unmatched docs
@@ -307,6 +318,31 @@ object Text {
   def minhashClusters(docs: DataFrame): DataFrame =
     toClusters(docs,
       bandsWithReps(docs).groupBy("doc_id").agg(min(col("band_rep")).as("rep")))
+
+  /** Oracle-comparable twin of [[minhashClusters]]: the xxhash64
+    * permutations are replaced by affine transforms of ONE portable
+    * [[charHash]] — hᵢ(g) = (h(g)·(2i+1) + i) mod M — and the band
+    * signature is the exact pair encoding mh₂ᵦ·M + mh₂ᵦ₊₁ (no hash,
+    * no collisions), so the complete LSH mechanics (banding, bucket
+    * reps, min-rep assignment) are checked against DuckDB row-for-row.
+    * The xxhash64 path stays the production default. */
+  def minhashClustersPortable(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs).withColumn("h", charHash(col("g")))
+    val minhash = sh.groupBy("doc_id").agg(
+      min((col("h") * 1L + 0L) % HashMod).as("mh0"),
+      (1 until MinhashPerms).map(i =>
+        min((col("h") * (2 * i + 1).toLong + i.toLong) % HashMod).as(s"mh$i")): _*)
+    val rowsPerBand = MinhashPerms / MinhashBands
+    require(rowsPerBand == 2, "pair encoding below assumes 2 rows per band")
+    val bandCols = (0 until MinhashBands).map { b =>
+      struct(lit(b).as("band"),
+        (col(s"mh${2 * b}") * HashMod + col(s"mh${2 * b + 1}")).as("band_sig")).as(s"bs$b")
+    }
+    val bands = minhash.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    toClusters(docs,
+      withBucketReps(bands).groupBy("doc_id").agg(min(col("band_rep")).as("rep")))
+  }
 
   /** Transitive-closure MinHash clustering: band buckets become star
     * edges (bucket-rep → member) and [[Components]] propagates min
@@ -397,6 +433,8 @@ object Text {
     "q_token_count"   -> tokenCount,
     "q_fingerprint"   -> fingerprint,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_minhash_portable" -> ((s: SparkSession, d: String) =>
+      minhashClustersPortable(Tables.documents(s, d))),
     "q_dedup_minhash_cc" -> ((s: SparkSession, d: String) =>
       minhashClustersClosure(Tables.documents(s, d))),
     "q_dedup_simhash" -> dedupSimhash,
@@ -419,7 +457,31 @@ object Text {
              b -> b = i)) AS DOUBLE)) AS vec
          FROM documents)"""
 
+  /** Generated to stay in lockstep with [[minhashClustersPortable]]'s
+    * constants (perm count, band count, affine coefficients). */
+  private val portableMinhashOracle: String = {
+    val mhCols = (0 until MinhashPerms)
+      .map(i => s"min((h * ${2 * i + 1} + $i) % $HashMod) AS mh$i").mkString(", ")
+    val bandSelects = (0 until MinhashBands)
+      .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} * $HashMod + mh${2 * b + 1} AS band_sig FROM mh")
+      .mkString(" UNION ALL ")
+    s"""WITH $shinglesCte,
+       h AS (SELECT doc_id, list_reduce(list_transform(string_split(g, ''),
+               c -> CAST(ascii(c) AS BIGINT)), (a, v) -> (a * 31 + v) % $HashMod) AS h
+             FROM sh),
+       mh AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
+       bands AS ($bandSelects),
+       reps AS (SELECT band, band_sig, min(doc_id) AS band_rep FROM bands GROUP BY band, band_sig),
+       assign AS (SELECT b.doc_id, min(r.band_rep) AS rep
+                  FROM bands b JOIN reps r USING (band, band_sig) GROUP BY b.doc_id)
+       SELECT d.doc_id, coalesce(a.rep, d.doc_id) AS cluster_rep,
+              coalesce(a.rep, d.doc_id) != d.doc_id AS is_dup
+       FROM documents d LEFT JOIN assign a USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash_portable" -> portableMinhashOracle,
     "q_pipeline_prep" ->
       """WITH survivors AS (
            SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),

@@ -47,6 +47,23 @@ object Streaming {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** ST4 (watermark policy) as a deterministic relation: the
+    * append-mode output of the watermarked tumbling aggregation once
+    * the stream is exhausted — exactly the windows whose end is at or
+    * below the terminal watermark `max(ts) - delay`; windows still
+    * open when the stream ends are withheld, the same rows a
+    * `withWatermark(ts, delay)` + append-mode sink would have emitted.
+    * The watermark rides along as a 1-row broadcast aggregate — no
+    * collect, no driver scalar; at scale this is one extra reduce. */
+  def tumblingClosed(events: DataFrame, delayMinutes: Int = 10): DataFrame = {
+    val wm = events.agg(
+      (max(col("ts")) - expr(s"INTERVAL $delayMinutes MINUTES")).as("wm"))
+    tumblingCounts(events)
+      .crossJoin(broadcast(wm))
+      .filter(col("we") <= col("wm"))
+      .select(col("ws"), col("we"), col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Stateful dedup (ST5): first event per event_id wins. In
     * streaming, swap for `dropDuplicatesWithinWatermark` to bound
     * state by the watermark horizon. */

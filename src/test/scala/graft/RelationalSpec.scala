@@ -39,11 +39,11 @@ class RelationalSpec extends SparkSpec {
     assert(salted.toSeq == direct.toSeq)
   }
 
-  test("seeded sample is deterministic and near the target fraction") {
+  test("key-hash sample is deterministic and near the target fraction") {
     val a = ops.Relational.sample(spark, sf0001).collect()
     val b = ops.Relational.sample(spark, sf0001).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
-      "same seed must give identical rows")
+      "key-hash sample must give identical rows on re-run")
     val total = Tables.lineitem(spark, sf0001).count().toDouble
     val frac = a.length / total
     assert(frac > 0.05 && frac < 0.15, s"fraction $frac too far from 0.1")

@@ -60,6 +60,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumblingClosed (ST4 batch rendering) matches streaming append output") {
+    implicit val ctx = spark.sqlContext
+    val data = Seq(
+      (t("2024-01-01 00:05:00"), "click", 1.0),
+      (t("2024-01-01 00:20:00"), "view", 2.0),
+      (t("2024-01-01 01:10:00"), "click", 3.0),
+      (t("2024-01-01 03:00:00"), "view", 4.0)) // terminal watermark → 02:50
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = Streaming.tumblingCounts(
+      mem.toDF.toDF("ts", "event_type", "value").withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("closed").start()
+    val streamed = try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      spark.table("closed").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ws"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"))).toSet
+    } finally q.stop()
+    val batch = Streaming.tumblingClosed(data.toDF("ts", "event_type", "value"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n"))).toSet
+    // hours 0 and 1 are closed at the terminal watermark; hour 3 is open
+    assert(batch.map(_._1).toSeq.distinct.sortBy(_.getTime) ==
+      Seq(t("2024-01-01 00:00:00"), t("2024-01-01 01:00:00")))
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("statefulSessions: gap-break emits immediately, timeout flushes the rest") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

@@ -140,7 +140,13 @@ object PageRank {
         .select(col("node"),
           (lit(0.15 / n) + lit(0.85) *
             (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("pr"))
-      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+      // unlike the quirk loop (one consumer per iteration → checkpoint
+      // every 3rd), ranks here feeds TWO consumers next iteration
+      // (contribs and the dangling-mass aggregate): left lazy, the
+      // shared subplan re-executes per consumer and the plan fans out
+      // ~2^k between checkpoints (measured 18 s vs ~7 s at sf0.1), so
+      // materialize every iteration
+      ranks = ranks.localCheckpoint()
     }
     e.unpersist(); withDeg.unpersist(); nodes.unpersist(); dangling.unpersist()
     ranks

@@ -31,9 +31,17 @@ object Text {
     * DuckDB (`list_reduce` over `string_split`) because the 0-init
     * first step `(0·31 + c₁) mod M ≡ c₁` matches an init-less fold.
     * Used wherever a hash must cross the oracle boundary; the
-    * production hash stays xxhash64 (stronger mixing, codegen'd). */
+    * production hash stays xxhash64 (stronger mixing). Rendered by the
+    * native [[graft.functions.PortableStringHash]] expression — the
+    * equivalent HOF fold ([[charHashHof]]) walks an interpreted tree
+    * per character and dominated q_hash_embed's profile. */
   private[ops] val HashMod = 1000003L
   private[ops] def charHash(c: Column): Column =
+    graft.functions.PortableStringHash.portableHash(c, HashMod)
+
+  /** The HOF rendering charHash replaced; kept as the semantic
+    * specification the native expression is spec-pinned against. */
+  private[graft] def charHashHof(c: Column): Column =
     aggregate(split(c, ""), lit(0L), (a, ch) => (a * 31L + ascii(ch)) % HashMod)
 
   /** Tokenize + count (T1): total and per-doc frequencies per word. */

@@ -11,4 +11,7 @@ object GraftColumnBridge {
   def wrap(a: Column, b: Column)(f: (Expression, Expression) => Expression): Column =
     ExpressionUtils.column(
       f(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def wrap1(a: Column)(f: Expression => Expression): Column =
+    ExpressionUtils.column(f(ExpressionUtils.expression(a)))
 }

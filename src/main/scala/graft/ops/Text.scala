@@ -327,14 +327,12 @@ object Text {
     toClusters(docs,
       bandsWithReps(docs).groupBy("doc_id").agg(min(col("band_rep")).as("rep")))
 
-  /** Oracle-comparable twin of [[minhashClusters]]: the xxhash64
+  /** Band relation of the oracle-comparable MinHash twin: the xxhash64
     * permutations are replaced by affine transforms of ONE portable
     * [[charHash]] — hᵢ(g) = (h(g)·(2i+1) + i) mod M — and the band
     * signature is the exact pair encoding mh₂ᵦ·M + mh₂ᵦ₊₁ (no hash,
-    * no collisions), so the complete LSH mechanics (banding, bucket
-    * reps, min-rep assignment) are checked against DuckDB row-for-row.
-    * The xxhash64 path stays the production default. */
-  def minhashClustersPortable(docs: DataFrame): DataFrame = {
+    * no collisions). Same plan shape as [[minhashBands]]. */
+  private def portableBands(docs: DataFrame): DataFrame = {
     val sh = docShingles(docs).withColumn("h", charHash(col("g")))
     val minhash = sh.groupBy("doc_id").agg(
       min((col("h") * 1L + 0L) % HashMod).as("mh0"),
@@ -346,10 +344,35 @@ object Text {
       struct(lit(b).as("band"),
         (col(s"mh${2 * b}") * HashMod + col(s"mh${2 * b + 1}")).as("band_sig")).as(s"bs$b")
     }
-    val bands = minhash.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+    minhash.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
+
+  /** Oracle-comparable twin of [[minhashClusters]]: [[portableBands]]
+    * plus the same one-pass bucket-rep assignment, so the complete LSH
+    * mechanics (banding, bucket reps, min-rep assignment) are checked
+    * against DuckDB row-for-row. The xxhash64 path stays the
+    * production default. */
+  def minhashClustersPortable(docs: DataFrame): DataFrame =
     toClusters(docs,
-      withBucketReps(bands).groupBy("doc_id").agg(min(col("band_rep")).as("rep")))
+      withBucketReps(portableBands(docs))
+        .groupBy("doc_id").agg(min(col("band_rep")).as("rep")))
+
+  /** Oracle-comparable twin of [[minhashClustersClosure]]: portable
+    * bands → star edges → [[Components]] fixed-point closure. The
+    * DuckDB oracle unrolls min-label propagation over the SAME
+    * doc↔bucket incidence (identical connectivity classes, so the
+    * fixed points agree); the engine side still iterates to
+    * convergence — this checks the CC semantics cross-engine, which
+    * the xxhash64 production path can't. */
+  def minhashClustersClosurePortable(docs: DataFrame): DataFrame = {
+    val edges = withBucketReps(portableBands(docs))
+      .filter(col("doc_id") =!= col("band_rep"))
+      .select(col("band_rep").as("src"), col("doc_id").as("dst"))
+      .distinct()
+    val comps = Components.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("comp").as("rep"))
+    toClusters(docs, comps)
   }
 
   /** Transitive-closure MinHash clustering: band buckets become star
@@ -400,6 +423,34 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle-comparable 16-bit twin of [[simhash]]: per-word votes come
+    * from the portable [[charHash]] (< 2²⁰, so 16 meaningful low bits)
+    * instead of xxhash64, with the same vote→sign→bit mechanics and
+    * 2×8-bit Hamming band keys. The polynomial hash's low bits mix far
+    * worse than xxhash64's — this variant exists to drive the full
+    * simhash pipeline through the DuckDB oracle, not to replace the
+    * 64-bit production path. Empty tokens are filtered on both sides
+    * (DuckDB's `list_reduce` errors on the empty list `''` splits to). */
+  def simhashPortable(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", charHash(col("w")))
+    val voteCols = (0 until 16).map { b =>
+      sum(when(expr(s"((h >> $b) & 1) = 1"), col("cnt")).otherwise(-col("cnt"))).as(s"v$b")
+    }
+    val fingerprint = (0 until 16)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tf.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash16"))
+      .select(col("doc_id"), col("simhash16"),
+        expr("(simhash16 >> 8) & 255").as("band0"),
+        expr("simhash16 & 255").as("band1"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end training-data prep (the composed north-star pipeline):
     * exact-dedup survivors → quality gate → per-source corpus stats.
     * Each stage is one of the operators above; the composition is the
@@ -445,7 +496,11 @@ object Text {
       minhashClustersPortable(Tables.documents(s, d))),
     "q_dedup_minhash_cc" -> ((s: SparkSession, d: String) =>
       minhashClustersClosure(Tables.documents(s, d))),
+    "q_dedup_minhash_cc_portable" -> ((s: SparkSession, d: String) =>
+      minhashClustersClosurePortable(Tables.documents(s, d))),
     "q_dedup_simhash" -> dedupSimhash,
+    "q_dedup_simhash_portable" -> ((s: SparkSession, d: String) =>
+      simhashPortable(Tables.documents(s, d))),
   )
 
   /** Shared oracle CTE fragments — single source for SQL that appears
@@ -465,20 +520,28 @@ object Text {
              b -> b = i)) AS DOUBLE)) AS vec
          FROM documents)"""
 
-  /** Generated to stay in lockstep with [[minhashClustersPortable]]'s
-    * constants (perm count, band count, affine coefficients). */
-  private val portableMinhashOracle: String = {
+  /** Shared portable-band CTE chain (through `bands`), generated to
+    * stay in lockstep with [[portableBands]]'s constants (perm count,
+    * band count, affine coefficients). `bands` is MATERIALIZED: the
+    * closure oracle references it inside every unrolled propagation
+    * round, and DuckDB would otherwise re-inline the whole shingle
+    * pipeline per reference (the PageRank-oracle lesson). */
+  private val portableBandsCte: String = {
     val mhCols = (0 until MinhashPerms)
       .map(i => s"min((h * ${2 * i + 1} + $i) % $HashMod) AS mh$i").mkString(", ")
     val bandSelects = (0 until MinhashBands)
       .map(b => s"SELECT doc_id, $b AS band, mh${2 * b} * $HashMod + mh${2 * b + 1} AS band_sig FROM mh")
       .mkString(" UNION ALL ")
-    s"""WITH $shinglesCte,
+    s"""$shinglesCte,
        h AS (SELECT doc_id, list_reduce(list_transform(string_split(g, ''),
                c -> CAST(ascii(c) AS BIGINT)), (a, v) -> (a * 31 + v) % $HashMod) AS h
              FROM sh),
        mh AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
-       bands AS ($bandSelects),
+       bands AS MATERIALIZED ($bandSelects)"""
+  }
+
+  private val portableMinhashOracle: String =
+    s"""WITH $portableBandsCte,
        reps AS (SELECT band, band_sig, min(doc_id) AS band_rep FROM bands GROUP BY band, band_sig),
        assign AS (SELECT b.doc_id, min(r.band_rep) AS rep
                   FROM bands b JOIN reps r USING (band, band_sig) GROUP BY b.doc_id)
@@ -486,10 +549,58 @@ object Text {
               coalesce(a.rep, d.doc_id) != d.doc_id AS is_dup
        FROM documents d LEFT JOIN assign a USING (doc_id)
        ORDER BY d.doc_id"""
+
+  /** Closure oracle: min-label propagation over the doc↔bucket
+    * incidence, unrolled. Each round moves a label one doc-hop
+    * (doc→bucket→doc), so `rounds` bounds the cluster-graph diameter
+    * the oracle can close — the engine side iterates to a fixed point,
+    * and near-dup clusters in the harness corpus are chains of depth
+    * ≪ 8 (a mismatch here would mean a cluster of diameter > 8:
+    * raise `rounds`, which only costs the oracle). */
+  private val portableClosureOracle: String = {
+    val rounds = 8
+    val steps = (1 to rounds).map { k =>
+      s""", b$k AS (SELECT i.band, i.band_sig, min(l.lbl) AS bl
+             FROM bands i JOIN l${k - 1} l USING (doc_id) GROUP BY i.band, i.band_sig),
+         l$k AS (SELECT l.doc_id, least(l.lbl, coalesce(min(b.bl), l.lbl)) AS lbl
+             FROM l${k - 1} l
+             LEFT JOIN bands i ON l.doc_id = i.doc_id
+             LEFT JOIN b$k b ON i.band = b.band AND i.band_sig = b.band_sig
+             GROUP BY l.doc_id, l.lbl)"""
+    }.mkString
+    s"""WITH $portableBandsCte,
+       l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)$steps
+       SELECT doc_id, lbl AS cluster_rep, lbl != doc_id AS is_dup
+       FROM l$rounds ORDER BY doc_id"""
+  }
+
+  /** Generated in lockstep with [[simhashPortable]] (16 bits, 2 band
+    * keys). Sums are cast back to BIGINT (DuckDB sums into HUGEINT). */
+  private val portableSimhashOracle: String = {
+    val voteCols = (0 until 16)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN cnt ELSE -cnt END) AS v$b")
+      .mkString(", ")
+    val fp = (0 until 16)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tf AS (SELECT doc_id, w, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w != '' GROUP BY doc_id, w),
+       h AS (SELECT doc_id, cnt,
+           list_reduce(list_transform(string_split(w, ''),
+             c -> CAST(ascii(c) AS BIGINT)), (a, v) -> (a * 31 + v) % $HashMod) AS h
+           FROM tf),
+       v AS (SELECT doc_id, $voteCols FROM h GROUP BY doc_id),
+       fp AS (SELECT doc_id, $fp AS simhash16 FROM v)
+       SELECT doc_id, simhash16,
+              (simhash16 >> 8) & 255 AS band0, simhash16 & 255 AS band1
+       FROM fp ORDER BY doc_id"""
   }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_minhash_portable" -> portableMinhashOracle,
+    "q_dedup_minhash_cc_portable" -> portableClosureOracle,
+    "q_dedup_simhash_portable" -> portableSimhashOracle,
     "q_pipeline_prep" ->
       """WITH survivors AS (
            SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),

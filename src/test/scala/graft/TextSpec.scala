@@ -43,6 +43,22 @@ class TextSpec extends SparkSpec {
       s"unrelated docs should be hamming-far: ${hamming(out(1L), out(4L))}")
   }
 
+  test("portable simhash: bag-of-words invariant, near dups are hamming-close") {
+    val docs = Seq(
+      (1L, base),
+      (2L, base.split(" ").reverse.mkString(" ")),       // permutation: same bag
+      (3L, base.replace("lazy", "sleepy")),              // one word changed
+      (4L, "completely different words about query engines and shuffles here"),
+    ).toDF("doc_id", "text")
+    val out = Text.simhashPortable(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(out.values.forall(v => v >= 0L && v < 65536L), s"16-bit range: $out")
+    assert(out(1L) == out(2L), "word order must not affect portable simhash")
+    assert(hamming(out(1L), out(3L)) < hamming(out(1L), out(4L)),
+      s"near dup must be closer than unrelated: ${hamming(out(1L), out(3L))} vs ${hamming(out(1L), out(4L))}")
+  }
+
   test("short documents (<3 words) survive shingle-based ops and self-cluster") {
     val docs = Seq(
       (1L, "solo"),

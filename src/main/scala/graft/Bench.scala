@@ -33,7 +33,7 @@ object Bench {
     // they get a second untimed pass (judge round 1: q_pagerank measured
     // 14.1 s driver-side vs ~5 s steady state)
     val iterative = Set("q_pagerank", "q_pagerank_textbook", "q_pagerank_snap",
-      "q_dedup_minhash_cc")
+      "q_dedup_minhash_cc", "q_dedup_minhash_cc_portable")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warmups = if (iterative(name)) 2 else 1
       (1 to warmups).foreach(_ => exec(name, fn)) // untimed: JIT/codegen/scan-index

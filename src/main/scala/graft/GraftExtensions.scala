@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, PortableStringHash}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.LongType
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions into the SQL function registry, so
@@ -23,6 +25,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
         CosineSimilarity(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("portable_hash"),
+      new ExpressionInfo(classOf[PortableStringHash].getName, "portable_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"portable_hash expects (str, mod), got ${args.length} args")
+        val mod = args(1) match {
+          case Literal(m: Long, LongType) => m
+          case Literal(m: Int, _) => m.toLong
+          case other => throw new IllegalArgumentException(
+            s"portable_hash mod must be an integer literal, got $other")
+        }
+        PortableStringHash(args.head, mod)
       }))
   }
 }

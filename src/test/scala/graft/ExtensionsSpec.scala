@@ -33,6 +33,14 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT cosine_sim(array('a'), array('b'))").collect()
       }
       assert(err.getMessage.toLowerCase.contains("array<double>"))
+
+      // portable_hash: same fold SQL-side as the Column API
+      val ph = spark.sql("SELECT portable_hash('ab', 1000003L) AS h").collect().head
+      assert(ph.getLong(0) == (97L * 31 + 98) % 1000003L)
+      val phErr = intercept[Exception] {
+        spark.sql("SELECT portable_hash('ab', length('xx'))").collect()
+      }
+      assert(phErr.getMessage.contains("integer literal"))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

@@ -120,7 +120,36 @@ object Joins {
       .orderBy(col("purchase_id"))
   }
 
+  /** Salted skew join (the join-side twin of `q_agg_salted`): enrich
+    * every event with its type-level average — a 5-key join, i.e. the
+    * pathological shuffle-join shape where every fact row lands on one
+    * of 5 reducers and the hottest key serializes the stage. The
+    * salted rendering replicates the dim once per salt (5 rows → 5×S,
+    * trivially small) and routes fact rows by `pmod(event_id, S)`, so
+    * each hot key spreads across S reducers. Salt only routes rows —
+    * the join result is bit-identical to the unsalted join, which is
+    * what the DuckDB oracle checks. `shuffle_hash` hints pin the
+    * shuffled rendering (PlanSpec asserts no broadcast): at real scale
+    * a dim can be too big to broadcast yet still skew-joined, and AQE's
+    * runtime skew split only covers sort-merge plans it can see stats
+    * for. The dim's avg is rendered round(sum)/count so cross-engine
+    * summation order can't straddle a rounding boundary. */
+  def joinSkewSalted(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dim = ev.groupBy(col("event_type"))
+      .agg((round(sum(col("value")), 4) / count(lit(1))).as("type_avg"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val fact = ev.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("salt", pmod(col("event_id"), lit(salts.toLong)).cast("int"))
+    fact.hint("shuffle_hash")
+      .join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value") - col("type_avg"), 6).as("dev_from_type_avg"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_skew_salted" -> ((s: SparkSession, d: String) => joinSkewSalted(s, d)),
     "q_join_asof_tol" -> joinAsofTolerance,
     "q_join_outer" -> joinOuter,
     "q_join_semi"  -> joinSemi,
@@ -149,6 +178,13 @@ object Joins {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
 
   val oracles: Map[String, String] = Map(
+    // the unsalted join: salting must not change the result
+    "q_join_skew_salted" ->
+      """WITH dim AS (SELECT event_type, round(sum(value), 4) / count(*) AS type_avg
+                      FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type, round(e.value - d.type_avg, 6) AS dev_from_type_avg
+         FROM events e JOIN dim d ON e.event_type = d.event_type
+         ORDER BY event_id""",
     "q_join_asof_tol" ->
       s"""WITH $asofCte
          SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,

@@ -34,6 +34,15 @@ class PlanSpec extends SparkSpec {
       s"cosine fold leaked into the join condition: $joinLine")
   }
 
+  test("salted skew join shuffles on (key, salt), never broadcasts") {
+    val p = planOf("q_join_skew_salted")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"salting is pointless if the dim broadcasts — the query exists to pin the shuffled rendering: $p")
+    val joinLine = p.linesIterator.find(_.contains("ShuffledHashJoin")).getOrElse("")
+    assert(joinLine.contains("salt"), s"salt missing from join keys: $joinLine")
+  }
+
   test("no cartesian products outside the bounded cross join") {
     for (name <- SparkEntry.queries.keys if name != "q_join_cross") {
       val p = planOf(name)

@@ -207,6 +207,31 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Per-source keep rates in permille — the data-mixing weights of
+    * [[sampleStratified]], generated so the Spark weights relation and
+    * the DuckDB VALUES list stay in lockstep (rates sweep 0–950‰;
+    * src2 lands on 0‰ = excluded entirely, which a mixing config must
+    * be able to express). */
+  val StratifiedRates: Seq[(String, Long)] =
+    (0 until 20).map(i => s"src$i" -> (100L + 450L * i) % 1000L)
+
+  /** Stratified deterministic sample — the corpus data-mixing op: each
+    * source is kept at its own rate (web 10%, wiki 100%, … rendered
+    * here as a generated rate table). Same portable key-hash Bernoulli
+    * as [[sample]], so the draw is reproducible across engines, runs,
+    * and cluster sizes; the weights ride in as a broadcast dim, the
+    * fact side stays a narrow scan+filter. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weights = StratifiedRates.toDF("source", "keep_permille")
+    Tables.documents(s, d)
+      .join(broadcast(weights), "source")
+      .filter(pmod(pmod(col("doc_id") * 31L + 7L, lit(1000003L)), lit(1000L))
+        < col("keep_permille"))
+      .select(col("doc_id"), col("source"), col("keep_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Statistical aggregate family (A5 extension): spread, dependence,
     * shape, and interpolated median. skewness/kurtosis use population
     * moments in Spark vs sample-corrected in DuckDB, so the oracle
@@ -248,6 +273,7 @@ object Relational {
     "q_pivot"             -> pivot,
     "q_join_cross"        -> joinCross,
     "q_sample"            -> sample,
+    "q_sample_stratified" -> sampleStratified,
     "q_sort_export"       -> sortExport,
     "q_filter_predicates" -> filterPredicates,
     "q_agg_basic"         -> aggBasic,
@@ -265,6 +291,15 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE (l_orderkey * 31 + l_linenumber) % 1000003 % 1000 < 100
          ORDER BY l_orderkey, l_linenumber""",
+    "q_sample_stratified" -> {
+      val values = StratifiedRates
+        .map { case (src, r) => s"('$src', $r)" }.mkString(", ")
+      s"""WITH w(source, keep_permille) AS (VALUES $values)
+         SELECT doc_id, d.source, CAST(w.keep_permille AS BIGINT) AS keep_permille
+         FROM documents d JOIN w ON d.source = w.source
+         WHERE ((doc_id * 31 + 7) % 1000003) % 1000 < w.keep_permille
+         ORDER BY doc_id"""
+    },
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",

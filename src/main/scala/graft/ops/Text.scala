@@ -451,6 +451,20 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence-length histogram — the batch-packing profile: docs
+    * bucketed by whitespace-token count (bucket = ⌊tokens/32⌋ capped
+    * at 7, i.e. 8 packing classes) per source. A training pipeline
+    * reads this to pick packing lengths and spot truncation-heavy
+    * sources; one narrow map + one grouped count, any scale. */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        least(floor(size(words(col("text"))) / lit(32.0)).cast("long"), lit(7L))
+          .as("len_bucket"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("len_bucket"))
+
   /** End-to-end training-data prep (the composed north-star pipeline):
     * exact-dedup survivors → quality gate → per-source corpus stats.
     * Each stage is one of the operators above; the composition is the
@@ -490,6 +504,7 @@ object Text {
     "q_lang_id"       -> langId,
     "q_text_quality"  -> textQuality,
     "q_token_count"   -> tokenCount,
+    "q_length_buckets" -> lengthBuckets,
     "q_fingerprint"   -> fingerprint,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_minhash_portable" -> ((s: SparkSession, d: String) =>
@@ -706,6 +721,12 @@ object Text {
          CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INT) AS n_vowel_runs,
          CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_word_tokens
          FROM documents ORDER BY doc_id""",
+    "q_length_buckets" ->
+      """SELECT source,
+         least(CAST(floor(len(string_split(text, ' ')) / 32.0) AS BIGINT), 7) AS len_bucket,
+         count(*) AS n_docs
+         FROM documents GROUP BY source, len_bucket
+         ORDER BY source, len_bucket""",
     "q_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_transform(string_split(text, ' '),

@@ -37,14 +37,32 @@ case class PortableStringHash(child: Expression, mod: Long)
 
   override def prettyName: String = "portable_hash"
 
+  /** Folds code points decoded straight off the UTF-8 bytes — no
+    * transient java.lang.String per value (this expression exists as a
+    * hot-path optimization; a UTF-8→UTF-16 decode + char[] copy per
+    * hashed word/shingle would hand back part of the win). 4-byte
+    * sequences decode to the supplementary code point directly, which
+    * is exactly what `String.codePointAt` yields over its surrogate
+    * pair — parity with the HOF fold is spec-pinned on ASCII,
+    * multi-byte, and empty inputs. */
   def hash(s: UTF8String): Long = {
-    val str = s.toString
+    val nb = s.numBytes()
     var acc = 0L
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < nb) {
+      val b0 = s.getByte(i)
+      var len = UTF8String.numBytesForFirstByte(b0)
+      var cp =
+        if (len == 1) b0.toInt & 0x7F
+        else b0.toInt & (0xFF >> (len + 1))
+      if (i + len > nb) len = nb - i // truncated tail: consume what's there
+      var j = 1
+      while (j < len) {
+        cp = (cp << 6) | (s.getByte(i + j) & 0x3F)
+        j += 1
+      }
       acc = (acc * 31L + cp) % mod
-      i += Character.charCount(cp)
+      i += len
     }
     acc
   }

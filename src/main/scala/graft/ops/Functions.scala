@@ -135,7 +135,10 @@ object Functions {
         try_element_at(col("parsed"), lit("k")).cast("string").as("k_str"),
         try_element_at(col("parsed"), lit("k")).as("k_int"),
         try_element_at(col("parsed"), lit("k")).as("k_via_map"),
-        array_join(map_keys(col("parsed")), "|").as("keys"),
+        // coalesce mirrors the oracle: a non-object/malformed props
+        // parses to NULL map here and NULL json_keys there — both
+        // render '' so the engines can't diverge on bad input
+        coalesce(array_join(map_keys(col("parsed")), "|"), lit("")).as("keys"),
         size(map_keys(col("parsed"))).as("n_keys"))
       .orderBy(col("event_id"))
 

@@ -114,13 +114,15 @@ object PageRank {
     * never a collect. */
   def runTextbook(edges: DataFrame, iterations: Int = 10): DataFrame = {
     val e = edges.persist()
-    val doBroadcast = chooseBroadcast(e)
     val degrees = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = e.join(degrees, "src")
       .select(col("src"), col("dst"), col("deg")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    // the 1/N init needs |nodes| anyway, and it equals chooseBroadcast's
+    // endpoint bound — one count serves both (no second distinct job)
     val n = nodes.count().toDouble
+    val doBroadcast = n <= BroadcastMaxNodes
     // sinks: nodes with no out-edges; their rank mass would otherwise
     // leak (the quirk variant deliberately loses it)
     val dangling = nodes.join(

@@ -108,7 +108,13 @@ class PageRankSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val direct = PageRank.pagerank(spark, sf0001).collect()
       .map(r => r.getLong(0).toString -> r.getDouble(1)).toMap
-    assert(viaText == direct)
+    // ULP-tolerant: the string- and long-keyed loops aggregate contribs
+    // in different partition orders, so a pre-round sum can sit on a
+    // round(.,6) boundary — exact == would be a flaky pin
+    assert(viaText.keySet == direct.keySet)
+    viaText.foreach { case (k, v) =>
+      assert(math.abs(direct(k) - v) < 1e-6 + 1e-12, s"node=$k: $v vs ${direct(k)}")
+    }
   }
 
   test("harness edge table is deterministic and bidirectional") {

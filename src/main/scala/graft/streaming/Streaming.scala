@@ -70,6 +70,27 @@ object Streaming {
   def dedupEvents(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** Stream-stream band join (ST7): click→purchase attribution within
+    * a 10-minute window, the streaming face of the batch range join
+    * (`ops.Joins.rangeCore`, q_join_range). Both inputs carry
+    * watermarks (callers attach them when streaming); the time-range
+    * predicate is what lets Spark bound each side's join state — a
+    * click older than watermark + 10 min can never match a future
+    * purchase, so its buffered row is evicted. Without the range
+    * bound, stream-stream inner join state grows without limit. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val b = purchases.select(col("user_id").as("b_user"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    c.join(b,
+      col("user_id") === col("b_user") &&
+      col("purchase_ts") > col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // ----- custom state: flatMapGroupsWithState sessionization -----
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -65,4 +65,60 @@ class PropertySpec extends SparkSpec {
       out(2L) == 1L && out(1L) == 1L
     }, n = 4)
   }
+
+  // --- partition-invariance: the distributed-correctness property.
+  // A result that changes with partition count would be wrong on any
+  // real cluster; these drive the same operators under adversarial
+  // repartitioning (1 vs 7 partitions, 7 chosen to misalign with the
+  // harness's 2).
+
+  test("salted skew join equals the unsalted join under any partitioning") {
+    check(Prop.forAll(Gen.listOfN(40, for {
+      id <- Gen.choose(0L, 1000L); et <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-50.0, 50.0)
+    } yield (id, et, v))) { rows =>
+      val distinctRows = rows.distinctBy(_._1) // event_id is the row key
+      def run(parts: Int) = {
+        val ev = distinctRows.toDF("event_id", "event_type", "value")
+          .repartition(parts, col("event_id"))
+        val dim = ev.groupBy(col("event_type"))
+          .agg((round(sum(col("value")), 4) / count(lit(1))).as("type_avg"))
+          .withColumn("salt", explode(sequence(lit(0), lit(7))))
+        ev.withColumn("salt", pmod(col("event_id"), lit(8L)).cast("int"))
+          .hint("shuffle_hash")
+          .join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+          .select(col("event_id"), round(col("value") - col("type_avg"), 6).as("dev"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      run(1) == run(7)
+    }, n = 4)
+  }
+
+  test("stratified sample picks the same rows under any partitioning") {
+    check(Prop.forAll(Gen.listOfN(30, Gen.choose(0L, 10000L))) { ids =>
+      def run(parts: Int) = {
+        val docs = ids.distinct.map(i => (i, s"src${(i % 20).toInt}"))
+          .toDF("doc_id", "source").repartition(parts, col("doc_id"))
+        val weights = graft.ops.Relational.StratifiedRates
+          .toDF("source", "keep_permille")
+        docs.join(broadcast(weights), "source")
+          .filter(pmod(pmod(col("doc_id") * 31L + 7L, lit(1000003L)), lit(1000L))
+            < col("keep_permille"))
+          .collect().map(_.getLong(1)).toSet
+      }
+      run(1) == run(7)
+    }, n = 4)
+  }
+
+  test("portable simhash is partition-count invariant") {
+    check(Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      def run(parts: Int) = {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text").repartition(parts, col("doc_id"))
+        graft.ops.Text.simhashPortable(docs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      run(1) == run(7)
+    }, n = 3)
+  }
 }

@@ -240,6 +240,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream band join matches the batch range join, watermark-bounded") {
+    implicit val ctx = spark.sqlContext
+    val clicksMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val buysMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    def named(m: MemoryStream[(java.sql.Timestamp, Long, Long)]) =
+      m.toDF.toDF("ts", "user_id", "event_id").withWatermark("ts", "10 minutes")
+    val joined = Streaming.clickToPurchase(named(clicksMem), named(buysMem))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try {
+      clicksMem.addData(
+        (t("2024-01-01 00:00:00"), 1L, 100L),
+        (t("2024-01-01 00:20:00"), 1L, 101L),
+        (t("2024-01-01 00:00:00"), 2L, 102L))
+      buysMem.addData(
+        (t("2024-01-01 00:05:00"), 1L, 200L), // 5m after click 100: matches
+        (t("2024-01-01 00:25:00"), 1L, 201L), // 5m after click 101: matches
+        (t("2024-01-01 00:30:00"), 2L, 202L)) // 30m after click 102: outside band
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(got == Set((100L, 200L), (101L, 201L)), got.mkString(";"))
+
+      // the same inputs through the batch face must agree
+      import spark.implicits._
+      import org.apache.spark.sql.functions.lit
+      def batchSide(rows: Seq[(java.sql.Timestamp, Long, Long)], et: String) =
+        rows.toDF("ts", "user_id", "event_id").withColumn("event_type", lit(et))
+      val batch = graft.ops.Joins.rangeCore(
+        batchSide(Seq(
+          (t("2024-01-01 00:00:00"), 1L, 100L),
+          (t("2024-01-01 00:20:00"), 1L, 101L),
+          (t("2024-01-01 00:00:00"), 2L, 102L)), "click").unionByName(
+          batchSide(Seq(
+            (t("2024-01-01 00:05:00"), 1L, 200L),
+            (t("2024-01-01 00:25:00"), 1L, 201L),
+            (t("2024-01-01 00:30:00"), 2L, 202L)), "purchase")))
+        .collect().map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap, streaming") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]

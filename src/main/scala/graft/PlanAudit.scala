@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit main (dev tool, not part of the driver
+  * contract): prints one line per declared query with the plan
+  * features that matter at scale — shuffle count, exchange reuse,
+  * parquet scans, explodes, broadcasts, and whole-stage-codegen span
+  * count. Run after touching an operator to see whether the plan is
+  * still the one you wanted (`sbt "runMain graft.PlanAudit [sfDir]"`;
+  * executes each query through the noop sink first so AQE's final
+  * plan is what gets audited, not the initial one).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val p = df.queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(p).length
+        // caveat: InMemoryRelation prints its BUILD plan once per
+        // reference, so scan/explode/shuffle counts overcount for
+        // queries that persist an intermediate — memscans > 0 flags
+        // that (execution reads the cache; the repeats are printing
+        // artifacts, verify with the SQL-tab DAG or timings)
+        println(f"$name%-28s shuffles=${n("Exchange hashpartitioning")}%-3d " +
+          f"rangeX=${n("Exchange rangepartitioning")}%-2d reused=${n("ReusedExchange")}%-3d " +
+          f"scans=${n("Scan parquet")}%-3d memscans=${n("InMemoryTableScan")}%-2d " +
+          f"explodes=${n("Generate explode")}%-2d " +
+          f"bcast=${n("BroadcastExchange")}%-2d codegen=${n("\\*\\(")}%d")
+      } catch {
+        case e: Throwable => println(f"$name%-28s FAILED: ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

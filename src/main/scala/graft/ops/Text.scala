@@ -57,10 +57,12 @@ object Text {
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
-    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     // tf is already one row per (doc, word): df falls out of it with a
     // plain count — re-exploding the corpus for df would run the
-    // tokenize+shuffle twice
+    // tokenize+shuffle twice. Persisted because it still feeds two
+    // consumers (the df count and the final join): deriving df from tf
+    // only saves the recompute if tf is materialized once.
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")).persist()
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     tf.join(df, "word")
@@ -96,8 +98,17 @@ object Text {
       .distinct()
 
   /** Shared-shingle candidate pairs with exact Jaccard:
-    * `(da, db, inter, na, nb, jac)`, jac ≥ `minJac`. */
-  private def jaccardPairs(sh: DataFrame, minJac: Double): DataFrame = {
+    * `(da, db, inter, na, nb, jac)`, jac ≥ `minJac`.
+    *
+    * The shingle relation feeds THREE consumers (per-doc sizes and
+    * both self-join sides) and Spark re-derives an unpersisted subplan
+    * per consumer — the plan audit showed the full scan+explode
+    * pipeline ×4 (×8 with the IDF filter upstream). At 100 TB that is
+    * re-tokenizing the corpus four times, so materialize it once;
+    * this is the same invariant-persistence rule the PageRank loop
+    * applies (C2). */
+  private def jaccardPairs(shRaw: DataFrame, minJac: Double): DataFrame = {
+    val sh = shRaw.persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -127,7 +138,9 @@ object Text {
     * sets; the oracle interpolates the same cap, so results stay
     * hash-comparable. */
   def dedupNgramIdf(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(Tables.documents(s, d))
+    // persisted: feeds the df-count AND the filtered-join input (the
+    // jaccardPairs persist only covers the post-filter relation)
+    val sh = docShingles(Tables.documents(s, d)).persist()
     val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= NgramMaxDf)
       .select("g")

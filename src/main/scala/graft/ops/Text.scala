@@ -315,8 +315,12 @@ object Text {
   }
 
   /** Band-bucket membership joined with each bucket's min-doc rep:
-    * `(doc_id, band, band_sig, band_rep)`. */
-  private def withBucketReps(bands: DataFrame): DataFrame = {
+    * `(doc_id, band, band_sig, band_rep)`. Bands persist — they feed
+    * the rep aggregate AND the membership join, and the unpersisted
+    * subplan (shingle explode + 16-way minhash agg) would re-derive
+    * per consumer (the jaccardPairs lesson). */
+  private def withBucketReps(bandsRaw: DataFrame): DataFrame = {
+    val bands = bandsRaw.persist()
     val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
     bands.join(reps, Seq("band", "band_sig"))
   }

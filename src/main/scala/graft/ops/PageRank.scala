@@ -80,9 +80,18 @@ object PageRank {
     val doBroadcast = broadcastRanks.getOrElse(chooseBroadcast(e))
     val degrees = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // the edges ⋈ degrees join is loop-invariant: materialize it once
-    // instead of recomputing it in all 10 iterations
-    val withDeg = e.join(degrees, "src")
-      .select(col("src"), col("dst"), col("deg")).persist()
+    // instead of recomputing it in all 10 iterations. In the broadcast
+    // regime, materialize it PARTITIONED BY dst: the broadcast join
+    // streams the edge side unchanged, so the per-iteration
+    // groupBy(dst) finds its distribution already satisfied — the
+    // loop runs 10 iterations with ZERO shuffles (one up-front
+    // exchange replaces 10 per-iteration ones). In the shuffle-join
+    // regime the join itself re-keys by src, so dst-layout would just
+    // add a wasted exchange.
+    val withDegRaw = e.join(degrees, "src")
+      .select(col("src"), col("dst"), col("deg"))
+    val withDeg =
+      (if (doBroadcast) withDegRaw.repartition(col("dst")) else withDegRaw).persist()
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("pr"))
     for (i <- 1 to iterations) {

@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
 /** Text analysis + document deduplication (SURVEY.md §2.9 and the
   * north-star LLM-training-data operators): wordcount, TF-IDF, exact
   * and near dedup (n-gram Jaccard with a SQL oracle; MinHash-LSH and
-  * SimHash as the scale path, golden-tested), language ID heuristic,
-  * quality scoring, token counting, and rolling-hash fingerprinting.
+  * SimHash as the scale path — xxhash64 production variants are
+  * golden-tested, and `_portable` twins re-key the identical
+  * mechanics on the cross-engine polynomial hash so banding, bucket
+  * reps, transitive-closure CC, and the vote→sign→bit simhash are
+  * each DuckDB-oracle-checked), language ID heuristic, quality
+  * scoring, token counting, length-bucket histograms, and
+  * rolling-hash fingerprinting.
   *
   * The wordcount explode→groupBy is the DataFrame rendering of the
   * canonical `flatMap`+`reduceByKey` shape the reference's PageRank

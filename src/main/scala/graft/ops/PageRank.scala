@@ -124,14 +124,19 @@ object PageRank {
   def runTextbook(edges: DataFrame, iterations: Int = 10): DataFrame = {
     val e = edges.persist()
     val degrees = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(degrees, "src")
-      .select(col("src"), col("dst"), col("deg")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     // the 1/N init needs |nodes| anyway, and it equals chooseBroadcast's
     // endpoint bound — one count serves both (no second distinct job)
     val n = nodes.count().toDouble
     val doBroadcast = n <= BroadcastMaxNodes
+    // same dst-layout rule as [[run]]: under broadcast the streamed
+    // edge side carries its partitioning through the join, so the
+    // per-iteration contribs agg shuffles nothing
+    val withDegRaw = e.join(degrees, "src")
+      .select(col("src"), col("dst"), col("deg"))
+    val withDeg =
+      (if (doBroadcast) withDegRaw.repartition(col("dst")) else withDegRaw).persist()
     // sinks: nodes with no out-edges; their rank mass would otherwise
     // leak (the quirk variant deliberately loses it)
     val dangling = nodes.join(
@@ -142,7 +147,11 @@ object PageRank {
       val contribs = withDeg
         .join(rankSide, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("c"))
-      val dm = dangling.join(ranks, "node")
+      // rankSide, not ranks: under broadcast the dangling-mass probe
+      // would otherwise plan a fresh two-sided shuffle join on node
+      // every iteration (the checkpointed ranks has no size estimate,
+      // so Catalyst can't choose broadcast on its own)
+      val dm = dangling.join(rankSide, "node")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
       val contribSide = if (doBroadcast) broadcast(contribs) else contribs
       ranks = nodes

@@ -35,14 +35,26 @@ object Bench {
     val iterative = Set("q_pagerank", "q_pagerank_textbook", "q_pagerank_snap",
       "q_dedup_minhash_cc", "q_dedup_minhash_cc_portable")
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (dev loop: time the
-    // queries under tuning without paying for the other 70)
+    // queries under tuning without paying for the other 70); unknown
+    // names fail loudly — a typo silently timing nothing would send a
+    // tuning loop chasing phantom speedups
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warmups = if (iterative(name)) 2 else 1
       (1 to warmups).foreach(_ => exec(name, fn)) // untimed: JIT/codegen/scan-index
+      // queries that persist() an intermediate register it in the
+      // CacheManager under the canonicalized plan; the timed run would
+      // silently reuse the warmup's materialized cache and measure
+      // cache scans instead of the query. Timed runs pay their own
+      // cache build — the honest single-execution cost.
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = exec(name, fn)
       // a failed query must not report a (tiny) elapsed time as if it ran

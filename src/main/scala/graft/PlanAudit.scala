@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
   * parquet scans, explodes, broadcasts, and whole-stage-codegen span
   * count. Run after touching an operator to see whether the plan is
   * still the one you wanted (`sbt "runMain graft.PlanAudit [sfDir]"`;
-  * executes each query through the noop sink first so AQE's final
-  * plan is what gets audited, not the initial one).
+  * executes each query's own QueryExecution so AQE's final plan is
+  * what gets audited, not the initial one).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -27,8 +27,13 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        val p = df.queryExecution.executedPlan.toString
+        // execute THIS QueryExecution (a noop write would build its own
+        // around the write command, leaving df's AdaptiveSparkPlanExec
+        // unexecuted → toString would show the pre-adaptive plan with
+        // reuse/coalescing missing — the exact features being audited)
+        val qe = df.queryExecution
+        qe.toRdd.foreach(_ => ())
+        val p = qe.executedPlan.toString
         def n(pat: String) = pat.r.findAllIn(p).length
         // caveat: InMemoryRelation prints its BUILD plan once per
         // reference, so scan/explode/shuffle counts overcount for
@@ -41,7 +46,10 @@ object PlanAudit {
           f"explodes=${n("Generate explode")}%-2d " +
           f"bcast=${n("BroadcastExchange")}%-2d codegen=${n("\\*\\(")}%d")
       } catch {
-        case e: Throwable => println(f"$name%-28s FAILED: ${e.getMessage.take(80)}")
+        case e: Throwable =>
+          println(f"$name%-28s FAILED: ${String.valueOf(e.getMessage).take(80)}")
+      } finally {
+        spark.catalog.clearCache() // don't audit query N against N-1's caches
       }
     }
     spark.stop()

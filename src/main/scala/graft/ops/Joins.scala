@@ -60,20 +60,16 @@ object Joins {
     rangeCore(Tables.events(s, d))
 
   /** Core band join over any events relation (testable with synthetic
-    * timestamps). */
-  def rangeCore(ev: DataFrame): DataFrame = {
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
-    val buys = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-    clicks.join(buys,
-        col("user_id") === col("b_user") &&
-        col("purchase_ts") > col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
-      .select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    * timestamps). The join itself lives in
+    * [[graft.streaming.Streaming.clickToPurchase]] — ONE predicate
+    * serves both the batch face (this, oracle-checked as
+    * q_join_range) and the watermarked stream-stream face (ST7), so
+    * the two can't drift apart. */
+  def rangeCore(ev: DataFrame): DataFrame =
+    graft.streaming.Streaming.clickToPurchase(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
       .orderBy("click_id", "purchase_id")
-  }
 
   /** As-of join (J6): for each purchase, the latest click of the same
     * user at-or-before the purchase timestamp. Spark has no native
@@ -134,8 +130,14 @@ object Joins {
     * runtime skew split only covers sort-merge plans it can see stats
     * for. The dim's avg is rendered round(sum)/count so cross-engine
     * summation order can't straddle a rounding boundary. */
-  def joinSkewSalted(s: SparkSession, d: String, salts: Int = 8): DataFrame = {
-    val ev = Tables.events(s, d)
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame =
+    skewSaltedCore(Tables.events(s, d)).orderBy(col("event_id"))
+
+  /** Core salted join over any `(event_id, event_type, value)`
+    * relation — DataFrame-parameterized so PropertySpec drives the
+    * SAME code under adversarial partitioning (a private inline copy
+    * in the test would silently drift from the operator). */
+  def skewSaltedCore(ev: DataFrame, salts: Int = 8): DataFrame = {
     val dim = ev.groupBy(col("event_type"))
       .agg((round(sum(col("value")), 4) / count(lit(1))).as("type_avg"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
@@ -145,7 +147,6 @@ object Joins {
       .join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
       .select(col("event_id"), col("event_type"),
         round(col("value") - col("type_avg"), 6).as("dev_from_type_avg"))
-      .orderBy(col("event_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

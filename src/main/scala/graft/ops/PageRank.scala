@@ -90,8 +90,13 @@ object PageRank {
     // add a wasted exchange.
     val withDegRaw = e.join(degrees, "src")
       .select(col("src"), col("dst"), col("deg"))
-    val withDeg =
-      (if (doBroadcast) withDegRaw.repartition(col("dst")) else withDegRaw).persist()
+    // honor the C1 sweep parameter in both regimes: under broadcast the
+    // layout key switches to dst but the requested partition COUNT must
+    // survive, or the sweep would silently exercise identical layouts
+    val withDeg = (if (doBroadcast) {
+      if (numPartitions > 0) withDegRaw.repartition(numPartitions, col("dst"))
+      else withDegRaw.repartition(col("dst"))
+    } else withDegRaw).persist()
     var ranks = withDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("pr"))
     for (i <- 1 to iterations) {

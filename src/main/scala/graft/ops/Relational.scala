@@ -221,15 +221,20 @@ object Relational {
     * as [[sample]], so the draw is reproducible across engines, runs,
     * and cluster sizes; the weights ride in as a broadcast dim, the
     * fact side stays a narrow scan+filter. */
-  def sampleStratified(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    stratifiedCore(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** Core stratified draw over any `(doc_id, source)` relation —
+    * DataFrame-parameterized so PropertySpec drives the SAME hash and
+    * weights under adversarial partitioning. */
+  def stratifiedCore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val weights = StratifiedRates.toDF("source", "keep_permille")
-    Tables.documents(s, d)
+    docs
       .join(broadcast(weights), "source")
       .filter(pmod(pmod(col("doc_id") * 31L + 7L, lit(1000003L)), lit(1000L))
         < col("keep_permille"))
       .select(col("doc_id"), col("source"), col("keep_permille"))
-      .orderBy(col("doc_id"))
   }
 
   /** Statistical aggregate family (A5 extension): spread, dependence,

@@ -78,34 +78,22 @@ class PropertySpec extends SparkSpec {
       v <- Gen.choose(-50.0, 50.0)
     } yield (id, et, v))) { rows =>
       val distinctRows = rows.distinctBy(_._1) // event_id is the row key
-      def run(parts: Int) = {
-        val ev = distinctRows.toDF("event_id", "event_type", "value")
-          .repartition(parts, col("event_id"))
-        val dim = ev.groupBy(col("event_type"))
-          .agg((round(sum(col("value")), 4) / count(lit(1))).as("type_avg"))
-          .withColumn("salt", explode(sequence(lit(0), lit(7))))
-        ev.withColumn("salt", pmod(col("event_id"), lit(8L)).cast("int"))
-          .hint("shuffle_hash")
-          .join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
-          .select(col("event_id"), round(col("value") - col("type_avg"), 6).as("dev"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      }
+      def run(parts: Int) =
+        graft.ops.Joins.skewSaltedCore(
+          distinctRows.toDF("event_id", "event_type", "value")
+            .repartition(parts, col("event_id")))
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
       run(1) == run(7)
     }, n = 4)
   }
 
   test("stratified sample picks the same rows under any partitioning") {
     check(Prop.forAll(Gen.listOfN(30, Gen.choose(0L, 10000L))) { ids =>
-      def run(parts: Int) = {
-        val docs = ids.distinct.map(i => (i, s"src${(i % 20).toInt}"))
-          .toDF("doc_id", "source").repartition(parts, col("doc_id"))
-        val weights = graft.ops.Relational.StratifiedRates
-          .toDF("source", "keep_permille")
-        docs.join(broadcast(weights), "source")
-          .filter(pmod(pmod(col("doc_id") * 31L + 7L, lit(1000003L)), lit(1000L))
-            < col("keep_permille"))
-          .collect().map(_.getLong(1)).toSet
-      }
+      def run(parts: Int) =
+        graft.ops.Relational.stratifiedCore(
+          ids.distinct.map(i => (i, s"src${(i % 20).toInt}"))
+            .toDF("doc_id", "source").repartition(parts, col("doc_id")))
+          .collect().map(_.getLong(0)).toSet
       run(1) == run(7)
     }, n = 4)
   }

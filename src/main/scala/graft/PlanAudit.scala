@@ -33,7 +33,14 @@ object PlanAudit {
         // reuse/coalescing missing — the exact features being audited)
         val qe = df.queryExecution
         qe.toRdd.foreach(_ => ())
-        val p = qe.executedPlan.toString
+        // AdaptiveSparkPlan.toString appends the pre-adaptive plan
+        // under "== Initial Plan ==" — keep only the final plan or
+        // every feature double-counts
+        val full = qe.executedPlan.toString
+        val p = full.indexOf("== Initial Plan ==") match {
+          case -1 => full
+          case i => full.substring(0, i)
+        }
         def n(pat: String) = pat.r.findAllIn(p).length
         // caveat: InMemoryRelation prints its BUILD plan once per
         // reference, so scan/explode/shuffle counts overcount for

@@ -43,6 +43,17 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"salt missing from join keys: $joinLine")
   }
 
+  test("multi-consumer intermediates stay materialized (persist pins)") {
+    // dropping these persists wouldn't change results — the corpus
+    // would just get re-tokenized per consumer (4-8 scans at 100 TB)
+    for (name <- Seq("q_tfidf", "q_dedup_ngram", "q_dedup_ngram_idf", "q_dedup_minhash")) {
+      val p = planOf(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name lost its shared-intermediate persist")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("no cartesian products outside the bounded cross join") {
     for (name <- SparkEntry.queries.keys if name != "q_join_cross") {
       val p = planOf(name)

@@ -33,7 +33,7 @@ object Bench {
     // they get a second untimed pass (judge round 1: q_pagerank measured
     // 14.1 s driver-side vs ~5 s steady state)
     val iterative = Set("q_pagerank", "q_pagerank_textbook", "q_pagerank_snap",
-      "q_dedup_minhash_cc", "q_dedup_minhash_cc_portable")
+      "q_dedup_minhash_cc", "q_dedup_minhash_cc_portable", "q_dedup_embed")
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (dev loop: time the
     // queries under tuning without paying for the other 70); unknown
     // names fail loudly — a typo silently timing nothing would send a

@@ -66,8 +66,15 @@ object Vectors {
     * label-only explosion at scale, and the (interpreted,
     * non-codegen) cosine fold only ever runs on banded candidates
     * instead of inside the join condition for every label-pair. */
-  def vectorPairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  def vectorPairs(s: SparkSession, d: String): DataFrame =
+    bandedPairs(Tables.embeddings(s, d), 0.25)
+      .orderBy(col("va"), col("vb"))
+
+  /** Core banded pair generation over any `(vec_id, label, embedding)`
+    * relation — shared by the declared pairs query and the
+    * embedding-similarity clustering below. */
+  private def bandedPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val e = emb
       .select(col("vec_id"), col("label"), darr.as("v"),
         floor(col("vec_id") / 25).as("blk"))
     val probe = e.select(col("vec_id").as("va"), col("label"), col("v").as("va_v"),
@@ -78,8 +85,28 @@ object Vectors {
       .filter(col("va") < col("vb") && col("vb") <= col("va") + 25)
       .select(col("va"), col("vb"), col("label"),
         cosine(col("va_v"), col("vb_v")).as("cos"))
-      .filter(col("cos") >= 0.25)
-      .orderBy(col("va"), col("vb"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Embedding-cosine near-dup clustering (the dedup rendering of the
+    * V2 machinery): the cosine-threshold graph over banded candidate
+    * pairs, closed transitively by [[Components]] — every vector keys
+    * to the min vec_id of its similarity cluster, exactly the
+    * `cluster_rep`/`is_dup` surface the text dedup family exposes.
+    * Threshold 0.25 matches q_vector_pairs because this corpus plants
+    * no tight duplicates (max in-band cosine ≈ 0.38); a real near-dup
+    * sweep runs the same mechanics at ≥0.99. Oracle = the same pairs
+    * in DuckDB + unrolled min-label propagation. */
+  def dedupEmbed(s: SparkSession, d: String, minCos: Double = 0.25): DataFrame = {
+    val edges = bandedPairs(Tables.embeddings(s, d), minCos)
+      .select(col("va").as("src"), col("vb").as("dst"))
+    val comps = Components.connectedComponents(edges)
+      .select(col("node").as("vec_id"), col("comp").as("rep"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("cluster_rep"))
+      .withColumn("is_dup", col("vec_id") =!= col("cluster_rep"))
+      .orderBy(col("vec_id"))
   }
 
   /** IVF-flavored ANN (north star, scale path): coarse-quantize every
@@ -108,6 +135,7 @@ object Vectors {
     "q_vector_topk"  -> vectorTopk,
     "q_vector_pairs" -> vectorPairs,
     "q_vector_ivf"   -> vectorIvf,
+    "q_dedup_embed"  -> ((s: SparkSession, d: String) => dedupEmbed(s, d)),
   )
 
   private val sqlQvec = "list_transform(range(0, 64), i -> ((i % 7) - 3) / 3.0)"
@@ -133,6 +161,33 @@ object Vectors {
                           AND b.vec_id <= a.vec_id + 25
          WHERE ${sqlCos("a.v", "b.v")} >= 0.25
          ORDER BY va, vb""",
+    // same pairs as q_vector_pairs, closed by 8 rounds of min-label
+    // propagation over the undirected edge list (the CC fixed point —
+    // same unroll pattern as the portable MinHash closure oracle;
+    // similarity clusters here are small, diameter ≪ 8)
+    "q_dedup_embed" -> {
+      val rounds = 8
+      val steps = (1 to rounds).map { k =>
+        s""", l$k AS (
+             SELECT l.vec_id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+             FROM l${k - 1} l
+             LEFT JOIN und u ON l.vec_id = u.a
+             LEFT JOIN l${k - 1} n ON u.b = n.vec_id
+             GROUP BY l.vec_id, l.lbl)"""
+      }.mkString
+      s"""WITH e AS (SELECT vec_id, label, ${sqlDarr("embedding")} AS v FROM embeddings),
+         pairs AS MATERIALIZED (
+           SELECT a.vec_id AS va, b.vec_id AS vb
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                            AND b.vec_id <= a.vec_id + 25
+           WHERE ${sqlCos("a.v", "b.v")} >= 0.25),
+         und AS MATERIALIZED (
+           SELECT va AS a, vb AS b FROM pairs
+           UNION ALL SELECT vb AS a, va AS b FROM pairs),
+         l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings)$steps
+         SELECT vec_id, lbl AS cluster_rep, lbl != vec_id AS is_dup
+         FROM l$rounds ORDER BY vec_id"""
+    },
     "q_vector_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlDarr("embedding")} AS v,
                      $sqlQvec AS q FROM embeddings),

@@ -73,7 +73,7 @@ object Vectors {
   /** Core banded pair generation over any `(vec_id, label, embedding)`
     * relation — shared by the declared pairs query and the
     * embedding-similarity clustering below. */
-  private def bandedPairs(emb: DataFrame, minCos: Double): DataFrame = {
+  private[graft] def bandedPairs(emb: DataFrame, minCos: Double): DataFrame = {
     val e = emb
       .select(col("vec_id"), col("label"), darr.as("v"),
         floor(col("vec_id") / 25).as("blk"))
@@ -88,17 +88,93 @@ object Vectors {
       .filter(col("cos") >= minCos)
   }
 
-  /** Embedding-cosine near-dup clustering (the dedup rendering of the
-    * V2 machinery): the cosine-threshold graph over banded candidate
-    * pairs, closed transitively by [[Components]] — every vector keys
-    * to the min vec_id of its similarity cluster, exactly the
-    * `cluster_rep`/`is_dup` surface the text dedup family exposes.
-    * Threshold 0.25 matches q_vector_pairs because this corpus plants
-    * no tight duplicates (max in-band cosine ≈ 0.38); a real near-dup
-    * sweep runs the same mechanics at ≥0.99. Oracle = the same pairs
-    * in DuckDB + unrolled min-label propagation. */
+  // ----- SRP-LSH: similarity-preserving candidate generation -----
+
+  /** Random-hyperplane (signed random projection) LSH parameters: 4
+    * bands of 8 sign-bits each, 32 hyperplanes total. For a pair at
+    * angle θ each bit agrees with p = 1 − θ/π, a band collides with
+    * p^8, and the pair is a candidate if ANY band collides:
+    * 1 − (1 − p^8)^4. In the near-dup regime this is what an LSH must
+    * deliver — cos ≥ 0.95 → p ≥ 0.90 → ≥ 93% per-pair recall, and a
+    * true duplicate (cos ≈ 1) collides in every band — while random
+    * pairs (p ≈ 0.5) collide at ~1.5%, so candidates stay ~linear in
+    * corpus size instead of quadratic. Unlike an id-block key, the
+    * probability depends ONLY on the angle: duplicates land in the
+    * same bucket no matter how far apart their ids are. */
+  private val NBands = 4
+  private val BitsPerBand = 8
+
+  /** Hyperplane j as a deterministic rational literal —
+    * h_j(i) = (((i·(j+2) + j²+1) mod 37) − 18) / 18, i ∈ [0, 64).
+    * The multiplier j+2 is distinct mod 37 for all 32 planes, so no
+    * two planes are shifts of each other; values are exact dyadic-free
+    * rationals both engines compute identically from integer math and
+    * one double division. Same literal-expression trick as [[qvec]]:
+    * nothing is collected, DuckDB reproduces the planes verbatim. */
+  private def hplane(j: Int): Column =
+    expr(s"transform(sequence(0, 63), i -> (((i * ${j + 2} + ${j * j + 1}) % 37) - 18) / 18.0D)")
+
+  private def dotPlane(v: Column, j: Int): Column =
+    fold(zip_with(v, hplane(j), (x, h) => x * h))
+
+  /** Band b's key: 8 sign-bits of hyperplane dots, packed little-endian.
+    * Left-fold dots with init 0.0 keep the doubles bit-identical to
+    * DuckDB's `list_reduce`, so the sign — and therefore the bucket —
+    * can never straddle engines. */
+  private def bandKey(v: Column, b: Int): Column =
+    (0 until BitsPerBand).map { t =>
+      when(dotPlane(v, b * BitsPerBand + t) > 0, lit(1 << t)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  /** SRP-LSH candidate pairs over any `(vec_id, v)` relation: explode
+    * each vector into its (band, key) buckets, self-join pure-equi on
+    * the bucket, dedup pairs found by several bands. The banded
+    * relation persists — it feeds both self-join sides, and the 32
+    * interpreted HOF dots are the expensive part of the row. At scale
+    * the bucket is a shuffle key: candidates are bounded by bucket
+    * sizes (the LSH guarantee), never by a quadratic blow-up. */
+  private def srpCandidates(e: DataFrame): DataFrame = {
+    val banded = e.select(col("vec_id"),
+        posexplode(array((0 until NBands).map(b => bandKey(col("v"), b)): _*))
+          .as(Seq("band", "bkey")))
+      .persist()
+    val probe = banded.select(col("vec_id").as("va"), col("band"), col("bkey"))
+    val build = banded.select(col("vec_id").as("vb"), col("band"), col("bkey"))
+    probe.join(build, Seq("band", "bkey"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"))
+      .distinct()
+  }
+
+  /** Candidates → verified near-neighbor edges: join the (narrow)
+    * pair list back to the vectors by key and keep pairs above the
+    * cosine threshold. Join-backs shuffle only candidate ids plus one
+    * vector copy per side — the blobs never ride through the
+    * candidate self-join. */
+  private[graft] def srpPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), darr.as("v")).persist()
+    srpCandidates(e)
+      .join(e.select(col("vec_id").as("va"), col("v").as("va_v")), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("v").as("vb_v")), Seq("vb"))
+      .select(col("va"), col("vb"), cosine(col("va_v"), col("vb_v")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Embedding-cosine near-dup clustering (V4): SRP-LSH candidate
+    * pairs → cosine-threshold edges → transitive closure by
+    * [[Components]] — every vector keys to the min vec_id of its
+    * similarity cluster, exactly the `cluster_rep`/`is_dup` surface
+    * the text dedup family exposes. Candidate generation is
+    * similarity-preserving (see [[srpCandidates]]): a duplicate pair
+    * is found regardless of id distance, the property the old
+    * vec_id-block banding lacked (VectorsSpec plants a far-id
+    * duplicate to pin it). Threshold 0.25 because this corpus plants
+    * no tight duplicates (max cosine ≈ 0.51); a production near-dup
+    * sweep runs the same mechanics at ≥0.9 where per-pair recall is
+    * ≥ 93%. Oracle = the same 32 hyperplane dots, bands, pairs, and
+    * a 10-round unrolled min-label propagation in DuckDB. */
   def dedupEmbed(s: SparkSession, d: String, minCos: Double = 0.25): DataFrame = {
-    val edges = bandedPairs(Tables.embeddings(s, d), minCos)
+    val edges = srpPairs(Tables.embeddings(s, d), minCos)
       .select(col("va").as("src"), col("vb").as("dst"))
     val comps = Components.connectedComponents(edges)
       .select(col("node").as("vec_id"), col("comp").as("rep"))
@@ -161,12 +237,22 @@ object Vectors {
                           AND b.vec_id <= a.vec_id + 25
          WHERE ${sqlCos("a.v", "b.v")} >= 0.25
          ORDER BY va, vb""",
-    // same pairs as q_vector_pairs, closed by 8 rounds of min-label
-    // propagation over the undirected edge list (the CC fixed point —
-    // same unroll pattern as the portable MinHash closure oracle;
-    // similarity clusters here are small, diameter ≪ 8)
+    // SRP-LSH rendered verbatim in SQL: the same 32 hyperplane dots
+    // (integer literals + one double division → bit-identical sign
+    // bits), the same 4 band keys, candidate pairs from the bucket
+    // self-join, cosine-verified edges, closed by 10 rounds of
+    // min-label propagation (fixed point needs 6 on sf0.01 / 7 on
+    // sf0.001; VectorsSpec pins the unroll sufficiency on testdata)
     "q_dedup_embed" -> {
-      val rounds = 8
+      def dotPlane(j: Int) =
+        s"list_reduce(list_transform(range(1, 65), i -> v[i] * ((((i-1) * ${j + 2} + ${j * j + 1}) % 37) - 18) / 18.0), (x, y) -> x + y)"
+      def bandKey(b: Int) = (0 until BitsPerBand).map { t =>
+        s"(CASE WHEN ${dotPlane(b * BitsPerBand + t)} > 0 THEN ${1 << t} ELSE 0 END)"
+      }.mkString(" + ")
+      val bandSelects = (0 until NBands).map { b =>
+        s"SELECT vec_id, $b AS band, CAST(${bandKey(b)} AS INT) AS bkey FROM e"
+      }.mkString("\n           UNION ALL ")
+      val rounds = 10
       val steps = (1 to rounds).map { k =>
         s""", l$k AS (
              SELECT l.vec_id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
@@ -175,15 +261,23 @@ object Vectors {
              LEFT JOIN l${k - 1} n ON u.b = n.vec_id
              GROUP BY l.vec_id, l.lbl)"""
       }.mkString
-      s"""WITH e AS (SELECT vec_id, label, ${sqlDarr("embedding")} AS v FROM embeddings),
+      s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
+         bands AS MATERIALIZED (
+           $bandSelects),
          pairs AS MATERIALIZED (
-           SELECT a.vec_id AS va, b.vec_id AS vb
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-                            AND b.vec_id <= a.vec_id + 25
-           WHERE ${sqlCos("a.v", "b.v")} >= 0.25),
+           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         edges AS MATERIALIZED (
+           SELECT va, vb
+           FROM pairs
+           JOIN (SELECT vec_id, v FROM e) ea ON va = ea.vec_id
+           JOIN (SELECT vec_id, v AS w FROM e) eb ON vb = eb.vec_id
+           WHERE ${sqlCos("ea.v", "eb.w")} >= 0.25),
          und AS MATERIALIZED (
-           SELECT va AS a, vb AS b FROM pairs
-           UNION ALL SELECT vb AS a, va AS b FROM pairs),
+           SELECT va AS a, vb AS b FROM edges
+           UNION ALL SELECT vb AS a, va AS b FROM edges),
          l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings)$steps
          SELECT vec_id, lbl AS cluster_rep, lbl != vec_id AS is_dup
          FROM l$rounds ORDER BY vec_id"""

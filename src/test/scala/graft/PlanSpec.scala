@@ -34,6 +34,18 @@ class PlanSpec extends SparkSpec {
       s"cosine fold leaked into the join condition: $joinLine")
   }
 
+  test("SRP-LSH candidate join is pure equi (no hyperplane dot in join condition)") {
+    // the 32 SRP dots must be projected into band keys BEFORE the
+    // bucket self-join; a dot fold leaking into the join condition
+    // would re-evaluate per candidate pair — quadratic at scale
+    val p = ops.Vectors.srpPairs(Tables.embeddings(spark, sf0001), 0.25)
+      .queryExecution.executedPlan.toString
+    for (joinLine <- p.linesIterator.filter(_.contains("Join")))
+      assert(!joinLine.contains("aggregate("),
+        s"hyperplane dot fold leaked into a join condition: $joinLine")
+    spark.catalog.clearCache() // srpPairs persists its banded relation
+  }
+
   test("salted skew join shuffles on (key, salt), never broadcasts") {
     val p = planOf("q_join_skew_salted")
     assert(p.contains("ShuffledHashJoin"), p)

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Vector-family guarantees that the driver's hash-compare can't see:
+  * SRP-LSH's similarity-preservation (the property the old id-block
+  * banding lacked), the IVF recall floor, and the sufficiency of the
+  * q_dedup_embed oracle's 10-round propagation unroll. */
+class VectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 40 deterministic filler vectors plus an exact duplicate planted
+    * at ids 3 and 480 — 477 ids apart, far beyond any id-adjacency
+    * window. Fillers are pseudo-random unit-scale sinusoids; the
+    * planted pair has cosine 1.0. */
+  private def plantedCorpus = {
+    val dup = (0 until 64).map(i => math.sin(i * 0.7 + 1).toFloat)
+    val fillers = (0 until 40).map { k =>
+      (k * 10 + 5L, k % 3, (0 until 64).map(i => math.sin(k * 64 + i * 1.3).toFloat))
+    }
+    (fillers :+ ((3L, 0, dup)) :+ ((480L, 0, dup)))
+      .toDF("vec_id", "label", "embedding")
+  }
+
+  test("SRP-LSH finds a planted far-id duplicate that id-block banding provably misses") {
+    val srp = ops.Vectors.srpPairs(plantedCorpus, 0.9)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(srp.contains((3L, 480L)),
+      s"SRP-LSH missed the planted duplicate (found: $srp)")
+    // the old candidate generator: same label, but 477 ids apart →
+    // never in the same or adjacent vec_id/25 block → structurally
+    // unable to find the pair regardless of similarity
+    val banded = ops.Vectors.bandedPairs(plantedCorpus, 0.9)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(!banded.contains((3L, 480L)),
+      "id-block banding unexpectedly found the far-id pair — this spec documents why SRP replaced it")
+  }
+
+  test("exact duplicates collide in every SRP band (recall 1 at cos = 1)") {
+    // cos = 1 → every hyperplane dot has the same sign → all 4 band
+    // keys equal; the pair is found 4 times over before dedup, so no
+    // single band's 8-bit key is load-bearing
+    val pairs = ops.Vectors.srpPairs(plantedCorpus, 0.999999)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 480L)), s"expected exactly the planted pair, got $pairs")
+  }
+
+  test("IVF recall@10 vs exact top-k stays above the documented floor") {
+    // near-random corpus = worst case for partition-pruned ANN (true
+    // neighbors spread uniformly over buckets); the observed 0.2 at
+    // sf0.001 is the tradeoff vectorIvf's scaladoc documents, pinned
+    // here so a quantizer regression (wrong bucket bits, wrong probe
+    // bucket) trips a test instead of silently returning junk
+    val exact = ops.Vectors.vectorTopk(spark, sf0001)
+      .limit(10).select("vec_id").as[Long].collect().toSet
+    val ivf = ops.Vectors.vectorIvf(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ivf).size / 10.0
+    assert(recall >= 0.1, s"IVF recall@10 = $recall < 0.1 floor (exact=$exact ivf=$ivf)")
+  }
+
+  test("q_dedup_embed oracle's 10-round unroll reaches the fixed point on testdata") {
+    // the DuckDB oracle unrolls exactly 10 propagation rounds while
+    // the engine runs Components to a fixed point; if a future fixture
+    // plants a similarity chain of diameter > 10 the two silently
+    // diverge. Re-run the oracle's exact recurrence in Spark and
+    // assert it matches the engine's fixed point.
+    val emb = Tables.embeddings(spark, sf0001)
+    val edges = ops.Vectors.srpPairs(emb, 0.25)
+    val und = edges.select($"va".as("a"), $"vb".as("b"))
+      .unionByName(edges.select($"vb".as("a"), $"va".as("b")))
+      .persist()
+    var lbl = emb.select($"vec_id", $"vec_id".as("lbl"))
+    for (_ <- 1 to 10) {
+      val nbrMin = und
+        .join(lbl.select($"vec_id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
+        .groupBy($"a").agg(min($"nlbl").as("nmin"))
+      lbl = lbl.join(nbrMin, $"vec_id" === $"a", "left")
+        .select($"vec_id", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
+        .localCheckpoint() // keep the 10-round plan shallow
+    }
+    val unrolled = lbl.as[(Long, Long)].collect().toMap
+    val engine = ops.Vectors.dedupEmbed(spark, sf0001)
+      .select("vec_id", "cluster_rep").as[(Long, Long)].collect().toMap
+    und.unpersist()
+    assert(unrolled == engine,
+      "10-round unrolled propagation diverges from the Components fixed point — raise the oracle's unroll count")
+  }
+}

@@ -39,12 +39,46 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** ST6 as a declared query: the batch face of the raw-state-API
+    * sessionization ([[Streaming.statefulSessions]]). Batch execution
+    * fires no timeouts, so each user's final (still-open) session is
+    * withheld — exactly what the streaming operator would hold in
+    * state awaiting the watermark; the oracle's QUALIFY drops the same
+    * trailing session per user. sum_value is accumulated in event-time
+    * order inside the state buffer; the 2-decimal round absorbs the
+    * cross-engine summation-order ULPs like every other double agg. */
+  def streamStateful(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Streaming.Ev]
+    Streaming.statefulSessions(ev).toDF()
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** ST7 as a declared query: the batch face of the stream-stream
+    * band join ([[Streaming.clickToPurchase]]) — click→purchase
+    * attribution within 10 minutes, both sides carved from the one
+    * events relation. The same range predicate that bounds streaming
+    * join state is what the oracle replays as a plain range join. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Streaming.clickToPurchase(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding"  -> streamSliding,
     "q_stream_session"  -> streamSession,
     "q_stream_dedup"    -> streamDedup,
     "q_stream_watermark" -> streamWatermark,
+    "q_stream_stateful" -> streamStateful,
+    "q_stream_join"     -> streamJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,6 +108,40 @@ object Events {
          SELECT a.ws, a.we, a.event_type, a.n, a.sum_value
          FROM agg a CROSS JOIN wm WHERE a.we <= wm.wm
          ORDER BY ws, event_type""",
+    // Same gaps-and-islands recurrence as q_stream_session, but the
+    // QUALIFY drops each user's LAST session — in batch execution no
+    // timeout ever fires, so the state operator never emits the
+    // still-open trailing session (see streamStateful's scaladoc)
+    "q_stream_stateful" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked),
+         agg AS (
+           SELECT user_id, min(ts) AS session_start,
+                  max(ts) + INTERVAL 30 MINUTE AS session_end,
+                  count(*) AS n_events, round(sum(value), 2) AS sum_value
+           FROM sess GROUP BY user_id, sid)
+         SELECT user_id, session_start, session_end, n_events, sum_value
+         FROM agg
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY session_start DESC) > 1
+         ORDER BY user_id, session_start""",
+    "q_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+                c.ts AS click_ts, p.ts AS purchase_ts
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY click_id, purchase_id""",
     // Gaps-and-islands: a new session starts when the gap since the
     // previous event of the same user STRICTLY exceeds 30 minutes (an
     // event at exactly gap distance merges — session_window

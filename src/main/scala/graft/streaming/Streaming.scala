@@ -98,6 +98,18 @@ object Streaming {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  /** Epoch micros of a Timestamp — `getTime` alone is millis and
+    * would silently truncate the harness's microsecond event times
+    * (the nanos field carries the sub-millisecond part). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Hand-rolled sessionization on the raw state API
     * (`flatMapGroupsWithState` + EventTimeTimeout) — what
     * `session_window` compiles to under the hood, exposed for
@@ -106,24 +118,25 @@ object Streaming {
     * later event of the same user arrives past the gap (emitted
     * immediately) or when the event-time watermark passes
     * last_ts + gap (timeout fires). State per user is one fixed-size
-    * buffer — bounded regardless of stream length.
+    * buffer — bounded regardless of stream length. All state
+    * arithmetic is in epoch MICROS, full event-time precision.
     *
     * Within a micro-batch, new events are sorted in memory: per-group
     * per-batch volume is watermark-bounded, not stream-bounded.
     * Callers must attach `withWatermark("ts", ...)` (EventTimeTimeout
     * requires it). In batch execution timeouts never fire, so each
     * user's final (still-open) session is not emitted — the streaming
-    * semantics, applied literally. */
+    * semantics, applied literally (q_stream_stateful's oracle excludes
+    * exactly those trailing sessions). */
   def statefulSessions(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[SessionBuf]) =>
           def emit(b: SessionBuf): SessionOut = SessionOut(user,
-            new java.sql.Timestamp(b.start), new java.sql.Timestamp(b.lastTs + gapMs),
-            b.n, b.sum)
+            microsTs(b.start), microsTs(b.lastTs + gapUs), b.n, b.sum)
           if (state.hasTimedOut) {
             val closed = emit(state.get)
             state.remove()
@@ -131,12 +144,12 @@ object Streaming {
           } else {
             val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
             var buf = state.getOption
-            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            it.toSeq.sortBy(e => tsMicros(e.ts)).foreach { e =>
+              val t = tsMicros(e.ts)
               buf = buf match {
                 // <= : an event at exactly gap distance merges, matching
                 // session_window (see the boundary spec)
-                case Some(b) if t - b.lastTs <= gapMs =>
+                case Some(b) if t - b.lastTs <= gapUs =>
                   Some(SessionBuf(b.start, math.max(b.lastTs, t), b.n + 1, b.sum + e.value))
                 case Some(b) =>
                   out += emit(b)
@@ -147,7 +160,9 @@ object Streaming {
             }
             buf.foreach { b =>
               state.update(b)
-              state.setTimeoutTimestamp(b.lastTs + gapMs)
+              // the timeout clock is event-time MILLIS (floor — firing
+              // 1ms early is impossible, <1ms late is irrelevant)
+              state.setTimeoutTimestamp(Math.floorDiv(b.lastTs + gapUs, 1000L))
             }
             out.iterator
           }

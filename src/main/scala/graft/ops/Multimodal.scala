@@ -1,20 +1,24 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns (north star): image/audio/video payloads as
   * opaque `binary` columns with typed metadata, plus a decode →
   * feature-extract → downsample pipeline.
   *
-  * The container has no codec libraries, so the *decode step* is a
-  * clearly-marked deterministic STUB (bytes → fake grayscale frames);
-  * everything around it — binary column construction, metadata
-  * schema, per-partition batched processing (`mapPartitions` over an
-  * iterator of fixed-size batches, the JVM analog of Arrow-batch
-  * UDFs), partition-count preservation, and the feature schema — is
-  * real Spark plumbing and is what the tests pin down.
+  * Image payloads are REAL BMPs — a pure-JVM codec ([[bmpEncode]] /
+  * [[bmpDecode]]: 24-bpp, BITMAPFILEHEADER + BITMAPINFOHEADER,
+  * bottom-up rows, 4-byte stride padding) — so the decode step for
+  * images is an actual byte-format parse whose output the DuckDB
+  * oracle reproduces from closed form (q_multimodal_decode). Audio and
+  * video payloads keep the clearly-marked deterministic STUB decode
+  * (the container has no audio/video codecs); the stub's pixel
+  * arithmetic is dyadic-exact (`byte / 256`), which is what lets even
+  * the stub pipeline hash-match an oracle. Batched `mapPartitions`
+  * (the JVM analog of Arrow-batch UDFs), partition-count preservation,
+  * and the feature schema are shared by both paths.
   *
   * Scale shape: payloads never pass through a shuffle here — decode
   * and featurize are narrow per-partition maps; only the small
@@ -22,9 +26,9 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** A media row: opaque payload + typed metadata. In the harness the
-    * payload is synthesized from `documents.text` (UTF-8 bytes) with
-    * deterministic fake dimensions derived from n_chars. */
+  /** A media row: opaque payload + typed metadata. Image rows carry a
+    * real BMP; audio/video carry UTF-8 bytes of `documents.text` with
+    * deterministic fake decode parameters derived from n_chars. */
   case class Media(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, n_frames: Int)
 
@@ -32,79 +36,192 @@ object Multimodal {
   case class FrameFeatures(media_id: Long, frame_idx: Int,
       mean_intensity: Double, n_pixels: Int)
 
-  /** Binary-column metadata extraction — fully relational, no stub:
-    * byte length, content hash, synthesized decode parameters. */
-  def multimodalMeta(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        col("n_chars"))
-      .select(
-        col("media_id"),
-        length(col("payload")).as("n_bytes"), // length(binary) = byte count
-        sha2(col("payload"), 256).as("content_hash"),
-        (lit(64) + pmod(col("n_chars"), lit(640))).cast("int").as("width"),
-        (lit(64) + pmod(col("n_chars") * 7, lit(480))).cast("int").as("height"),
-        (lit(1) + pmod(col("n_chars"), lit(8))).cast("int").as("n_frames"),
-        when(pmod(col("n_chars"), lit(3)) === 0, "video")
-          .when(pmod(col("n_chars"), lit(3)) === 1, "image")
-          .otherwise("audio").as("kind"))
-      .orderBy(col("media_id"))
+  /** Per-image features of the real-decode path: order-insensitive
+    * mean plus a position-weighted checksum that trips row-flip or
+    * stride bugs the mean cannot see. */
+  case class ImageFeatures(media_id: Long, mean_intensity: Double, checksum: Long)
 
-  /** Harness media table for the typed pipeline — one documents scan,
-    * deriving payload and metadata together (joining back through
-    * multimodalMeta would scan and encode twice and pay its sort). */
+  // ---------- pure-JVM BMP codec ----------
+
+  /** Stride of a 24-bpp BMP row: 3 bytes/pixel, rounded up to 4. */
+  private[graft] def bmpStride(w: Int): Int = (w * 3 + 3) / 4 * 4
+
+  /** Encode an 8-bit grayscale image as a real 24-bpp BMP (each
+    * channel = gray value): 14-byte file header, 40-byte info header,
+    * bottom-up rows, zero-padded stride. `gray(x, y)` is evaluated
+    * top-down row-major and masked to a byte. */
+  private[graft] def bmpEncode(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val stride = bmpStride(w)
+    val dataSize = stride * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize) // file size
+    buf.putInt(0)             // reserved
+    buf.putInt(54)            // pixel-data offset
+    buf.putInt(40)            // BITMAPINFOHEADER size
+    buf.putInt(w)
+    buf.putInt(h)             // positive height = bottom-up rows
+    buf.putShort(1)           // color planes
+    buf.putShort(24)          // bits per pixel
+    buf.putInt(0)             // BI_RGB, uncompressed
+    buf.putInt(dataSize)
+    buf.putInt(2835)          // 72 DPI
+    buf.putInt(2835)
+    buf.putInt(0)             // palette size
+    buf.putInt(0)             // important colors
+    var y = h - 1
+    while (y >= 0) {          // bottom-up
+      var x = 0
+      while (x < w) {
+        val g = (gray(x, y) & 0xFF).toByte
+        buf.put(g).put(g).put(g) // B, G, R
+        x += 1
+      }
+      var pad = stride - 3 * w
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Decoded grayscale image, row-major TOP-DOWN (the decoder un-flips
+    * the BMP's bottom-up storage). */
+  private[graft] case class BmpImage(width: Int, height: Int, gray: Array[Byte])
+
+  /** Parse a 24-bpp BMP; None on anything that isn't one (wrong
+    * signature, bpp, or truncated payload) — the dispatch signal for
+    * the stub fallback. */
+  private[graft] def bmpDecode(payload: Array[Byte]): Option[BmpImage] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    if (bpp != 24 || w <= 0 || h <= 0 || dataOff < 54) return None
+    val stride = bmpStride(w)
+    if (payload.length < dataOff + stride.toLong * h) return None
+    val gray = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val row = dataOff + (h - 1 - y) * stride // un-flip bottom-up
+      var x = 0
+      while (x < w) {
+        gray(y * w + x) = payload(row + x * 3) // blue channel
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpImage(w, h, gray))
+  }
+
+  /** The deterministic image content: gray(x, y) of media m —
+    * reproduced in closed form by the q_multimodal_decode and
+    * q_multimodal_features oracles. */
+  private def imagePixel(mediaId: Long, x: Int, y: Int): Int =
+    ((x * 7 + y * 13 + mediaId) % 256).toInt
+
+  private def imageDims(nChars: Int): (Int, Int) =
+    (16 + nChars % 48, 16 + (nChars * 5) % 48)
+
+  /** Harness media table — one documents scan. Image-kind docs are
+    * encoded as real BMPs of [[imagePixel]] content; audio/video keep
+    * text bytes + fake decode parameters (stub path). */
   def mediaTable(s: SparkSession, d: String): Dataset[Media] = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(
-        col("doc_id").as("media_id"),
-        when(pmod(col("n_chars"), lit(3)) === 0, "video")
-          .when(pmod(col("n_chars"), lit(3)) === 1, "image")
-          .otherwise("audio").as("kind"),
-        encode(col("text"), "UTF-8").as("payload"),
-        (lit(64) + pmod(col("n_chars"), lit(640))).cast("int").as("width"),
-        (lit(64) + pmod(col("n_chars") * 7, lit(480))).cast("int").as("height"),
-        (lit(1) + pmod(col("n_chars"), lit(8))).cast("int").as("n_frames"))
-      .as[Media]
+      .select(col("doc_id"), col("text"), col("n_chars").cast("int").as("nc"))
+      .as[(Long, String, Int)]
+      .map { case (id, text, nc) =>
+        nc % 3 match {
+          case 1 =>
+            val (w, h) = imageDims(nc)
+            Media(id, "image", bmpEncode(w, h, (x, y) => imagePixel(id, x, y)), w, h, 1)
+          case m =>
+            val kind = if (m == 0) "video" else "audio"
+            Media(id, kind, text.getBytes("UTF-8"),
+              64 + nc % 640, 64 + (nc * 7) % 480, 1 + nc % 8)
+        }
+      }
   }
 
-  /** STUB decode: a real implementation would hand each batch of
-    * payloads to a codec (JNI/FFI); the container has none, so frames
-    * are synthesized deterministically from payload bytes —
-    * `pixel(f, i) = payload[(f + i) mod len] / 255`. The batching,
-    * schema, and partition behavior are exactly what a real decoder
-    * would use. */
+  /** STUB decode for formats with no pure-JVM codec (audio/video): a
+    * real implementation would hand each batch to a codec (JNI/FFI);
+    * frames are synthesized deterministically from payload bytes —
+    * `pixel(f, i) = payload[(f + i) mod len] / 256`. The /256 (not
+    * /255) keeps every pixel an exact dyadic float, so frame means are
+    * exact in both engines and the stub pipeline hash-matches its
+    * oracle. The batching, schema, and partition behavior are exactly
+    * what a real decoder would use. */
   private[graft] def stubDecodeFrame(payload: Array[Byte], frameIdx: Int,
       nPixels: Int): Array[Float] = {
     val out = new Array[Float](nPixels)
     if (payload.isEmpty) return out // empty media → black frame, not % 0
     var i = 0
     while (i < nPixels) {
-      out(i) = (payload((frameIdx + i) % payload.length) & 0xFF) / 255.0f
+      out(i) = (payload((frameIdx + i) % payload.length) & 0xFF) / 256.0f
       i += 1
     }
     out
   }
 
-  /** Decode + featurize, batched per partition: sample every
-    * `frameStride`-th frame, decode (stub), emit per-frame features.
-    * `batchSize` controls how many media rows are materialized at
-    * once per partition — the Arrow-batch-shape knob. */
+  /** Decode + featurize, batched per partition: BMP payloads get the
+    * real parse (one frame, full image); everything else falls back to
+    * the stub, sampling every `frameStride`-th synthetic frame.
+    * `batchSize` controls how many media rows are materialized at once
+    * per partition — the Arrow-batch-shape knob. */
   def frameFeatures(media: Dataset[Media], frameStride: Int = 2,
       batchSize: Int = 64): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          val nPixels = math.min(m.width * m.height, 4096)
-          (0 until m.n_frames by frameStride).iterator.map { f =>
-            val px = stubDecodeFrame(m.payload, f, nPixels)
-            var sum = 0.0
-            var i = 0
-            while (i < px.length) { sum += px(i); i += 1 }
-            FrameFeatures(m.media_id, f, sum / nPixels, nPixels)
+          bmpDecode(m.payload) match {
+            case Some(img) =>
+              val n = img.width * img.height
+              var sum = 0.0
+              var i = 0
+              while (i < n) { sum += (img.gray(i) & 0xFF) / 256.0; i += 1 }
+              Iterator.single(FrameFeatures(m.media_id, 0, sum / n, n))
+            case None =>
+              val nPixels = math.min(m.width * m.height, 4096)
+              (0 until m.n_frames by frameStride).iterator.map { f =>
+                val px = stubDecodeFrame(m.payload, f, nPixels)
+                var sum = 0.0
+                var i = 0
+                while (i < px.length) { sum += px(i); i += 1 }
+                FrameFeatures(m.media_id, f, sum / nPixels, nPixels)
+              }
           }
+        }
+      }
+    }
+  }
+
+  /** Real-decode features per image: mean plus the position-weighted
+    * checksum Σ gray(i) · ((i mod 97) + 1) over top-down row-major
+    * pixels — sensitive to row order and stride handling, so an
+    * un-flip or padding bug in [[bmpDecode]] can't hide behind an
+    * order-insensitive mean. */
+  private def imageFeatures(media: Dataset[Media], batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          bmpDecode(m.payload).map { img =>
+            val n = img.width * img.height
+            var sum = 0.0
+            var chk = 0L
+            var i = 0
+            while (i < n) {
+              val g = img.gray(i) & 0xFF
+              sum += g / 256.0
+              chk += g.toLong * ((i % 97) + 1)
+              i += 1
+            }
+            ImageFeatures(m.media_id, sum / n, chk)
+          }.iterator
         }
       }
     }
@@ -133,10 +250,67 @@ object Multimodal {
     out
   }
 
+  /** Little-endian uint32 read from a binary column at 1-based byte
+    * offset — binary header fields parsed RELATIONALLY (substring →
+    * hex → conv), no UDF, fully codegen'd. */
+  private def leInt(bin: Column, off: Int): Column =
+    (0 until 4).map { k =>
+      conv(hex(substring(bin, off + k, 1)), 16, 10).cast("long") * lit(1L << (8 * k))
+    }.reduce(_ + _).cast("int")
+
+  /** Binary-column metadata catalog of [[mediaTable]] — fully
+    * relational: payload sizes (closed-form for the BMP rows), source
+    * content hash, and the decode parameters each kind advertises. */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val nc = col("n_chars")
+    val isImage = pmod(nc, lit(3)) === 1
+    val wb = (lit(16) + pmod(nc, lit(48))).cast("int")
+    val hb = (lit(16) + pmod(nc * 5, lit(48))).cast("int")
+    val stride = floor((wb * 3 + lit(3)) / 4) * 4
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        when(isImage, (lit(54) + hb * stride).cast("int"))
+          .otherwise(length(encode(col("text"), "UTF-8"))).as("n_bytes"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("content_hash"),
+        when(isImage, wb)
+          .otherwise((lit(64) + pmod(nc, lit(640))).cast("int")).as("width"),
+        when(isImage, hb)
+          .otherwise((lit(64) + pmod(nc * 7, lit(480))).cast("int")).as("height"),
+        when(isImage, lit(1))
+          .otherwise((lit(1) + pmod(nc, lit(8))).cast("int")).as("n_frames"),
+        when(pmod(nc, lit(3)) === 0, "video")
+          .when(isImage, "image")
+          .otherwise("audio").as("kind"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The real-decode round trip, oracle-checked end to end: BMPs are
+    * encoded by [[mediaTable]], their headers parsed back RELATIONALLY
+    * ([[leInt]] on the binary column), their pixels parsed back in the
+    * typed batched map — while DuckDB recomputes width/height/n_bytes/
+    * mean/checksum from n_chars and the [[imagePixel]] closed form. A
+    * wrong stride, a forgotten bottom-up un-flip, or a bad header
+    * offset each breaks a different column. The media table persists:
+    * it feeds the header parse and the pixel decode. */
+  def multimodalDecode(s: SparkSession, d: String): DataFrame = {
+    val imgs = mediaTable(s, d).filter(_.kind == "image").persist()
+    val header = imgs.toDF().select(
+      col("media_id"),
+      length(col("payload")).as("n_bytes"),
+      leInt(col("payload"), 19).as("width"),  // biWidth at byte offset 18
+      leInt(col("payload"), 23).as("height")) // biHeight at byte offset 22
+    header.join(imageFeatures(imgs).toDF()
+        .withColumn("mean_intensity", round(col("mean_intensity"), 6)),
+        Seq("media_id"))
+      .orderBy(col("media_id"))
+  }
+
   /** Aggregated features per media item — the relational face of the
-    * typed pipeline, used as the declared query. */
+    * typed pipeline over ALL kinds: real BMP decode for images, stub
+    * frames for audio/video. Dyadic-exact pixel arithmetic makes even
+    * the stub means hash-comparable. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     frameFeatures(mediaTable(s, d)).toDF()
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_sampled_frames"),
@@ -146,21 +320,68 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"     -> multimodalMeta,
+    "q_multimodal_decode"   -> multimodalDecode,
     "q_multimodal_features" -> multimodalFeatures,
   )
 
   val oracles: Map[String, String] = Map(
-    // Metadata extraction is pure SQL; the typed decode pipeline
-    // (q_multimodal_features) is stub-backed and golden-tested instead.
+    // the catalog: image rows advertise the BMP's real parameters
+    // (dims, closed-form file size), audio/video the stub's synthetic
+    // ones; content hash is always of the SOURCE text
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
-         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         CAST(CASE WHEN n_chars % 3 = 1
+              THEN 54 + (16 + (n_chars * 5) % 48) * (((16 + n_chars % 48) * 3 + 3) // 4 * 4)
+              ELSE octet_length(encode(text)) END AS INT) AS n_bytes,
          sha256(text) AS content_hash,
-         CAST(64 + n_chars % 640 AS INT) AS width,
-         CAST(64 + (n_chars * 7) % 480 AS INT) AS height,
-         CAST(1 + n_chars % 8 AS INT) AS n_frames,
+         CAST(CASE WHEN n_chars % 3 = 1 THEN 16 + n_chars % 48
+              ELSE 64 + n_chars % 640 END AS INT) AS width,
+         CAST(CASE WHEN n_chars % 3 = 1 THEN 16 + (n_chars * 5) % 48
+              ELSE 64 + (n_chars * 7) % 480 END AS INT) AS height,
+         CAST(CASE WHEN n_chars % 3 = 1 THEN 1
+              ELSE 1 + n_chars % 8 END AS INT) AS n_frames,
          CASE WHEN n_chars % 3 = 0 THEN 'video'
               WHEN n_chars % 3 = 1 THEN 'image' ELSE 'audio' END AS kind
          FROM documents ORDER BY media_id""",
+    // closed-form reproduction of the BMP round trip: dims and file
+    // size from n_chars, mean and position-weighted checksum from the
+    // imagePixel formula over top-down row-major pixel indices
+    "q_multimodal_decode" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id, CAST(n_chars AS INT) AS nc FROM documents
+           WHERE n_chars % 3 = 1),
+         dims AS (
+           SELECT media_id, 16 + nc % 48 AS w, 16 + (nc * 5) % 48 AS h FROM d)
+         SELECT media_id,
+           CAST(54 + h * ((w * 3 + 3) // 4 * 4) AS INT) AS n_bytes,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           round(list_aggregate(list_transform(range(0, w * h),
+             i -> (((i % w) * 7 + (i // w) * 13 + media_id) % 256) / 256.0), 'avg'), 6)
+             AS mean_intensity,
+           CAST(list_aggregate(list_transform(range(0, w * h),
+             i -> (((i % w) * 7 + (i // w) * 13 + media_id) % 256) * ((i % 97) + 1)), 'sum')
+             AS BIGINT) AS checksum
+         FROM dims ORDER BY media_id""",
+    // both decode paths in closed form: images = mean of imagePixel
+    // over the single real frame; audio/video = mean over sampled stub
+    // frames of text-byte pixels (ASCII corpus: char position = byte
+    // position; nPixels = min(w*h, 4096) = 4096 since w,h >= 64; /256.0
+    // keeps every term dyadic-exact so the averages match bit-for-bit)
+    "q_multimodal_features" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id, text, CAST(n_chars AS INT) AS nc FROM documents)
+         SELECT media_id,
+           CAST(CASE WHEN nc % 3 = 1 THEN 1
+                ELSE ((1 + nc % 8) + 1) // 2 END AS BIGINT) AS n_sampled_frames,
+           round(CASE WHEN nc % 3 = 1 THEN
+             list_aggregate(list_transform(range(0, (16 + nc % 48) * (16 + (nc * 5) % 48)),
+               i -> (((i % (16 + nc % 48)) * 7 + (i // (16 + nc % 48)) * 13 + media_id) % 256) / 256.0), 'avg')
+           ELSE
+             list_aggregate(list_transform(range(0, 1 + nc % 8, 2), f ->
+               list_aggregate(list_transform(range(0, 4096),
+                 i -> ord(substr(text, ((f + i) % nc) + 1, 1)) / 256.0), 'avg')), 'avg')
+           END, 6) AS avg_intensity
+         FROM d ORDER BY media_id""",
   )
 }

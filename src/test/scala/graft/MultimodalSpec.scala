@@ -4,14 +4,47 @@ import graft.ops.Multimodal
 import graft.ops.Multimodal.Media
 import org.apache.spark.sql.functions.col
 
-/** Pins the multimodal plumbing: schema, batch shape, determinism,
-  * frame sampling, and the pooling kernel. The decode itself is a
-  * documented stub (no codecs in the container). */
+/** Pins the multimodal plumbing: the pure-JVM BMP codec round trip,
+  * dispatch between real decode and the stub fallback, schema, batch
+  * shape, determinism, frame sampling, and the pooling kernel. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private def media(id: Long, text: String, w: Int, h: Int, f: Int) =
-    Media(id, "image", text.getBytes("UTF-8"), w, h, f)
+    Media(id, "audio", text.getBytes("UTF-8"), w, h, f)
+
+  test("BMP codec round-trips pixels exactly, including padded strides") {
+    // w = 3 and w = 5 exercise nonzero stride padding (9→12, 15→16)
+    for ((w, h) <- Seq((3, 2), (5, 4), (4, 4), (16, 1), (1, 7))) {
+      val src = (x: Int, y: Int) => (x * 31 + y * 17 + 5) % 256
+      val img = Multimodal.bmpDecode(Multimodal.bmpEncode(w, h, src))
+        .getOrElse(fail(s"decode failed for ${w}x$h"))
+      assert(img.width == w && img.height == h)
+      val expected = for (y <- 0 until h; x <- 0 until w) yield src(x, y).toByte
+      assert(img.gray.toSeq == expected, s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("BMP decode rejects non-BMP payloads (stub dispatch signal)") {
+    assert(Multimodal.bmpDecode("not a bitmap at all".getBytes).isEmpty)
+    assert(Multimodal.bmpDecode(Array[Byte]('B', 'M')).isEmpty)
+    // truncated: valid header, missing pixel rows
+    val full = Multimodal.bmpEncode(8, 8, (x, y) => x + y)
+    assert(Multimodal.bmpDecode(full.take(60)).isEmpty)
+  }
+
+  test("frameFeatures real-decodes BMP media and stub-decodes the rest") {
+    val bmp = Multimodal.bmpEncode(4, 2, (x, y) => 64) // constant gray 64
+    val ds = Seq(
+      Media(1L, "image", bmp, 4, 2, 1),
+      media(2L, "abcdefgh", 4, 4, 1)).toDS()
+    val out = Multimodal.frameFeatures(ds).collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    // real path: 8 pixels, exact mean 64/256
+    assert(out(0).n_pixels == 8 && out(0).mean_intensity == 0.25)
+    // stub path: 16 pixels of text bytes
+    assert(out(1).n_pixels == 16)
+  }
 
   test("frame features: stride sampling and deterministic stub decode") {
     val ds = Seq(

@@ -172,6 +172,24 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact twin of [[aggApprox]] — the same groups and measures with
+    * exact algorithms (expand-based COUNT DISTINCT, interpolated
+    * percentiles). Declared as its own oracle-checked query so the
+    * sketch query's no-oracle row is bounded by a green one:
+    * RelationalSpec asserts |approx − exact| within the sketches'
+    * stated error on every group. At scale the trade is explicit —
+    * this twin shuffles the full distinct key sets and sorts for the
+    * percentile; the sketch version moves O(k) state per group. */
+  def aggApproxExact(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("exact_median_price"),
+        round(expr("percentile(l_extendedprice, 0.99D)"), 2).as("exact_p99_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Pivot (wide aggregation): per-user event counts, one column per
     * event_type. Values are enumerated explicitly — at scale an
     * unlisted pivot first runs a distinct scan to discover columns,
@@ -275,6 +293,7 @@ object Relational {
     "q_agg_collect"       -> aggCollect,
     "q_agg_salted"        -> aggSalted,
     "q_agg_approx"        -> aggApprox,
+    "q_agg_approx_exact"  -> aggApproxExact,
     "q_pivot"             -> pivot,
     "q_join_cross"        -> joinCross,
     "q_sample"            -> sample,
@@ -308,6 +327,13 @@ object Relational {
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_agg_approx_exact" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS exact_orders,
+         count(DISTINCT l_partkey) AS exact_parts,
+         round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median_price,
+         round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // Spark's skewness/kurtosis are population moments (m3/m2^1.5,
     // m4/m2^2-3); DuckDB's are sample-corrected, so recompute from
     // centered deltas.

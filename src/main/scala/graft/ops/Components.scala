@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components by min-label propagation with pointer
@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   * pointer-jump — `comp ← label(comp)` — halves label-chain depth,
   * so rounds needed are O(log diameter), not O(diameter): a 1M-hop
   * chain converges in ~20 rounds. Per-node state is one label, the
-  * widest row is O(1). Convergence is detected by an accumulator
-  * filled while the round's localCheckpoint job streams the labels
-  * past — one job per round, not checkpoint + a separate scan; if
+  * widest row is O(1). Convergence is detected by an `observe()`
+  * metric collected while the round's localCheckpoint job streams the
+  * labels past — one job per round, not checkpoint + a separate scan; if
   * `maxIterations` is somehow exhausted first the run FAILS LOUDLY
   * rather than returning silently-split components.
   */
@@ -52,22 +52,21 @@ object Components {
           (col("changed") || col("jcomp") < col("comp")).as("changed"))
       // count changed labels as the checkpoint job streams rows past —
       // piggybacking on the materialization instead of a second
-      // filter/isEmpty job halves the actions per round. Task retries
-      // can only overcount, and the test is ==0, so a retry can't fake
-      // convergence; an undercount is impossible (every partition runs
-      // to success exactly once in the checkpoint job).
-      val acc = jumped.sparkSession.sparkContext.longAccumulator(s"graft.cc.changed.$iter")
-      val changedIdx = jumped.schema.fieldIndex("changed")
-      val counted = jumped.map { r =>
-        // `changed` is null when a node has no inbound neighbor (null OR
-        // false folds to null) — that means unchanged
-        if (!r.isNullAt(changedIdx) && r.getBoolean(changedIdx)) acc.add(1L)
-        r
-      }(Encoders.row(jumped.schema))
+      // filter/isEmpty job halves the actions per round. observe()
+      // attaches a CollectMetrics node to the SAME action with no
+      // encoder boundary (the old Dataset.map + Encoders.row paid a
+      // full deserialize/serialize round trip per row), and its
+      // metrics are exactly-once per execution — a task retry can't
+      // even overcount. `changed` is null when a node has no inbound
+      // neighbor (null OR false folds to null) — that means unchanged,
+      // and when() skips it.
+      val obs = Observation(s"graft.cc.changed.$iter")
       val prev = labels
-      labels = counted.localCheckpoint()
+      labels = jumped
+        .observe(obs, sum(when(col("changed"), 1L)).as("n_changed"))
+        .localCheckpoint()
       prev.unpersist() // cap checkpoint residency at 2 label tables
-      converged = acc.value == 0L
+      converged = Option(obs.get("n_changed")).forall(_ == 0L)
       labels = labels.select(col("node"), col("comp"))
     }
     und.unpersist()

@@ -57,6 +57,10 @@ object Bench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = exec(name, fn)
+      // caches persisted during the timed run must not stay registered
+      // into the NEXT query's warmups (they'd hold executor memory and
+      // skew JIT behavior at large SFs)
+      spark.catalog.clearCache()
       // a failed query must not report a (tiny) elapsed time as if it ran
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

@@ -34,8 +34,16 @@ object Tables {
     * [[Verify]]/[[Bench]]/the test harness set it at construction, so
     * for them this is a no-op. */
   def events(s: SparkSession, d: String): DataFrame = {
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") match {
+      case None => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      case Some("true") => // already usable
+      case Some(other) =>
+        // never silently clobber an explicit user choice — the read
+        // genuinely requires the legacy mode, so say so instead
+        throw new IllegalStateException(
+          s"events() requires spark.sql.legacy.parquet.nanosAsLong=true to read " +
+            s"TIMESTAMP(NANOS) parquet, but the session explicitly sets it to '$other'")
+    }
     read(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

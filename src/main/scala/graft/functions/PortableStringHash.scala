@@ -44,7 +44,16 @@ case class PortableStringHash(child: Expression, mod: Long)
     * sequences decode to the supplementary code point directly, which
     * is exactly what `String.codePointAt` yields over its surrogate
     * pair — parity with the HOF fold is spec-pinned on ASCII,
-    * multi-byte, and empty inputs. */
+    * multi-byte, and empty inputs.
+    *
+    * CONTRACT: parity holds for VALID UTF-8 only. On malformed bytes
+    * this fold consumes the raw sequence (truncated tails consume what
+    * remains), while the HOF path goes through java.lang.String where
+    * malformed input becomes U+FFFD — the two renderings diverge
+    * there by design. Spark string columns are valid UTF-8 by
+    * construction (parquet/CSV readers validate or replace at ingest),
+    * so the divergence is unreachable from any declared query; feeding
+    * raw binary through this expression is out of contract. */
   def hash(s: UTF8String): Long = {
     val nb = s.numBytes()
     var acc = 0L

@@ -8,7 +8,18 @@ import org.apache.spark.sql.SparkSession
   * Queries execute through the `noop` sink, not `count()` — count lets
   * Catalyst eliminate order-insensitive operators (EliminateSorts
   * would drop the flagship global sort entirely), while noop executes
-  * the full physical plan and discards rows at the sink. */
+  * the full physical plan and discards rows at the sink.
+  *
+  * Scaling evidence: after the primary suite, the same queries run
+  * once more against a smaller sibling scale factor (sf0.1 → sf0.01)
+  * and the line carries both totals plus per-query time ratios — the
+  * measured answer to "does this plan's cost grow worse than the
+  * data?". Queries whose ratio exceeds the SF ratio (with headroom
+  * for noise) are listed under `superlinear`. Fixed per-query job
+  * overhead (~0.1 s) deflates ratios, so a flagged query is genuinely
+  * growing faster than its input. Disable with
+  * SPARK_GRAFT_SCALE_CHECK=0 (dev loops); SPARK_GRAFT_SF_SMALL
+  * overrides the sibling dir. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,8 +33,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+    def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Boolean =
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         false
@@ -46,33 +58,64 @@ object Bench {
     }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val warmups = if (iterative(name)) 2 else 1
-      (1 to warmups).foreach(_ => exec(name, fn)) // untimed: JIT/codegen/scan-index
-      // queries that persist() an intermediate register it in the
-      // CacheManager under the canonicalized plan; the timed run would
-      // silently reuse the warmup's materialized cache and measure
-      // cache scans instead of the query. Timed runs pay their own
-      // cache build — the honest single-execution cost.
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok = exec(name, fn)
-      // caches persisted during the timed run must not stay registered
-      // into the NEXT query's warmups (they'd hold executor memory and
-      // skew JIT behavior at large SFs)
-      spark.catalog.clearCache()
-      // a failed query must not report a (tiny) elapsed time as if it ran
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    def runSuite(dir: String): Seq[(String, Double)] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val warmups = if (iterative(name)) 2 else 1
+        (1 to warmups).foreach(_ => exec(name, fn, dir)) // untimed: JIT/codegen/scan-index
+        // queries that persist() an intermediate register it in the
+        // CacheManager under the canonicalized plan; the timed run would
+        // silently reuse the warmup's materialized cache and measure
+        // cache scans instead of the query. Timed runs pay their own
+        // cache build — the honest single-execution cost.
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok = exec(name, fn, dir)
+        // caches persisted during the timed run must not stay registered
+        // into the NEXT query's warmups (they'd hold executor memory and
+        // skew JIT behavior at large SFs)
+        spark.catalog.clearCache()
+        // a failed query must not report a (tiny) elapsed time as if it ran
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    val results = runSuite(sfDir)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // ---- scaling pass on the smaller sibling SF ----
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL",
+      sfDir.replace("sf0.1", "sf0.01"))
+    val scaleCheckOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK", "1") != "0" &&
+      smallDir != sfDir && new java.io.File(smallDir).isDirectory
+    val scaleJson = if (!scaleCheckOn) "" else {
+      val small = runSuite(smallDir)
+      val smallTotal = small.map(_._2).filter(_ >= 0).sum
+      val smallMap = small.toMap
+      val ratios = results.flatMap { case (k, v) =>
+        smallMap.get(k).collect {
+          case s if s > 0 && v > 0 => k -> v / s
+        }
+      }
+      // sf0.1 holds ~10x the rows of sf0.01 (per-table growth varies
+      // 4-10x); a ratio beyond 12 means cost grew faster than any
+      // input did — the shape to fix before a 100 TB run
+      val superlinear = ratios.collect { case (k, r) if r > 12.0 => "\"" + k + "\"" }
+      val slopes = ratios.map { case (k, r) => "\"" + k + "\":" + math.round(r * 100) / 100.0 }
+        .mkString("{", ",", "}")
+      s""","scale_check":{"sf_small":"$smallDir","total_small":$smallTotal,""" +
+        s""""queries_small":${jsonMap(small)},"slope_vs_small":$slopes,""" +
+        s""""superlinear":[${superlinear.mkString(",")}]}"""
+    }
+
     // machine-load context: same-query timings on this box swing ±30%,
     // so record the 1-min load average alongside the numbers
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"load_avg":$load,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"failed":[${failed.mkString(",")}],"load_avg":$load,"sf":"$sfDir"$scaleJson}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, PortableStringHash}
+import graft.functions.{CosineSimilarity, PortableStringHash, SrpBandKeys}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.LongType
 
@@ -38,6 +38,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"portable_hash mod must be an integer literal, got $other")
         }
         PortableStringHash(args.head, mod)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("srp_band_keys"),
+      new ExpressionInfo(classOf[SrpBandKeys].getName, "srp_band_keys"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"srp_band_keys expects (vec, nBands, bitsPerBand), got ${args.length} args")
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(m: Int, _) => m
+          case other => throw new IllegalArgumentException(
+            s"srp_band_keys $what must be an integer literal, got $other")
+        }
+        SrpBandKeys(args.head, intLit(args(1), "nBands"), intLit(args(2), "bitsPerBand"))
       }))
   }
 }

@@ -117,25 +117,30 @@ object Vectors {
   private def dotPlane(v: Column, j: Int): Column =
     fold(zip_with(v, hplane(j), (x, h) => x * h))
 
-  /** Band b's key: 8 sign-bits of hyperplane dots, packed little-endian.
-    * Left-fold dots with init 0.0 keep the doubles bit-identical to
-    * DuckDB's `list_reduce`, so the sign — and therefore the bucket —
-    * can never straddle engines. */
-  private def bandKey(v: Column, b: Int): Column =
+  /** Band b's key, HOF rendering: 8 sign-bits of hyperplane dots,
+    * packed little-endian. Left-fold dots with init 0.0 keep the
+    * doubles bit-identical to DuckDB's `list_reduce`, so the sign —
+    * and therefore the bucket — can never straddle engines. Kept as
+    * the reference semantics the native [[graft.functions.SrpBandKeys]]
+    * expression must match (VectorsSpec parity test); production goes
+    * through the fused expression. */
+  private[graft] def bandKeyHof(v: Column, b: Int): Column =
     (0 until BitsPerBand).map { t =>
       when(dotPlane(v, b * BitsPerBand + t) > 0, lit(1 << t)).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 
   /** SRP-LSH candidate pairs over any `(vec_id, v)` relation: explode
     * each vector into its (band, key) buckets, self-join pure-equi on
-    * the bucket, dedup pairs found by several bands. The banded
-    * relation persists — it feeds both self-join sides, and the 32
-    * interpreted HOF dots are the expensive part of the row. At scale
-    * the bucket is a shuffle key: candidates are bounded by bucket
-    * sizes (the LSH guarantee), never by a quadratic blow-up. */
+    * the bucket, dedup pairs found by several bands. Band keys come
+    * from the codegen'd [[graft.functions.SrpBandKeys]] — all 32
+    * hyperplane dots in one fused pass instead of 32 interpreted HOF
+    * folds. The banded relation persists — it feeds both self-join
+    * sides. At scale the bucket is a shuffle key: candidates are
+    * bounded by bucket sizes (the LSH guarantee), never by a
+    * quadratic blow-up. */
   private def srpCandidates(e: DataFrame): DataFrame = {
     val banded = e.select(col("vec_id"),
-        posexplode(array((0 until NBands).map(b => bandKey(col("v"), b)): _*))
+        posexplode(graft.functions.SrpBandKeys.srpBandKeys(col("v"), NBands, BitsPerBand))
           .as(Seq("band", "bkey")))
       .persist()
     val probe = banded.select(col("vec_id").as("va"), col("band"), col("bkey"))

@@ -45,6 +45,26 @@ class VectorsSpec extends SparkSpec {
     assert(pairs == Set((3L, 480L)), s"expected exactly the planted pair, got $pairs")
   }
 
+  test("native srp_band_keys is bit-identical to the HOF fold rendering") {
+    // the production path (one fused pass, codegen'd) vs the reference
+    // HOF semantics (32 interpreted aggregate/zip_with folds): same
+    // doubles, same signs, same packed keys — on real testdata AND the
+    // planted corpus (which exercises the all-bits-agree case)
+    for (df <- Seq(
+        Tables.embeddings(spark, sf0001).select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("v")),
+        plantedCorpus.select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("v")))) {
+      val native = df.select($"vec_id",
+        graft.functions.SrpBandKeys.srpBandKeys($"v", 4, 8).as("keys"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val hof = df.select($"vec_id",
+        array((0 until 4).map(b => ops.Vectors.bandKeyHof($"v", b)): _*).as("keys"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(native == hof)
+    }
+  }
+
   test("IVF recall@10 vs exact top-k stays above the documented floor") {
     // near-random corpus = worst case for partition-pruned ANN (true
     // neighbors spread uniformly over buckets); the observed 0.2 at

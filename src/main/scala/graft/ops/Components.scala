@@ -26,10 +26,19 @@ object Components {
   /** `edges(src, dst)` of any orderable key type → `(node, comp)`
     * where comp = min node id reachable. */
   def connectedComponents(edges: DataFrame, maxIterations: Int = 25): DataFrame = {
+    // localCheckpoint, not persist: the caller's edge list can be an
+    // arbitrarily deep pipeline (LSH banding is a DAG of self-joins),
+    // and every round's plan would re-embed that DAG several times
+    // (und feeds one side of each round's joins). Catalyst multiplies
+    // size estimates across every embedded join, so keeping the deep
+    // plan around makes both the optimizer work and the estimates grow
+    // with the producer pipeline. Truncating the lineage here makes
+    // every round's logical plan O(1) deep regardless of how the
+    // edges were produced.
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = und.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint()
@@ -44,7 +53,12 @@ object Components {
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (col("nbr_comp") < col("comp")).as("changed"))
-      // (2) pointer jump: comp ← label(comp), halving chain depth
+      // (2) pointer jump: comp ← label(comp), halving chain depth.
+      // Exactly ONE jump per round: a second jump (quartering depth)
+      // was measured slower end-to-end — the extra self-join per round
+      // costs more than the rounds it saves on every corpus tried,
+      // because per-round cost is dominated by the two joins already
+      // present, not by round count.
       val jumpSrc = stepped.select(col("node").as("jnode"), col("comp").as("jcomp"))
       val jumped = stepped.join(jumpSrc, col("comp") === col("jnode"), "left")
         .select(col("node"),
@@ -62,14 +76,21 @@ object Components {
       // and when() skips it.
       val obs = Observation(s"graft.cc.changed.$iter")
       val prev = labels
-      labels = jumped
-        .observe(obs, sum(when(col("changed"), 1L)).as("n_changed"))
-        .localCheckpoint()
+      // freshLeaf: Spark 4's localCheckpoint PRESERVES the source
+      // plan's stats estimate, and the two self-joins above square it
+      // — left alone, the estimate compounds ~4x per round and the
+      // driver ends up grinding BigInteger stats math instead of
+      // running jobs (measured: 611 bits → 728k bits by round 6).
+      // Re-wrapping the checkpointed RDD as a fresh leaf resets the
+      // estimate each round at zero execution cost.
+      labels = org.apache.spark.sql.GraftColumnBridge.freshLeaf(
+        jumped
+          .observe(obs, sum(when(col("changed"), 1L)).as("n_changed"))
+          .localCheckpoint())
       prev.unpersist() // cap checkpoint residency at 2 label tables
       converged = Option(obs.get("n_changed")).forall(_ == 0L)
       labels = labels.select(col("node"), col("comp"))
     }
-    und.unpersist()
     if (!converged) {
       labels.unpersist()
       throw new IllegalStateException(

@@ -14,4 +14,25 @@ object GraftColumnBridge {
 
   def wrap1(a: Column)(f: Expression => Expression): Column =
     ExpressionUtils.column(f(ExpressionUtils.expression(a)))
+
+  /** Rebuild a (typically just-checkpointed) DataFrame as a fresh leaf
+    * over the SAME execution RDD, discarding inherited statistics.
+    *
+    * Spark 4's `Dataset.localCheckpoint` truncates the lineage but
+    * PRESERVES the source plan's stats estimate in the new
+    * `LogicalRDD`. In an iterative algorithm that self-joins the
+    * loop-carried relation (pointer-jumping CC), each round's estimate
+    * is a product over the previous round's — the estimate compounds
+    * exponentially, and after ~7 rounds the driver spends its time in
+    * BigInteger math inside stats visitors (observed: minutes inside
+    * `InjectRuntimeFilter` before any job started). Re-wrapping through
+    * `internalCreateDataFrame` (private[sql], hence this bridge) keeps
+    * the materialized RDD — no recompute, no extra job — but resets
+    * stats to the conservative leaf default, making every round's
+    * estimate O(1)-sized. */
+  def freshLeaf(df: Dataset[Row]): Dataset[Row] = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

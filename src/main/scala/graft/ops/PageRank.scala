@@ -107,7 +107,11 @@ object PageRank {
       ranks = contribs.groupBy(col("dst"))
         .agg((lit(0.15) + lit(0.85) * sum(col("contrib"))).as("pr"))
         .select(col("dst").as("node"), col("pr"))
-      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+      // freshLeaf: localCheckpoint preserves the source plan's stats
+      // estimate into the LogicalRDD; resetting it keeps iteration
+      // plans' estimates O(1)-sized (see GraftColumnBridge.freshLeaf)
+      if (i % 3 == 0 || i == iterations)
+        ranks = org.apache.spark.sql.GraftColumnBridge.freshLeaf(ranks.localCheckpoint())
     }
     // ranks is checkpointed (no lineage back to the invariants) —
     // release them instead of leaking cache entries per run
@@ -170,8 +174,10 @@ object PageRank {
       // (contribs and the dangling-mass aggregate): left lazy, the
       // shared subplan re-executes per consumer and the plan fans out
       // ~2^k between checkpoints (measured 18 s vs ~7 s at sf0.1), so
-      // materialize every iteration
-      ranks = ranks.localCheckpoint()
+      // materialize every iteration. freshLeaf because the 2-consumer
+      // shape also DOUBLES the checkpoint-inherited stats estimate per
+      // iteration (see GraftColumnBridge.freshLeaf).
+      ranks = org.apache.spark.sql.GraftColumnBridge.freshLeaf(ranks.localCheckpoint())
     }
     e.unpersist(); withDeg.unpersist(); nodes.unpersist(); dangling.unpersist()
     ranks

@@ -77,6 +77,14 @@ class VectorsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     val recall = (exact & ivf).size / 10.0
     assert(recall >= 0.1, s"IVF recall@10 = $recall < 0.1 floor (exact=$exact ivf=$ivf)")
+    // multi-probe (query bucket + 3 Hamming-1 neighbors, 4/8 scan
+    // fraction) must clearly beat single-probe — observed 0.6 vs 0.2
+    val probe = ops.Vectors.vectorIvfProbe(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSet
+    val probeRecall = (exact & probe).size / 10.0
+    assert(probeRecall >= 0.5,
+      s"multi-probe IVF recall@10 = $probeRecall < 0.5 floor (exact=$exact probe=$probe)")
+    assert(probeRecall >= recall, "multi-probe must never lose to single-probe")
   }
 
   test("q_dedup_embed oracle's 10-round unroll reaches the fixed point on testdata") {

@@ -31,4 +31,18 @@ object Sources {
     readCsv(s, inPath)
       .orderBy(sortCols.map(c => col(c).asc): _*)
       .write.option("header", "true").mode("overwrite").csv(outPath)
+
+  /** JSON-lines scan with an EXPLICIT schema (the canonical LLM-corpus
+    * interchange format). No inference: at 100 TB an inference pass is
+    * a full extra read, and a drifting inferred schema is a silent
+    * contract change — the schema is an argument, corrupt rows land in
+    * PERMISSIVE-mode nulls rather than killing the job. */
+  def readJsonl(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** JSON-lines sink — one object per line, written per-partition in
+    * parallel like every other sink. */
+  def writeJsonl(df: DataFrame, outPath: String): Unit =
+    df.write.mode("overwrite").json(outPath)
 }

@@ -79,6 +79,38 @@ class SourcesSpec extends SparkSpec {
       src.agg(sum(col("l_quantity"))).collect().head.getDouble(0))
   }
 
+  test("jsonl round-trips with explicit schema; corrupt lines become nulls, not failures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile
+    try {
+      val out = s"${dir.getAbsolutePath}/docs"
+      val src = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("source"), col("n_chars")).limit(50)
+      ops.Sources.writeJsonl(src, out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING, n_chars BIGINT")
+      val back = ops.Sources.readJsonl(spark, out, schema)
+      assert(back.schema == schema, "explicit schema must be taken verbatim, not inferred")
+      val a = src.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = back.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(a == b, "jsonl round trip changed values")
+      // PERMISSIVE default: a malformed line yields a null row, the
+      // 100 TB-friendly contract (one bad record must not kill a job)
+      val badFile = new java.io.File(dir, "bad/part-00000.json")
+      badFile.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(badFile.toPath,
+        """{"doc_id": 1, "source": "web", "n_chars": 10}
+          |this is not json
+          |""".stripMargin)
+      val mixed = ops.Sources.readJsonl(spark, badFile.getParent, schema)
+      assert(mixed.count() == 2 && mixed.filter(col("doc_id").isNull).count() == 1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("ArrayMean aggregator matches the hand-computed gradient mean") {
     val grads = spark.read.json(getClass.getResource("/grads_tiny.json").getPath)
       .select(col("worker_id"), col("param_id"), col("grad").cast("array<double>").as("grad"))

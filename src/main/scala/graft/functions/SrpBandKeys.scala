@@ -27,7 +27,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Degenerate inputs mirror the HOF fold: a vector that isn't exactly
   * 64 elements, or has a null element, zeroes every dot in the HOF
   * rendering (`zip_with` pads with null → null product → null sum →
-  * `when(null > 0)` → 0), so here too the keys are all zero. */
+  * `when(null > 0)` → 0), so here too the keys are all zero. The one
+  * deliberate divergence: a NULL input column yields NULL here (the
+  * UnaryExpression null contract) where the HOF stack yields
+  * `[0,0,0,0]` — on the declared domain (embeddings are non-null by
+  * schema) the two are indistinguishable, and NULL-in → NULL-out is
+  * the saner library contract. */
 case class SrpBandKeys(child: Expression, nBands: Int, bitsPerBand: Int)
     extends UnaryExpression {
 

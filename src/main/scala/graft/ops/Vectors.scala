@@ -67,7 +67,7 @@ object Vectors {
     * non-codegen) cosine fold only ever runs on banded candidates
     * instead of inside the join condition for every label-pair. */
   def vectorPairs(s: SparkSession, d: String): DataFrame =
-    bandedPairs(Tables.embeddings(s, d), 0.25)
+    bandedPairs(Tables.embeddings(s, d), MinCos)
       .orderBy(col("va"), col("vb"))
 
   /** Core banded pair generation over any `(vec_id, label, embedding)`
@@ -103,6 +103,11 @@ object Vectors {
     * same bucket no matter how far apart their ids are. */
   private val NBands = 4
   private val BitsPerBand = 8
+
+  /** Cosine floor shared by q_vector_pairs and q_dedup_embed — one val
+    * so the Spark queries and the generated oracle SQL can never
+    * drift (the lockstep-constant rule). */
+  private val MinCos = 0.25
 
   /** Hyperplane j as a deterministic rational literal —
     * h_j(i) = (((i·(j+2) + j²+1) mod 37) − 18) / 18, i ∈ [0, 64).
@@ -178,7 +183,7 @@ object Vectors {
     * sweep runs the same mechanics at ≥0.9 where per-pair recall is
     * ≥ 93%. Oracle = the same 32 hyperplane dots, bands, pairs, and
     * a 10-round unrolled min-label propagation in DuckDB. */
-  def dedupEmbed(s: SparkSession, d: String, minCos: Double = 0.25): DataFrame = {
+  def dedupEmbed(s: SparkSession, d: String, minCos: Double = MinCos): DataFrame = {
     val edges = srpPairs(Tables.embeddings(s, d), minCos)
       .select(col("va").as("src"), col("vb").as("dst"))
     val comps = Components.connectedComponents(edges)
@@ -270,7 +275,7 @@ object Vectors {
                 ${sqlCos("a.v", "b.v")} AS cos
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
                           AND b.vec_id <= a.vec_id + 25
-         WHERE ${sqlCos("a.v", "b.v")} >= 0.25
+         WHERE ${sqlCos("a.v", "b.v")} >= $MinCos
          ORDER BY va, vb""",
     // SRP-LSH rendered verbatim in SQL: the same 32 hyperplane dots
     // (integer literals + one double division → bit-identical sign
@@ -309,7 +314,7 @@ object Vectors {
            FROM pairs
            JOIN (SELECT vec_id, v FROM e) ea ON va = ea.vec_id
            JOIN (SELECT vec_id, v AS w FROM e) eb ON vb = eb.vec_id
-           WHERE ${sqlCos("ea.v", "eb.w")} >= 0.25),
+           WHERE ${sqlCos("ea.v", "eb.w")} >= $MinCos),
          und AS MATERIALIZED (
            SELECT va AS a, vb AS b FROM edges
            UNION ALL SELECT vb AS a, va AS b FROM edges),

@@ -487,6 +487,27 @@ object Text {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("len_bucket"))
 
+  /** Context-window chunking with overlap (T13) — the step that turns
+    * cleaned documents into training sequences: fixed 256-char windows
+    * striding by 192 (64-char overlap so no boundary context is lost).
+    * A pure narrow explode: one output row per (doc, window start), no
+    * shuffle until the final presentation sort — at 100 TB this
+    * pipelines inside the scan stage and parallelizes per input split.
+    * Chunk starts come from `sequence(0, n_chars-1, stride)`: a doc no
+    * longer than one stride yields exactly one chunk, and every char
+    * lands in at least one chunk (pinned by TextSpec and by the
+    * oracle: DuckDB's `range` + `substr` reproduce the windows
+    * verbatim on the ASCII corpus). */
+  def chunkDocs(s: SparkSession, d: String, window: Int = 256, stride: Int = 192): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        posexplode(sequence(lit(0), col("n_chars") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("text").substr(col("start").cast("int") + 1, lit(window)).as("chunk"),
+        length(col("text").substr(col("start").cast("int") + 1, lit(window))).as("chunk_chars"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** End-to-end training-data prep (the composed north-star pipeline):
     * exact-dedup survivors → quality gate → per-source corpus stats.
     * Each stage is one of the operators above; the composition is the
@@ -516,6 +537,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_prep" -> pipelinePrep,
+    "q_chunk_docs"    -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_wordcount"     -> wordcount,
     "q_tfidf"         -> tfidf,
     "q_dedup_exact"   -> dedupExact,
@@ -635,6 +657,16 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // same windows verbatim: range() mirrors sequence() (both emit
+    // starts < n_chars at stride 192), substr is 1-based in both
+    "q_chunk_docs" ->
+      """WITH starts AS (
+           SELECT doc_id, text, unnest(range(0, n_chars, 192)) AS start
+           FROM documents)
+         SELECT doc_id, CAST(start // 192 AS INT) AS chunk_idx,
+                substr(text, CAST(start AS INT) + 1, 256) AS chunk,
+                CAST(length(substr(text, CAST(start AS INT) + 1, 256)) AS INT) AS chunk_chars
+         FROM starts ORDER BY doc_id, chunk_idx""",
     "q_dedup_minhash_portable" -> portableMinhashOracle,
     "q_dedup_minhash_cc_portable" -> portableClosureOracle,
     "q_dedup_simhash_portable" -> portableSimhashOracle,

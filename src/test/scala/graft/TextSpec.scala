@@ -11,6 +11,33 @@ class TextSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 
+  test("chunking: overlap covers every char, short docs yield one chunk") {
+    val out = Text.chunkDocs(spark, sf0001).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(byDoc.keySet == docs.keySet, "every doc must chunk")
+    byDoc.foreach { case (id, chunks) =>
+      val text = docs(id)
+      val sorted = chunks.sortBy(_.getInt(1))
+      // chunk i starts at i*192 and is the verbatim 256-char window
+      sorted.foreach { r =>
+        val start = r.getInt(1) * 192
+        val expected = text.substring(start, math.min(start + 256, text.length))
+        assert(r.getString(2) == expected, s"doc $id chunk ${r.getInt(1)} mismatch")
+      }
+      // stride < window → consecutive chunks overlap by 64 chars, so
+      // concatenated coverage is gapless: last chunk must reach the end
+      val last = sorted.last
+      assert(last.getInt(1) * 192 + last.getInt(3) == text.length,
+        s"doc $id: final chunk does not reach end of text")
+      // a doc no longer than one stride yields exactly one chunk
+      // (windows start at every stride multiple below the length)
+      if (text.length <= 192) assert(sorted.length == 1)
+      else assert(sorted.length == (text.length + 191) / 192)
+    }
+  }
+
   test("minhash: exact and near duplicates cluster; distinct docs don't") {
     val docs = Seq(
       (1L, base),

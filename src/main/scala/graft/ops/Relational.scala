@@ -186,8 +186,12 @@ object Relational {
       .agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        round(expr("percentile(l_extendedprice, 0.5D)"), 2).as("exact_median_price"),
-        round(expr("percentile(l_extendedprice, 0.99D)"), 2).as("exact_p99_price"))
+        // one percentile buffer for both quantiles (the array form),
+        // not two copies of the per-group value map
+        expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("pcts"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        round(element_at(col("pcts"), 1), 2).as("exact_median_price"),
+        round(element_at(col("pcts"), 2), 2).as("exact_p99_price"))
       .orderBy(col("l_returnflag"))
 
   /** Pivot (wide aggregation): per-user event counts, one column per

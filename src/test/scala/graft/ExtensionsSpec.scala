@@ -41,6 +41,25 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT portable_hash('ab', length('xx'))").collect()
       }
       assert(phErr.getMessage.contains("integer literal"))
+
+      // srp_band_keys: a constant vector's dot with plane j has the
+      // sign of sum_i h_j(i); all-zeros input → every dot 0 → keys 0
+      val sk = spark.sql(
+        """SELECT srp_band_keys(transform(sequence(0, 63), i -> 0.0D), 4, 8) AS z,
+                  srp_band_keys(transform(sequence(0, 63), i -> 1.0D), 4, 8) AS ones""")
+        .collect().head
+      assert(sk.getSeq[Int](0) == Seq(0, 0, 0, 0), "zero vector must key to all-zero bands")
+      // deterministic planes → fixed keys for the all-ones vector;
+      // assert shape + stability rather than hand-computing 32 dots
+      assert(sk.getSeq[Int](1).length == 4)
+      val again = spark.sql(
+        "SELECT srp_band_keys(transform(sequence(0, 63), i -> 1.0D), 4, 8) AS k")
+        .collect().head.getSeq[Int](0)
+      assert(sk.getSeq[Int](1) == again)
+      val skErr = intercept[Exception] {
+        spark.sql("SELECT srp_band_keys(array('a'), 4, 8)").collect()
+      }
+      assert(skErr.getMessage.toLowerCase.contains("array<double>"))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

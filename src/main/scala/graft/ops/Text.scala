@@ -499,14 +499,25 @@ object Text {
     * oracle: DuckDB's `range` + `substr` reproduce the windows
     * verbatim on the ASCII corpus). */
   def chunkDocs(s: SparkSession, d: String, window: Int = 256, stride: Int = 192): DataFrame =
-    Tables.documents(s, d)
+    chunkCore(Tables.documents(s, d), window, stride)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Core chunking over any `(doc_id, text, n_chars)` relation —
+    * DataFrame-parameterized so PropertySpec can drive the SAME
+    * windows over arbitrary generated corpora (reconstruction
+    * property: chunk 0 plus each later chunk minus its overlap
+    * re-concatenates to the exact document). */
+  private[graft] def chunkCore(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"window $window must cover stride $stride or chars between windows would be lost")
+    docs
       .select(col("doc_id"), col("text"), col("n_chars"),
         posexplode(sequence(lit(0), col("n_chars") - 1, lit(stride)))
           .as(Seq("chunk_idx", "start")))
       .select(col("doc_id"), col("chunk_idx"),
         col("text").substr(col("start").cast("int") + 1, lit(window)).as("chunk"),
         length(col("text").substr(col("start").cast("int") + 1, lit(window))).as("chunk_chars"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 
   /** End-to-end training-data prep (the composed north-star pipeline):
     * exact-dedup survivors → quality gate → per-source corpus stats.

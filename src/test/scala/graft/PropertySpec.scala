@@ -109,4 +109,29 @@ class PropertySpec extends SparkSpec {
       run(1) == run(7)
     }, n = 3)
   }
+
+  test("chunking reconstructs the document exactly (window/overlap invariant)") {
+    // chunk i covers [i*stride, i*stride + window); window > stride →
+    // chunk 0 plus every later chunk minus its `window - stride`
+    // overlap re-concatenates to the document, for ANY text and any
+    // valid (window, stride)
+    val geom = Gen.oneOf((8, 5), (10, 10), (256, 192), (7, 3))
+    val textGen = for {
+      n <- Gen.choose(1, 400)
+      cs <- Gen.listOfN(n, Gen.alphaNumChar)
+    } yield cs.mkString
+    check(Prop.forAll(Gen.listOfN(5, textGen), geom) { (texts, ws) =>
+      val (window, stride) = ws
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars")
+      val chunks = graft.ops.Text.chunkCore(docs, window, stride)
+        .collect().groupBy(_.getLong(0))
+      texts.zipWithIndex.forall { case (t, i) =>
+        val ordered = chunks(i.toLong).sortBy(_.getInt(1)).map(_.getString(2))
+        val rebuilt = ordered.head + ordered.tail.map(_.drop(window - stride)).mkString
+        rebuilt == t
+      }
+    }, n = 5)
+  }
 }

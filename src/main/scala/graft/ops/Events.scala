@@ -71,7 +71,48 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Ordered-funnel attribution (event analytics): within each
+    * (user, day), the first view, the first click strictly after it,
+    * the first purchase strictly after that click — rolled up per
+    * ISO week with step conversion rates. Each step is one aggregate
+    * plus one equi-join back to the events relation on (user, day)
+    * with a range predicate on the previous step's timestamp: at
+    * scale all three steps shuffle on the same (user_id, day) key,
+    * so AQE plans them as one co-partitioned chain; nothing is
+    * quadratic and no window function buffers whole user histories.
+    * The strictly-after ordering is what makes it a funnel rather
+    * than three independent filters. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("ts"))
+    def firstAfter(prev: DataFrame, prevTs: String, kind: String, outTs: String) =
+      e.filter(col("event_type") === kind)
+        .join(prev, Seq("user_id", "day"))
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id"), col("day"))
+        .agg(min(col("ts")).as(outTs))
+    val viewed = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("t_view"))
+    val clicked = firstAfter(viewed, "t_view", "click", "t_click")
+    val purchased = firstAfter(clicked, "t_click", "purchase", "t_purchase")
+    def weekly(df: DataFrame, name: String) =
+      df.groupBy(trunc(col("day"), "week").as("week"))
+        .agg(count(lit(1)).as(name))
+    weekly(viewed, "n_viewed")
+      .join(weekly(clicked, "n_clicked"), Seq("week"), "left")
+      .join(weekly(purchased, "n_purchased"), Seq("week"), "left")
+      .select(col("week"),
+        col("n_viewed"),
+        coalesce(col("n_clicked"), lit(0L)).as("n_clicked"),
+        coalesce(col("n_purchased"), lit(0L)).as("n_purchased"),
+        round(coalesce(col("n_clicked"), lit(0L)) / col("n_viewed"), 4).as("view_to_click"),
+        coalesce(round(col("n_purchased") / col("n_clicked"), 4), lit(0.0)).as("click_to_buy"))
+      .orderBy(col("week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"          -> funnel,
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding"  -> streamSliding,
     "q_stream_session"  -> streamSession,
@@ -82,6 +123,32 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // same three strictly-ordered steps; left joins keep months whose
+    // later steps are empty, rates guarded the same way
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts FROM events),
+         v AS (SELECT user_id, day, min(ts) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY 1, 2),
+         c AS (SELECT e.user_id, e.day, min(e.ts) AS t_click
+               FROM e JOIN v ON e.user_id = v.user_id AND e.day = v.day
+               WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1, 2),
+         p AS (SELECT e.user_id, e.day, min(e.ts) AS t_purchase
+               FROM e JOIN c ON e.user_id = c.user_id AND e.day = c.day
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1, 2),
+         vm AS (SELECT date_trunc('week', day) AS week, count(*) AS n_viewed
+                FROM v GROUP BY 1),
+         cm AS (SELECT date_trunc('week', day) AS week, count(*) AS n_clicked
+                FROM c GROUP BY 1),
+         pm AS (SELECT date_trunc('week', day) AS week, count(*) AS n_purchased
+                FROM p GROUP BY 1)
+         SELECT CAST(vm.week AS DATE) AS week, n_viewed,
+                coalesce(n_clicked, 0) AS n_clicked,
+                coalesce(n_purchased, 0) AS n_purchased,
+                round(coalesce(n_clicked, 0) / CAST(n_viewed AS DOUBLE), 4) AS view_to_click,
+                coalesce(round(n_purchased / CAST(n_clicked AS DOUBLE), 4), 0.0) AS click_to_buy
+         FROM vm LEFT JOIN cm ON vm.week = cm.week
+                 LEFT JOIN pm ON vm.week = pm.week
+         ORDER BY week""",
     // window(ts, 1h) aligns to the epoch grid == date_trunc('hour').
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws,

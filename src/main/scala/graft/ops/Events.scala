@@ -111,8 +111,30 @@ object Events {
       .orderBy(col("week"))
   }
 
+  /** Cohort retention (event analytics): users cohorted by the ISO
+    * week of their first event; each later active week counts toward
+    * (cohort_week, week_offset). Two aggregates over the same
+    * user-keyed shuffle — the min-week cohort relation is a broadcast
+    * dim against the distinct user-week activity, so the big side
+    * shuffles once. The classic retention triangle, fully
+    * deterministic. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), trunc(to_date(col("ts")), "week").as("w"))
+    val activity = e.distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("w")).as("cohort_week"))
+    activity.join(broadcast(cohort), Seq("user_id"))
+      .select(col("cohort_week"),
+        (datediff(col("w"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"          -> funnel,
+    "q_retention"       -> retention,
     "q_stream_tumbling" -> streamTumbling,
     "q_stream_sliding"  -> streamSliding,
     "q_stream_session"  -> streamSession,
@@ -149,6 +171,16 @@ object Events {
          FROM vm LEFT JOIN cm ON vm.week = cm.week
                  LEFT JOIN pm ON vm.week = pm.week
          ORDER BY week""",
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+                    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS w
+              FROM events),
+         c AS (SELECT user_id, min(w) AS cohort_week FROM a GROUP BY 1)
+         SELECT cohort_week,
+                CAST((a.w - c.cohort_week) // 7 AS INT) AS week_offset,
+                count(*) AS n_active
+         FROM a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     // window(ts, 1h) aligns to the epoch grid == date_trunc('hour').
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS ws,

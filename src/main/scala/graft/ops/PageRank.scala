@@ -213,6 +213,18 @@ object PageRank {
       .select(col("node"), round(col("pr"), 6).as("pr"))
       .orderBy(col("node"))
 
+  /** Graph profile (the first thing run before any iterative graph
+    * job): out-degree histogram of the symmetric star graph — how many
+    * nodes have each degree, with parallel edges counted (the real
+    * shuffle volume per PageRank iteration is Σ degree). One groupBy
+    * chain, two shuffles; at any scale this is the skew-detection
+    * input that decides broadcast vs salting for the iteration loop. */
+  def degreeHist(s: SparkSession, d: String): DataFrame =
+    starEdges(s, d)
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
   def pagerankTextbook(s: SparkSession, d: String): DataFrame =
     runTextbook(starEdgesDirected(s, d), 10)
       .select(col("node"), round(col("pr"), 6).as("pr"))
@@ -236,6 +248,7 @@ object PageRank {
     "q_pagerank" -> pagerank,
     "q_pagerank_textbook" -> pagerankTextbook,
     "q_pagerank_snap" -> pagerankSnap,
+    "q_degree_hist" -> degreeHist,
   )
 
   private val symEdgesSql =
@@ -300,6 +313,10 @@ object PageRank {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_degree_hist" -> s"""WITH edges AS ($symEdgesSql),
+         deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+         SELECT degree, count(*) AS n_nodes FROM deg
+         GROUP BY degree ORDER BY degree""",
     "q_pagerank" -> quirkOracle(symEdgesSql),
     "q_pagerank_textbook" -> textbookOracle,
     // identical graph, VARCHAR node ids (the SNAP parse keeps strings)

@@ -113,18 +113,20 @@ object Events {
 
   /** Cohort retention (event analytics): users cohorted by the ISO
     * week of their first event; each later active week counts toward
-    * (cohort_week, week_offset). Two aggregates over the same
-    * user-keyed shuffle — the min-week cohort relation is a broadcast
-    * dim against the distinct user-week activity, so the big side
-    * shuffles once. The classic retention triangle, fully
-    * deterministic. */
+    * (cohort_week, week_offset). The cohort relation is one row PER
+    * USER — deliberately NOT broadcast (at corpus scale it is as big
+    * as the user base); both sides hash-join on user_id. Shuffle
+    * budget: distinct on (user, week), cohort agg + join re-key on
+    * user, final rollup on (cohort, offset) — each moves one narrow
+    * row per user-week, never raw events. The classic retention
+    * triangle, fully deterministic. */
   def retention(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
       .select(col("user_id"), trunc(to_date(col("ts")), "week").as("w"))
     val activity = e.distinct()
     val cohort = activity.groupBy(col("user_id"))
       .agg(min(col("w")).as("cohort_week"))
-    activity.join(broadcast(cohort), Seq("user_id"))
+    activity.join(cohort, Seq("user_id"))
       .select(col("cohort_week"),
         (datediff(col("w"), col("cohort_week")) / 7).cast("int").as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))

@@ -34,16 +34,18 @@ object Tables {
     * [[Verify]]/[[Bench]]/the test harness set it at construction, so
     * for them this is a no-op. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") match {
-      case None => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      case Some("true") => // already usable
-      case Some(other) =>
-        // never silently clobber an explicit user choice — the read
-        // genuinely requires the legacy mode, so say so instead
-        throw new IllegalStateException(
-          s"events() requires spark.sql.legacy.parquet.nanosAsLong=true to read " +
-            s"TIMESTAMP(NANOS) parquet, but the session explicitly sets it to '$other'")
-    }
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // getOption can't distinguish "unset" from the registered default
+    // (false), so ask session state whether the key was EXPLICITLY set:
+    // unset → self-configure (fresh harness sessions); explicitly true
+    // → fine; explicitly false → fail loudly rather than silently
+    // clobbering a user's choice (the read genuinely requires it)
+    if (!org.apache.spark.sql.GraftColumnBridge.isConfExplicitlySet(s, key))
+      s.conf.set(key, "true")
+    else if (s.conf.get(key) != "true")
+      throw new IllegalStateException(
+        s"events() requires $key=true to read TIMESTAMP(NANOS) parquet, " +
+          s"but the session explicitly sets it to '${s.conf.get(key)}'")
     read(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -35,4 +35,13 @@ object GraftColumnBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Whether `key` was EXPLICITLY set on this session (builder conf,
+    * spark-defaults, or runtime set) as opposed to merely having a
+    * registered default. `RuntimeConfig.getOption` returns the default
+    * of a registered entry, so it cannot make this distinction —
+    * `SQLConf.contains` (private[sql] session state) checks only the
+    * explicit settings map. */
+  def isConfExplicitlySet(spark: SparkSession, key: String): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.contains(key)
 }

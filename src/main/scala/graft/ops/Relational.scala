@@ -173,26 +173,47 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   /** Exact twin of [[aggApprox]] — the same groups and measures with
-    * exact algorithms (expand-based COUNT DISTINCT, interpolated
-    * percentiles). Declared as its own oracle-checked query so the
+    * exact algorithms. Declared as its own oracle-checked query so the
     * sketch query's no-oracle row is bounded by a green one:
     * RelationalSpec asserts |approx − exact| within the sketches'
-    * stated error on every group. At scale the trade is explicit —
-    * this twin shuffles the full distinct key sets and sorts for the
-    * percentile; the sketch version moves O(k) state per group. */
-  def aggApproxExact(s: SparkSession, d: String): DataFrame =
+    * stated error on every group.
+    *
+    * Quantiles are DISCRETE by explicit rank — value at
+    * `rank = ceil(p·n)` over a per-group sort — not interpolated:
+    * an interpolated midpoint is fresh float arithmetic whose last ULP
+    * differs between engines, and at sf0.001 the median lands exactly
+    * on a half-cent where `round(,2)` coin-flips (observed 52724.24 vs
+    * 52724.25). A discrete quantile IS a data value, so both engines
+    * agree bit-for-bit at every scale. The rank-and-filter shape is
+    * also the scalable exact algorithm: one window sort per group, no
+    * per-group value buffers. At scale the trade vs the sketch tier is
+    * explicit — this twin shuffles full distinct key sets and sorts
+    * every group; the sketch version moves O(k) state. */
+  def aggApproxExact(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(col("l_returnflag"))
+    val ranked = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(grp.orderBy(col("l_extendedprice"))))
+      .withColumn("n", count(lit(1)).over(grp))
+    val quantiles = ranked
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice")))
+          .as("exact_median_price"),
+        max(when(col("rn") === ceil(col("n") * 0.99), col("l_extendedprice")))
+          .as("exact_p99_price"))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        // one percentile buffer for both quantiles (the array form),
-        // not two copies of the per-group value map
-        expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("pcts"))
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .join(quantiles, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
-        round(element_at(col("pcts"), 1), 2).as("exact_median_price"),
-        round(element_at(col("pcts"), 2), 2).as("exact_p99_price"))
+        round(col("exact_median_price"), 2).as("exact_median_price"),
+        round(col("exact_p99_price"), 2).as("exact_p99_price"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Pivot (wide aggregation): per-user event counts, one column per
     * event_type. Values are enumerated explicitly — at scale an
@@ -331,13 +352,33 @@ object Relational {
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // discrete quantiles by the SAME explicit rank definition the
+    // engine uses (value at ceil(p*n)) — no interpolation arithmetic
+    // to disagree on
     "q_agg_approx_exact" ->
-      """SELECT l_returnflag,
-         count(DISTINCT l_orderkey) AS exact_orders,
-         count(DISTINCT l_partkey) AS exact_parts,
-         round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median_price,
-         round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """WITH ranked AS (
+           SELECT l_returnflag, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem),
+         q AS (
+           SELECT l_returnflag,
+                  max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END)
+                    AS exact_median_price,
+                  max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END)
+                    AS exact_p99_price
+           FROM ranked GROUP BY l_returnflag),
+         d AS (
+           SELECT l_returnflag,
+                  count(DISTINCT l_orderkey) AS exact_orders,
+                  count(DISTINCT l_partkey) AS exact_parts
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT d.l_returnflag, exact_orders, exact_parts,
+                round(exact_median_price, 2) AS exact_median_price,
+                round(exact_p99_price, 2) AS exact_p99_price
+         FROM d JOIN q ON d.l_returnflag = q.l_returnflag
+         ORDER BY d.l_returnflag""",
     // Spark's skewness/kurtosis are population moments (m3/m2^1.5,
     // m4/m2^2-3); DuckDB's are sample-corrected, so recompute from
     // centered deltas.

@@ -280,9 +280,12 @@ object Vectors {
     // SRP-LSH rendered verbatim in SQL: the same 32 hyperplane dots
     // (integer literals + one double division → bit-identical sign
     // bits), the same 4 band keys, candidate pairs from the bucket
-    // self-join, cosine-verified edges, closed by 10 rounds of
-    // min-label propagation (fixed point needs 6 on sf0.01 / 7 on
-    // sf0.001; VectorsSpec pins the unroll sufficiency on testdata)
+    // self-join, cosine-verified edges, closed by 20 rounds of
+    // min-label propagation. The fixed point needs 7 rounds on
+    // sf0.001, 6 on sf0.01, 16 on sf0.1 (the 0.25 threshold
+    // percolates a giant component whose diameter grows with corpus
+    // size — a 10-round unroll was caught short by the sf0.1 sweep);
+    // VectorsSpec pins unroll sufficiency on testdata
     "q_dedup_embed" -> {
       def dotPlane(j: Int) =
         s"list_reduce(list_transform(range(1, 65), i -> v[i] * ((((i-1) * ${j + 2} + ${j * j + 1}) % 37) - 18) / 18.0), (x, y) -> x + y)"
@@ -292,9 +295,12 @@ object Vectors {
       val bandSelects = (0 until NBands).map { b =>
         s"SELECT vec_id, $b AS band, CAST(${bandKey(b)} AS INT) AS bkey FROM e"
       }.mkString("\n           UNION ALL ")
-      val rounds = 10
+      // every round MATERIALIZED: each l_k references l_{k-1} twice,
+      // so inlined CTEs double per round — 2^rounds re-plans of the
+      // base scan (DuckDB dies on file handles past ~10 rounds)
+      val rounds = 20
       val steps = (1 to rounds).map { k =>
-        s""", l$k AS (
+        s""", l$k AS MATERIALIZED (
              SELECT l.vec_id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
              FROM l${k - 1} l
              LEFT JOIN und u ON l.vec_id = u.a
@@ -318,7 +324,7 @@ object Vectors {
          und AS MATERIALIZED (
            SELECT va AS a, vb AS b FROM edges
            UNION ALL SELECT vb AS a, va AS b FROM edges),
-         l0 AS (SELECT vec_id, vec_id AS lbl FROM embeddings)$steps
+         l0 AS MATERIALIZED (SELECT vec_id, vec_id AS lbl FROM embeddings)$steps
          SELECT vec_id, lbl AS cluster_rep, lbl != vec_id AS is_dup
          FROM l$rounds ORDER BY vec_id"""
     },

@@ -87,19 +87,20 @@ class VectorsSpec extends SparkSpec {
     assert(probeRecall >= recall, "multi-probe must never lose to single-probe")
   }
 
-  test("q_dedup_embed oracle's 10-round unroll reaches the fixed point on testdata") {
-    // the DuckDB oracle unrolls exactly 10 propagation rounds while
-    // the engine runs Components to a fixed point; if a future fixture
-    // plants a similarity chain of diameter > 10 the two silently
-    // diverge. Re-run the oracle's exact recurrence in Spark and
-    // assert it matches the engine's fixed point.
+  test("q_dedup_embed oracle's 20-round unroll reaches the fixed point on testdata") {
+    // the DuckDB oracle unrolls exactly 20 propagation rounds while
+    // the engine runs Components to a fixed point; a similarity chain
+    // of diameter beyond the unroll silently diverges (the sf0.1 sweep
+    // caught a 10-round unroll short: the percolated giant component
+    // there needs 16). Re-run the oracle's exact recurrence in Spark
+    // and assert it matches the engine's fixed point.
     val emb = Tables.embeddings(spark, sf0001)
     val edges = ops.Vectors.srpPairs(emb, 0.25)
     val und = edges.select($"va".as("a"), $"vb".as("b"))
       .unionByName(edges.select($"vb".as("a"), $"va".as("b")))
       .persist()
     var lbl = emb.select($"vec_id", $"vec_id".as("lbl"))
-    for (_ <- 1 to 10) {
+    for (_ <- 1 to 20) {
       val nbrMin = und
         .join(lbl.select($"vec_id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
         .groupBy($"a").agg(min($"nlbl").as("nmin"))
@@ -112,6 +113,6 @@ class VectorsSpec extends SparkSpec {
       .select("vec_id", "cluster_rep").as[(Long, Long)].collect().toMap
     und.unpersist()
     assert(unrolled == engine,
-      "10-round unrolled propagation diverges from the Components fixed point — raise the oracle's unroll count")
+      "20-round unrolled propagation diverges from the Components fixed point — raise the oracle's unroll count")
   }
 }

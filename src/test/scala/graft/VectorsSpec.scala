@@ -104,9 +104,10 @@ class VectorsSpec extends SparkSpec {
       val nbrMin = und
         .join(lbl.select($"vec_id".as("nb"), $"lbl".as("nlbl")), $"b" === $"nb")
         .groupBy($"a").agg(min($"nlbl").as("nmin"))
-      lbl = lbl.join(nbrMin, $"vec_id" === $"a", "left")
-        .select($"vec_id", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
-        .localCheckpoint() // keep the 10-round plan shallow
+      lbl = org.apache.spark.sql.GraftColumnBridge.freshLeaf(
+        lbl.join(nbrMin, $"vec_id" === $"a", "left")
+          .select($"vec_id", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
+          .localCheckpoint()) // shallow plan AND reset inherited stats
     }
     val unrolled = lbl.as[(Long, Long)].collect().toMap
     val engine = ops.Vectors.dedupEmbed(spark, sf0001)

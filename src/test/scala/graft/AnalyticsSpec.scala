@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the event-analytics operators — the
+  * oracle hash-compare proves Spark == DuckDB, these prove both equal
+  * the intended semantics (a shared misreading of "funnel" would pass
+  * the oracle; it cannot pass a fixture computed by hand). */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel steps are strictly ordered within (user, day)") {
+    // user 1: view 09:00 → click 09:30 → purchase 10:00  = full funnel
+    // user 2: click 08:00 BEFORE first view 09:00; click 09:10 after →
+    //         counts; purchase 09:05 is before that click → does NOT
+    // user 3: view only
+    // user 4: purchase with no view → contributes nothing
+    val events = Seq(
+      (1L, "view", "2024-01-03 09:00:00"), (1L, "click", "2024-01-03 09:30:00"),
+      (1L, "purchase", "2024-01-03 10:00:00"),
+      (2L, "click", "2024-01-03 08:00:00"), (2L, "view", "2024-01-03 09:00:00"),
+      (2L, "purchase", "2024-01-03 09:05:00"), (2L, "click", "2024-01-03 09:10:00"),
+      (3L, "view", "2024-01-03 11:00:00"),
+      (4L, "purchase", "2024-01-03 12:00:00"),
+    ).map { case (u, k, t) => (u, k, ts(t), 1.0) }
+      .toDF("user_id", "event_type", "ts", "value")
+    // drive the same steps the query runs, on the fixture
+    val e = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      col("event_type"), col("ts"))
+    val viewed = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("t_view"))
+    val clicked = e.filter(col("event_type") === "click")
+      .join(viewed, Seq("user_id", "day")).filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("t_click"))
+    val purchased = e.filter(col("event_type") === "purchase")
+      .join(clicked, Seq("user_id", "day")).filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id"), col("day")).agg(min(col("ts")).as("t_purchase"))
+    assert(viewed.select("user_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(clicked.select("user_id").as[Long].collect().toSet == Set(1L, 2L))
+    // user 2's only purchase precedes the qualifying click
+    assert(purchased.select("user_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("retention offsets count weeks since each user's first active week") {
+    // user 1 first seen week of Mon 2024-01-01: active wk0, wk2
+    // user 2 first seen week of Mon 2024-01-08: active wk0, wk1
+    val events = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-17 10:00:00"),
+      (2L, "2024-01-09 10:00:00"), (2L, "2024-01-15 10:00:00"),
+      (2L, "2024-01-16 10:00:00"), // same week as the 15th — one active week
+    ).map { case (u, t) => (u, ts(t)) }.toDF("user_id", "ts")
+    val e = events.select(col("user_id"), trunc(to_date(col("ts")), "week").as("w"))
+    val activity = e.distinct()
+    val cohort = activity.groupBy(col("user_id")).agg(min(col("w")).as("cohort_week"))
+    val triangle = activity.join(cohort, Seq("user_id"))
+      .select(col("cohort_week"),
+        (datediff(col("w"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(triangle == Set(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+  }
+
+  test("degree histogram counts parallel edges") {
+    // node 10 → two parallel edges to 20 plus one to 30: degree 3;
+    // 20 and 30 each have the reverse degree from symmetry
+    val edges = Seq((10L, 20L), (10L, 20L), (10L, 30L)).toDF("src", "dst")
+    val sym = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val hist = sym.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10: deg 3; 20: deg 2 (two parallels back); 30: deg 1
+    assert(hist == Set((3L, 1L), (2L, 1L), (1L, 1L)))
+  }
+}

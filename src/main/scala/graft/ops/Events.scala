@@ -50,7 +50,7 @@ object Events {
   def streamStateful(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
       .as[Streaming.Ev]
     Streaming.statefulSessions(ev).toDF()
       .select(col("user_id"), col("session_start"), col("session_end"),

@@ -511,6 +511,11 @@ object Text {
     require(stride > 0 && window >= stride,
       s"window $window must cover stride $stride or chars between windows would be lost")
     docs
+      // a zero-length doc yields zero chunks: sequence(0, -1, stride)
+      // throws 'Illegal sequence boundaries' whereas the oracle's
+      // range(0, 0, stride) just emits no rows — filter matches the
+      // oracle and keeps empty docs from killing the whole job
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("text"), col("n_chars"),
         posexplode(sequence(lit(0), col("n_chars") - 1, lit(stride)))
           .as(Seq("chunk_idx", "start")))

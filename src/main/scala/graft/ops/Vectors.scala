@@ -182,7 +182,8 @@ object Vectors {
     * no tight duplicates (max cosine ≈ 0.51); a production near-dup
     * sweep runs the same mechanics at ≥0.9 where per-pair recall is
     * ≥ 93%. Oracle = the same 32 hyperplane dots, bands, pairs, and
-    * a 10-round unrolled min-label propagation in DuckDB. */
+    * a 20-round unrolled min-label propagation in DuckDB (10 rounds
+    * were proven insufficient at sf0.1 — see the oracle comment). */
   def dedupEmbed(s: SparkSession, d: String, minCos: Double = MinCos): DataFrame = {
     val edges = srpPairs(Tables.embeddings(s, d), minCos)
       .select(col("va").as("src"), col("vb").as("dst"))

@@ -93,7 +93,11 @@ object Streaming {
 
   // ----- custom state: flatMapGroupsWithState sessionization -----
 
-  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  // event_id rides along solely as the in-batch sort tiebreak below —
+  // without it, two events at the same timestamp would fold sum_value
+  // in nondeterministic order (and the q_stream_stateful oracle
+  // tiebreaks equal timestamps by event_id)
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double, event_id: Long)
   case class SessionBuf(start: Long, lastTs: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
@@ -144,7 +148,7 @@ object Streaming {
           } else {
             val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
             var buf = state.getOption
-            it.toSeq.sortBy(e => tsMicros(e.ts)).foreach { e =>
+            it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
               val t = tsMicros(e.ts)
               buf = buf match {
                 // <= : an event at exactly gap distance merges, matching

@@ -95,7 +95,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
     val events = mem.toDF.toDF("ts", "user_id", "value")
       .as[(java.sql.Timestamp, Long, Double)]
-      .map { case (ts, u, v) => Streaming.Ev(u, ts, v) }
+      .map { case (ts, u, v) => Streaming.Ev(u, ts, v, (v * 10).toLong) }
       .withWatermark("ts", "10 minutes") // after map: map drops the watermark tag
     val q = Streaming.statefulSessions(events, gapMinutes = 30)
       .writeStream.outputMode("append").format("memory").queryName("fmgs").start()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 /** Vector-family guarantees that the driver's hash-compare can't see:
   * SRP-LSH's similarity-preservation (the property the old id-block
   * banding lacked), the IVF recall floor, and the sufficiency of the
-  * q_dedup_embed oracle's 10-round propagation unroll. */
+  * q_dedup_embed oracle's 20-round propagation unroll. */
 class VectorsSpec extends SparkSpec {
   import spark.implicits._
 

@@ -291,10 +291,15 @@ object Multimodal {
     * typed batched map — while DuckDB recomputes width/height/n_bytes/
     * mean/checksum from n_chars and the [[imagePixel]] closed form. A
     * wrong stride, a forgotten bottom-up un-flip, or a bad header
-    * offset each breaks a different column. The media table persists:
-    * it feeds the header parse and the pixel decode. */
+    * offset each breaks a different column. The media table feeds two
+    * structurally different consumers (relational header parse, typed
+    * pixel decode — no exchange to reuse), so it's materialized once
+    * via an eager localCheckpoint: unlike r3's persist, the blocks
+    * are owned by the RDD and reclaimed by the ContextCleaner when
+    * the query's plan is garbage-collected — nothing registers in
+    * the session CacheManager. */
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
-    val imgs = mediaTable(s, d).filter(_.kind == "image").persist()
+    val imgs = mediaTable(s, d).filter(_.kind == "image").localCheckpoint()
     val header = imgs.toDF().select(
       col("media_id"),
       length(col("payload")).as("n_bytes"),

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis + document deduplication (SURVEY.md §2.9 and the
@@ -62,16 +63,15 @@ object Text {
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
-    // tf is already one row per (doc, word): df falls out of it with a
-    // plain count — re-exploding the corpus for df would run the
-    // tokenize+shuffle twice. Persisted because it still feeds two
-    // consumers (the df count and the final join): deriving df from tf
-    // only saves the recompute if tf is materialized once.
-    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")).persist()
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // tf is already one row per (doc, word): df falls out of it as a
+    // window count over the word partition — ONE consumer of tf, so
+    // nothing needs caching (the r3 persist leaked into the session's
+    // CacheManager), and the agg+join-back pair collapses into a
+    // single shuffle on word.
+    val tf = terms.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    tf.join(df, "word")
-      .crossJoin(broadcast(n))
+    tf.crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"), col("tf"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
       .orderBy(col("doc_id"), col("word"))
@@ -103,24 +103,25 @@ object Text {
       .distinct()
 
   /** Shared-shingle candidate pairs with exact Jaccard:
-    * `(da, db, inter, na, nb, jac)`, jac ≥ `minJac`.
+    * `(da, db, na, nb, inter, jac)`, jac ≥ `minJac`.
     *
-    * The shingle relation feeds THREE consumers (per-doc sizes and
-    * both self-join sides) and Spark re-derives an unpersisted subplan
-    * per consumer — the plan audit showed the full scan+explode
-    * pipeline ×4 (×8 with the IDF filter upstream). At 100 TB that is
-    * re-tokenizing the corpus four times, so materialize it once;
-    * this is the same invariant-persistence rule the PageRank loop
-    * applies (C2). */
+    * r3 persisted the shingle relation because it fed THREE consumers
+    * (per-doc sizes and both self-join sides) — but the persist never
+    * had an owner to release it and leaked into the session cache.
+    * Restructured to need no cache at all: per-doc set sizes ride
+    * along as a window count over the doc_id partition (sizes joins
+    * gone), and the self-join's two sides are the *identical* subplan
+    * shuffled on the same key, which Spark's ReuseExchange collapses
+    * into one computed exchange (PlanSpec pins `ReusedExchange`) —
+    * the tokenize+shuffle pipeline runs once, same as the persist
+    * gave, with zero cache residency. */
   private def jaccardPairs(shRaw: DataFrame, minJac: Double): DataFrame = {
-    val sh = shRaw.persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sh = shRaw.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       .withColumn("jac",
         col("inter") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jac") >= minJac)
@@ -143,13 +144,15 @@ object Text {
     * sets; the oracle interpolates the same cap, so results stay
     * hash-comparable. */
   def dedupNgramIdf(s: SparkSession, d: String): DataFrame = {
-    // persisted: feeds the df-count AND the filtered-join input (the
-    // jaccardPairs persist only covers the post-filter relation)
-    val sh = docShingles(Tables.documents(s, d)).persist()
-    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    // the df cap is a window count over the shingle partition — the r3
+    // shape (persist + df aggregate + join-back) re-derived the
+    // explode pipeline per consumer unless cached; this is one pass
+    // and leaves nothing in the CacheManager
+    val sh = docShingles(Tables.documents(s, d))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") <= NgramMaxDf)
-      .select("g")
-    jaccardPairs(sh.join(rare, "g"), 0.1)
+      .select("doc_id", "g")
+    jaccardPairs(sh, 0.1)
       .select(col("da"), col("db"), col("inter"), col("jac"))
       .orderBy(col("da"), col("db"))
   }
@@ -319,16 +322,15 @@ object Text {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
   }
 
-  /** Band-bucket membership joined with each bucket's min-doc rep:
-    * `(doc_id, band, band_sig, band_rep)`. Bands persist — they feed
-    * the rep aggregate AND the membership join, and the unpersisted
-    * subplan (shingle explode + 16-way minhash agg) would re-derive
-    * per consumer (the jaccardPairs lesson). */
-  private def withBucketReps(bandsRaw: DataFrame): DataFrame = {
-    val bands = bandsRaw.persist()
-    val reps = bands.groupBy("band", "band_sig").agg(min(col("doc_id")).as("band_rep"))
-    bands.join(reps, Seq("band", "band_sig"))
-  }
+  /** Band-bucket membership with each bucket's min-doc rep:
+    * `(doc_id, band, band_sig, band_rep)`. The rep is a window min
+    * over the bucket partition — one shuffle, one consumer of the
+    * band subplan (shingle explode + 16-way minhash agg), where the
+    * r3 agg+join-back shape needed a persist (leaked) or re-derived
+    * that subplan per consumer. */
+  private def withBucketReps(bandsRaw: DataFrame): DataFrame =
+    bandsRaw.withColumn("band_rep",
+      min(col("doc_id")).over(Window.partitionBy("band", "band_sig")))
 
   private def bandsWithReps(docs: DataFrame): DataFrame =
     withBucketReps(minhashBands(docs))

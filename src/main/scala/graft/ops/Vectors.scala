@@ -139,15 +139,16 @@ object Vectors {
     * the bucket, dedup pairs found by several bands. Band keys come
     * from the codegen'd [[graft.functions.SrpBandKeys]] — all 32
     * hyperplane dots in one fused pass instead of 32 interpreted HOF
-    * folds. The banded relation persists — it feeds both self-join
-    * sides. At scale the bucket is a shuffle key: candidates are
-    * bounded by bucket sizes (the LSH guarantee), never by a
-    * quadratic blow-up. */
+    * folds. The two self-join sides are the identical banded subplan
+    * shuffled on the same (band, bkey) key, so ReuseExchange computes
+    * the explode pipeline once (PlanSpec pins the ReusedExchange) —
+    * r3's persist did the same job but leaked into the session cache.
+    * At scale the bucket is a shuffle key: candidates are bounded by
+    * bucket sizes (the LSH guarantee), never by a quadratic blow-up. */
   private def srpCandidates(e: DataFrame): DataFrame = {
     val banded = e.select(col("vec_id"),
         posexplode(graft.functions.SrpBandKeys.srpBandKeys(col("v"), NBands, BitsPerBand))
           .as(Seq("band", "bkey")))
-      .persist()
     val probe = banded.select(col("vec_id").as("va"), col("band"), col("bkey"))
     val build = banded.select(col("vec_id").as("vb"), col("band"), col("bkey"))
     probe.join(build, Seq("band", "bkey"))
@@ -160,9 +161,13 @@ object Vectors {
     * pair list back to the vectors by key and keep pairs above the
     * cosine threshold. Join-backs shuffle only candidate ids plus one
     * vector copy per side — the blobs never ride through the
-    * candidate self-join. */
+    * candidate self-join. The two join-backs are the same vector
+    * relation shuffled on the same single key, so ReuseExchange
+    * materializes it once; the only extra cost of dropping r3's
+    * (leaky) persist is one more column-pruned parquet scan feeding
+    * the banded exchange. */
   private[graft] def srpPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), darr.as("v")).persist()
+    val e = emb.select(col("vec_id"), darr.as("v"))
     srpCandidates(e)
       .join(e.select(col("vec_id").as("va"), col("v").as("va_v")), Seq("va"))
       .join(e.select(col("vec_id").as("vb"), col("v").as("vb_v")), Seq("vb"))

@@ -43,7 +43,29 @@ class PlanSpec extends SparkSpec {
     for (joinLine <- p.linesIterator.filter(_.contains("Join")))
       assert(!joinLine.contains("aggregate("),
         s"hyperplane dot fold leaked into a join condition: $joinLine")
-    spark.catalog.clearCache() // srpPairs persists its banded relation
+  }
+
+  test("SRP-LSH reuses exchanges instead of caching: banded self-join and vector join-backs") {
+    // r3 persisted the banded relation and the vector relation (and
+    // leaked both into the session cache); r4 relies on ReuseExchange
+    // collapsing the identical self-join sides / join-back sides into
+    // one computed exchange each. The claim is about the AT-SCALE
+    // regime — under broadcast (the sf0.001 plan) the sides are
+    // asymmetric (stream vs broadcast-build) and reuse can only fire
+    // on the join-backs — so pin it with broadcast off. If a refactor
+    // breaks canonical equality of the sides, this catches the silent
+    // 2x recompute of the explode pipeline.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val qe = ops.Vectors.srpPairs(Tables.embeddings(spark, sf0001), 0.25).queryExecution
+      qe.toRdd.foreach(_ => ()) // execute so AQE's final plan shows reuse
+      val p = qe.executedPlan.toString
+      assert("ReusedExchange".r.findAllIn(p).length >= 2,
+        s"expected the banded self-join AND the vector join-backs to reuse exchanges:\n$p")
+      assert(!p.contains("InMemoryTableScan"), "srpPairs must not cache anything")
+    } finally spark.conf.set(key, saved)
   }
 
   test("salted skew join shuffles on (key, salt), never broadcasts") {
@@ -55,14 +77,24 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("salt"), s"salt missing from join keys: $joinLine")
   }
 
-  test("multi-consumer intermediates stay materialized (persist pins)") {
-    // dropping these persists wouldn't change results — the corpus
-    // would just get re-tokenized per consumer (4-8 scans at 100 TB)
+  test("shared intermediates run once WITHOUT caching (reuse / window shapes)") {
+    // r3 persisted these intermediates (tf, shingles, bands) and the
+    // persists leaked into the session CacheManager with no owner to
+    // release them. r4 restructured each to need no cache: aggregates
+    // that joined back became window functions (one consumer), and
+    // the ngram self-join's identical sides collapse via
+    // ReuseExchange. Pin both halves of that contract.
     for (name <- Seq("q_tfidf", "q_dedup_ngram", "q_dedup_ngram_idf", "q_dedup_minhash")) {
       val p = planOf(name)
-      assert(p.contains("InMemoryTableScan"),
-        s"$name lost its shared-intermediate persist")
-      spark.catalog.clearCache()
+      assert(!p.contains("InMemoryTableScan"),
+        s"$name re-grew a cached intermediate — who unpersists it?")
+      assert(p.contains("Window"), s"$name lost its single-pass window shape")
+    }
+    for (name <- Seq("q_dedup_ngram", "q_dedup_ngram_idf")) {
+      val qe = SparkEntry.queries(name)(spark, sf0001).queryExecution
+      qe.toRdd.foreach(_ => ()) // execute so AQE's final plan shows reuse
+      assert(qe.executedPlan.toString.contains("ReusedExchange"),
+        s"$name self-join sides no longer reuse one exchange (silent 2x tokenize)")
     }
   }
 

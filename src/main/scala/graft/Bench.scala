@@ -19,7 +19,21 @@ import org.apache.spark.sql.SparkSession
   * overhead (~0.1 s) deflates ratios, so a flagged query is genuinely
   * growing faster than its input. Disable with
   * SPARK_GRAFT_SCALE_CHECK=0 (dev loops); SPARK_GRAFT_SF_SMALL
-  * overrides the sibling dir. */
+  * overrides the sibling dir.
+  *
+  * Load-robustness (r3 postmortem): the two suites run minutes apart,
+  * and same-query timings on a shared box swing far more than the
+  * slope headroom — BENCH_r03 flagged 6 queries at slopes 14-36 that
+  * re-measured at 1.5-2.9 under clean load, an artifact that
+  * contradicted the survey and would have sent a round chasing
+  * phantom scale bugs. Three guards now stand between noise and the
+  * `superlinear` list: (1) sub-second queries at the big SF are never
+  * flagged (noise dominates them — `candidates` still records them
+  * for the curious); (2) every over-threshold query is re-measured
+  * PAIRED — small and big SF back-to-back in one load window — and
+  * only a reproduced slope flags; (3) the 1-min load average is
+  * recorded per suite and per re-check, so a hot box is visible in
+  * the artifact itself. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,30 +73,40 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
 
-    def runSuite(dir: String): Seq[(String, Double)] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      // defensive only — CacheHygieneSpec proves queries leave the
+      // CacheManager empty; clearing costs nothing and keeps a future
+      // regression from silently timing cache scans
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok = exec(name, fn, dir)
+      spark.catalog.clearCache()
+      // a failed query must not report a (tiny) elapsed time as if it ran
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+
+    /** One full pass; returns timings plus the suite's own load-average
+      * window (1-min load sampled at start and end — the r3 artifact
+      * recorded a single global load that hid the fact the two suites
+      * ran under very different box conditions). */
+    def runSuite(dir: String): (Seq[(String, Double)], Double, Double) = {
+      val l0 = loadAvg
+      val rs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val warmups = if (iterative(name)) 2 else 1
         (1 to warmups).foreach(_ => exec(name, fn, dir)) // untimed: JIT/codegen/scan-index
-        // queries that persist() an intermediate register it in the
-        // CacheManager under the canonicalized plan; the timed run would
-        // silently reuse the warmup's materialized cache and measure
-        // cache scans instead of the query. Timed runs pay their own
-        // cache build — the honest single-execution cost.
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok = exec(name, fn, dir)
-        // caches persisted during the timed run must not stay registered
-        // into the NEXT query's warmups (they'd hold executor memory and
-        // skew JIT behavior at large SFs)
-        spark.catalog.clearCache()
-        // a failed query must not report a (tiny) elapsed time as if it ran
-        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        (name, timed(name, fn, dir))
       }
+      (rs, l0, loadAvg)
+    }
 
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    val results = runSuite(sfDir)
+    val (results, loadMain0, loadMain1) = runSuite(sfDir)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -92,7 +116,7 @@ object Bench {
     val scaleCheckOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK", "1") != "0" &&
       smallDir != sfDir && new java.io.File(smallDir).isDirectory
     val scaleJson = if (!scaleCheckOn) "" else {
-      val small = runSuite(smallDir)
+      val (small, loadSmall0, loadSmall1) = runSuite(smallDir)
       val smallTotal = small.map(_._2).filter(_ >= 0).sum
       val smallMap = small.toMap
       val ratios = results.flatMap { case (k, v) =>
@@ -103,19 +127,61 @@ object Bench {
       // sf0.1 holds ~10x the rows of sf0.01 (per-table growth varies
       // 4-10x); a ratio beyond 12 means cost grew faster than any
       // input did — the shape to fix before a 100 TB run
-      val superlinear = ratios.collect { case (k, r) if r > 12.0 => "\"" + k + "\"" }
+      val SlopeMax = 12.0
+      // noise gate: a query that finishes the BIG suite under a second
+      // is dominated by fixed job overhead and scheduler jitter — a
+      // slope computed from two sub-second samples says nothing about
+      // its asymptotics (every r3 false flag was in this band)
+      val MinFlagSecs = 1.0
+      val over = ratios.collect { case (k, r) if r > SlopeMax => k }
+      val candidates = over.filter(k => results.toMap.getOrElse(k, 0.0) >= MinFlagSecs)
+      // paired re-measurement: small then big back-to-back, one load
+      // window per query — only a slope that REPRODUCES flags. Both
+      // plans are JIT-warm from the suites, so one timed run each side
+      // is a like-for-like pair.
+      val rechecks = candidates.map { k =>
+        val fn = selected(k)
+        val s2 = timed(k, fn, smallDir)
+        val b2 = timed(k, fn, sfDir)
+        val slope2 = if (s2 > 0 && b2 > 0) b2 / s2 else -1.0
+        (k, s2, b2, slope2)
+      }
+      val confirmed = rechecks.collect { case (k, _, _, r2) if r2 > SlopeMax => "\"" + k + "\"" }
+      val recheckJson = rechecks.map { case (k, s2, b2, r2) =>
+        "\"" + k + "\":{\"small\":" + s2 + ",\"big\":" + b2 + ",\"slope\":" +
+          math.round(r2 * 100) / 100.0 + ",\"load_avg\":" + loadAvg + "}"
+      }.mkString("{", ",", "}")
       val slopes = ratios.map { case (k, r) => "\"" + k + "\":" + math.round(r * 100) / 100.0 }
         .mkString("{", ",", "}")
+      val overJson = over.map("\"" + _ + "\"").mkString(",")
       s""","scale_check":{"sf_small":"$smallDir","total_small":$smallTotal,""" +
+        s""""load_avg_small":[$loadSmall0,$loadSmall1],""" +
         s""""queries_small":${jsonMap(small)},"slope_vs_small":$slopes,""" +
-        s""""superlinear":[${superlinear.mkString(",")}]}"""
+        s""""over_threshold":[$overJson],"recheck":$recheckJson,""" +
+        s""""superlinear":[${confirmed.mkString(",")}]}"""
     }
 
-    // machine-load context: same-query timings on this box swing ±30%,
-    // so record the 1-min load average alongside the numbers
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"failed":[${failed.mkString(",")}],"load_avg":$load,"sf":"$sfDir"$scaleJson}""")
+    // ---- the reference's partition-sweep experiment (C1, task2) ----
+    // time-vs-numPartitions for the PageRank loop at this SF, the one
+    // reference experiment whose report didn't survive; skipped in
+    // restricted dev loops (SPARK_GRAFT_ONLY) or with SPARK_GRAFT_SWEEP=0
+    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0" && only.isEmpty
+    val sweepJson = if (!sweepOn) "" else {
+      val ns = Seq(10, 50, 100, 200, 300) // task2/task2.sh:4-5's grid
+      val times = ns.map { n =>
+        val t0 = System.nanoTime()
+        ops.PageRank.run(ops.PageRank.starEdges(spark, sfDir), 10, numPartitions = n)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+      times.map { case (n, t) => "\"" + n + "\":" + t }
+        .mkString(""","partition_sweep":{""", ",", "}")
+    }
+
+    // "load_avg" stays a scalar (driver-parsed shape from earlier
+    // rounds); the [start, end] window is the per-suite record
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"failed":[${failed.mkString(",")}],"load_avg":$loadMain1,"load_avg_main":[$loadMain0,$loadMain1],"sf":"$sfDir"$scaleJson$sweepJson}""")
     spark.stop()
   }
 }

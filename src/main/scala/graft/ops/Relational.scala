@@ -102,6 +102,41 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("c_custkey"))
 
+  /** Bucketed-layout twin of [[joinInner]] (§2.13, r3 verdict task
+    * #8): orders and lineitem are materialized ONCE as tables
+    * bucketed AND sorted by the join key, so the fact-fact join plans
+    * as a sort-merge join with NO shuffle exchange on either side —
+    * the pre-partitioned layout that makes repeated 100 TB fact-fact
+    * joins affordable (the one-time layout cost amortizes across
+    * every downstream join on that key, and the per-bucket sort
+    * even skips the SMJ's local sort). Join order differs from
+    * [[joinInner]] (fact-fact first, then customer) but inner joins
+    * commute, so the SAME oracle checks both. The layout step is
+    * idempotent per (session, dataset) — Bench's warmup+timed
+    * replays reuse it — and lands in a pid-keyed scratch warehouse.
+    * PlanSpec pins the exchange count under the no-broadcast regime. */
+  def joinInnerBucketed(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${ProcessHandle.current().pid()}"
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val (ot, lt) = (s"b_orders_$tag", s"b_lineitem_$tag")
+    if (!s.catalog.tableExists(ot))
+      Tables.orders(s, d).select("o_orderkey", "o_custkey").write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/$ot").mode("overwrite").saveAsTable(ot)
+    if (!s.catalog.tableExists(lt))
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount").write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/$lt").mode("overwrite").saveAsTable(lt)
+    s.table(ot).join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Broadcast join of small dims (SURVEY J3): region and nation are
     * O(10²) rows at any SF — explicit `broadcast()` hints pin
     * BroadcastHashJoin so the fact side never shuffles for the dims. */
@@ -328,6 +363,7 @@ object Relational {
     "q_agg_basic"         -> aggBasic,
     "q_agg_distinct"      -> aggDistinct,
     "q_join_inner"        -> joinInner,
+    "q_join_inner_bucketed" -> joinInnerBucketed,
     "q_join_broadcast"    -> joinBroadcast,
     "q_topk"              -> topk,
     "q_set_ops"           -> setOps,
@@ -449,6 +485,15 @@ object Relational {
          count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_join_inner" ->
+      """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    // inner joins commute: the bucketed twin reorders the joins but
+    // must produce the identical aggregate
+    "q_join_inner_bucketed" ->
       """SELECT c_custkey, c_name,
          round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
          count(*) AS n_items

@@ -68,6 +68,40 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, saved)
   }
 
+  test("bucketed join variant: the fact-fact join itself never exchanges") {
+    // unbucketed joinInner under no-broadcast pays 4 hash exchanges
+    // (both sides of both joins); the bucketed twin's orders⋈lineitem
+    // reads pre-bucketed sorted layout — only the customer join's two
+    // exchanges remain, and the aggregate reuses the join's
+    // partitioning. This is the checked form of the 100 TB
+    // "pre-partitioned data" claim.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val qe = SparkEntry.queries("q_join_inner_bucketed")(spark, sf0001).queryExecution
+      qe.toRdd.foreach(_ => ())
+      // AdaptiveSparkPlan.toString appends the pre-adaptive plan under
+      // "== Initial Plan ==" — keep only the final plan or the
+      // exchange count double-counts (same caveat as PlanAudit)
+      val full = qe.executedPlan.toString
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i => full.substring(0, i)
+      }
+      assert(p.contains("SortMergeJoin [o_orderkey") || p.contains("SortMergeJoin [l_orderkey"),
+        s"fact-fact join is not the SMJ the bucketing targets:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan ignored the bucketed layout:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 2,
+        s"expected only the customer join's exchanges, found $exchanges:\n$p")
+    } finally {
+      spark.conf.set(key, saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("salted skew join shuffles on (key, salt), never broadcasts") {
     val p = planOf("q_join_skew_salted")
     assert(p.contains("ShuffledHashJoin"), p)

@@ -42,11 +42,11 @@ object PlanAudit {
           case i => full.substring(0, i)
         }
         def n(pat: String) = pat.r.findAllIn(p).length
-        // caveat: InMemoryRelation prints its BUILD plan once per
-        // reference, so scan/explode/shuffle counts overcount for
-        // queries that persist an intermediate — memscans > 0 flags
-        // that (execution reads the cache; the repeats are printing
-        // artifacts, verify with the SQL-tab DAG or timings)
+        // memscans should stay 0 everywhere since r4 removed all
+        // query-local persists (CacheHygieneSpec enforces it) — a
+        // nonzero value here means a cached intermediate crept back
+        // in, and its InMemoryRelation would overcount the other
+        // columns (the BUILD plan prints once per reference)
         println(f"$name%-28s shuffles=${n("Exchange hashpartitioning")}%-3d " +
           f"rangeX=${n("Exchange rangepartitioning")}%-2d reused=${n("ReusedExchange")}%-3d " +
           f"scans=${n("Scan parquet")}%-3d memscans=${n("InMemoryTableScan")}%-2d " +

@@ -33,7 +33,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.catalog.clearCache() // queries persist intermediates; don't accumulate over 72 of them
+      } finally spark.catalog.clearCache() // defensive only: CacheHygieneSpec proves queries leave the CacheManager empty
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

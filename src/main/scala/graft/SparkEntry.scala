@@ -22,7 +22,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Joins.queries ++ ops.Windows.queries ++
       ops.Functions.queries ++ ops.PageRank.queries ++ ops.Text.queries ++
       ops.Vectors.queries ++ ops.Events.queries ++ ops.AllReduce.queries ++
-      ops.Multimodal.queries ++ ops.Sources.queries
+      ops.Multimodal.queries ++ ops.Sources.queries ++ ops.Corpus.queries ++
+      ops.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Joins.oracles ++ ops.Windows.oracles ++
       ops.Functions.oracles ++ ops.PageRank.oracles ++ ops.Text.oracles ++
       ops.Vectors.oracles ++ ops.Events.oracles ++ ops.AllReduce.oracles ++
-      ops.Multimodal.oracles ++ ops.Sources.oracles
+      ops.Multimodal.oracles ++ ops.Sources.oracles ++ ops.Corpus.oracles ++
+      ops.Graph.oracles
 }

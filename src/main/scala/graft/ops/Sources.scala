@@ -103,9 +103,30 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** Hive-partitioned layout + pruned read-back (S9, r4): `documents`
+    * written `partitionBy(lang)` — the directory-per-value layout a
+    * 100 TB corpus actually ships in — then read back with a
+    * partition-column filter. The filter must resolve at PLANNING
+    * time against directory names (PartitionFilters in the scan, one
+    * of five directories listed), never as a row-level predicate over
+    * the whole corpus: that is the difference between reading 1/5th
+    * of the data and reading all of it. PlanSpec pins the pruned
+    * partition count; the oracle is the equivalent row filter on the
+    * unpartitioned table (layout must not change semantics). */
+  def layoutPartitioned(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("bylang")
+    graft.Tables.documents(s, d)
+      .write.partitionBy("lang").mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_jsonl" -> sourceJsonlRoundtrip,
     "q_source_csv"   -> sourceCsvRoundtrip,
+    "q_layout_partitioned" -> layoutPartitioned,
   )
 
   /** Both round trips must be lossless, so both oracles are the bare
@@ -116,5 +137,7 @@ object Sources {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_source_csv" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "q_layout_partitioned" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
   )
 }

@@ -356,7 +356,7 @@ object Text {
     * [[charHash]] — hᵢ(g) = (h(g)·(2i+1) + i) mod M — and the band
     * signature is the exact pair encoding mh₂ᵦ·M + mh₂ᵦ₊₁ (no hash,
     * no collisions). Same plan shape as [[minhashBands]]. */
-  private def portableBands(docs: DataFrame): DataFrame = {
+  private[ops] def portableBands(docs: DataFrame): DataFrame = {
     val sh = docShingles(docs).withColumn("h", charHash(col("g")))
     val minhash = sh.groupBy("doc_id").agg(
       min((col("h") * 1L + 0L) % HashMod).as("mh0"),
@@ -603,7 +603,7 @@ object Text {
     * closure oracle references it inside every unrolled propagation
     * round, and DuckDB would otherwise re-inline the whole shingle
     * pipeline per reference (the PageRank-oracle lesson). */
-  private val portableBandsCte: String = {
+  private[ops] val portableBandsCte: String = {
     val mhCols = (0 until MinhashPerms)
       .map(i => s"min((h * ${2 * i + 1} + $i) % $HashMod) AS mh$i").mkString(", ")
     val bandSelects = (0 until MinhashBands)

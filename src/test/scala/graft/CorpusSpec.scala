@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops.{Corpus, Text}
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus-curation operators: Gopher-style repetition
+  * filters, benchmark decontamination, vocabulary truncation,
+  * temperature mixing, inverted index. Fixtures are hand-computed;
+  * the harness corpus paths are oracle-checked by the driver. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+
+  test("repetition profile matches hand computation") {
+    // "a a a b": 4 words, 2 distinct -> dup 0.5; top word a=3/4;
+    // bigrams [a a, a a, a b]: top 2/3
+    val got = Corpus.repetitionProfile(docs(1L -> "a a a b")).collect().head
+    assert(got.getInt(1) == 4)
+    assert(got.getDouble(2) == 0.5)
+    assert(got.getDouble(3) == 0.75)
+    assert(got.getDouble(4) == 0.666667)
+    assert(got.getBoolean(5)) // top_word_frac 0.75 > 0.2
+  }
+
+  test("single-word doc yields empty bigram stats, no runtime error") {
+    val got = Corpus.repetitionProfile(docs(1L -> "solo")).collect().head
+    assert(got.getInt(1) == 1 && got.isNullAt(4))
+    assert(got.getBoolean(5)) // top_word_frac = 1.0 flags it
+  }
+
+  test("decontamination finds planted benchmark overlap, skips disjoint docs") {
+    val bench = "q w e r t y u i"          // doc_id 7 -> benchmark slice
+    val copy = "z x " + bench              // shares 5-grams with bench
+    val clean = "k l m n o p a b c"        // disjoint vocabulary
+    val got = Corpus.decontaminate(docs(7L -> bench, 8L -> copy, 9L -> clean))
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getBoolean(3))).toMap
+    assert(got(8L)._1 == 4 && got(8L)._2, s"copy shares 4 of bench's 5-grams: $got")
+    assert(got(9L)._1 == 0 && !got(9L)._2)
+    assert(!got.contains(7L)) // benchmark docs are not scored
+  }
+
+  test("vocab mask: in-vocab words survive, OOV become <unk>, order kept") {
+    // 21 distinct words: w1..w20 appear twice (in vocab), 'rare' once
+    val common = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> s"$common rare $common")
+    val got = Corpus.vocabMask(d).collect().head
+    assert(got.getInt(1) == 41 && got.getInt(2) == 1)
+    assert(got.getString(4) == s"$common <unk> $common")
+  }
+
+  test("vocab mask unk positions reconstruct against the original") {
+    val d = Tables.documents(spark, sf0001).limit(50)
+    val masked = Corpus.vocabMask(d).select("doc_id", "masked_text")
+    val joined = d.join(masked, "doc_id")
+      .select(split(col("text"), " ").as("ws"), split(col("masked_text"), " ").as("ms"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val ws = r.getSeq[String](0); val ms = r.getSeq[String](1)
+      assert(ws.length == ms.length)
+      ws.zip(ms).foreach { case (w, m) => assert(m == w || m == "<unk>") }
+    }
+  }
+
+  test("temperature mixing keeps the whole smallest language; rates derive from counts") {
+    val d = Tables.documents(spark, sf0001)
+    val kept = Corpus.sampleTemperature(d)
+    val rates = kept.select("lang", "keep_permille").distinct()
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val counts = d.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = counts.minBy { case (l, n) => (n, l) }._1
+    assert(rates(minLang) == 1000, s"smallest language keeps everything: $rates")
+    val nMin = counts(counts.keys.minBy(counts)).toDouble
+    counts.foreach { case (l, n) =>
+      val expect = math.floor(math.sqrt(nMin / n) * 1000).toInt
+      assert(!rates.contains(l) || rates(l) == expect, s"$l: ${rates.get(l)} vs $expect")
+    }
+  }
+
+  test("temperature mixing draw is partition-count invariant") {
+    val d = Tables.documents(spark, sf0001)
+    val a = Corpus.sampleTemperature(d).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = Corpus.sampleTemperature(d.repartition(13)).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("incremental dedup: exact delta copy hits all bands, novel doc hits none") {
+    // ids: 1 -> history (1 % 10 < 8), 18/19 -> delta batch
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val novel = (1 to 12).map(i => s"x$i").mkString(" ")
+    val got = Corpus.dedupIncremental(docs(1L -> base, 18L -> base, 19L -> novel))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq((18L, 8, true, true), (19L, 0, false, false)), got.toSeq)
+  }
+
+  test("incremental dedup on the harness corpus: planted near-dups straddle the split") {
+    val got = Corpus.dedupIncremental(Tables.documents(spark, sf0001)).collect()
+    assert(got.exists(_.getInt(1) > 0), "some delta doc must collide with history bands")
+    // identical text implies identical minhash bands: exact => all 8 bands hit
+    got.filter(_.getBoolean(2)).foreach(r => assert(r.getInt(1) == 8, r))
+  }
+
+  test("inverted index agrees with wordcount and its own postings") {
+    val idx = Corpus.invertedIndex(Tables.documents(spark, sf0001)).collect()
+    val wc = Text.wordcount(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(idx.nonEmpty && idx.length == wc.size)
+    idx.foreach { r =>
+      val word = r.getString(0); val df = r.getLong(1)
+      val postings = r.getString(2).split(",").map(_.toLong)
+      assert(df == wc(word), s"$word df != wordcount n_docs")
+      assert(postings.length == df && postings.sameElements(postings.sorted))
+      assert(postings.distinct.length == postings.length)
+    }
+  }
+}

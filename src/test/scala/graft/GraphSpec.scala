@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting: hand fixtures + an orientation-invariance check
+  * against the naive id-ordered enumeration (the oracle's shape). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*): DataFrame =
+    es.toDF("u", "v")
+
+  /** The oracle-shaped naive enumeration: e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)
+    * over id-ordered edges — per-node counts must be identical to the
+    * degree-ordered engine enumeration for any graph. */
+  private def naive(e: DataFrame): Map[Long, Long] = {
+    val e1 = e.select(col("u").as("a"), col("v").as("b"))
+    val e2 = e.select(col("u").as("b"), col("v").as("c"))
+    val e3 = e.select(col("u").as("a"), col("v").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def got(e: DataFrame): Map[Long, Long] =
+    Graph.triangleCounts(e).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: every vertex sits in 3 of the 4 triangles") {
+    val k4 = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    assert(got(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("bipartite graph has no triangles") {
+    val bip = edges(1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 11L)
+    assert(got(bip).isEmpty)
+  }
+
+  test("triangle + pendant edge: pendant vertex uncounted") {
+    val g = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 9L)
+    assert(got(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("degree-ordered enumeration matches naive enumeration on the real graph") {
+    val e = Graph.coEdges(spark, sf0001)
+    assert(got(e) == naive(e))
+  }
+
+  test("hub skew: star + one closing edge (degree ordering must not double count)") {
+    // hub 1 connects to 2..8; only edge (2,3) closes a triangle
+    val star = (2L to 8L).map(i => 1L -> i) :+ (2L -> 3L)
+    assert(got(edges(star: _*)) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}

@@ -27,6 +27,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("partitioned layout read prunes to the one matching directory") {
+    val df = ops.Sources.layoutPartitioned(spark, sf0001)
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      s"lang predicate must be a partition filter, not a row filter: $scan")
+    // the pruned listing — what the scan will actually read — is one
+    // of the five lang directories (df.inputFiles would lie here: it
+    // lists the relation's full index, ignoring pruning)
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(parts.length == 1, s"expected 1 of 5 partition dirs, got ${parts.length}")
+    assert(parts.head.files.nonEmpty)
+  }
+
   test("vector pairs join is pure equi (no join-condition cosine)") {
     val p = planOf("q_vector_pairs")
     val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, PortableStringHash, SrpBandKeys}
+import graft.functions.{ArrayTopCount, CosineSimilarity, PortableStringHash, SrpBandKeys}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.LongType
 
@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"portable_hash mod must be an integer literal, got $other")
         }
         PortableStringHash(args.head, mod)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("array_top_count"),
+      new ExpressionInfo(classOf[ArrayTopCount].getName, "array_top_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"array_top_count expects 1 argument, got ${args.length}")
+        ArrayTopCount(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("srp_band_keys"),

@@ -61,13 +61,20 @@ object Corpus {
         concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
       .otherwise(emptyStrings)
 
-  /** Count of the most frequent element of `xs` — O(distinct·n)
-    * per-row HOF arithmetic. Narrow by design: documents are bounded
-    * (longest harness doc ~110 words), so per-doc cost is constant
-    * and the operator never shuffles — the alternative explode +
-    * count + window-max materializes an O(total tokens) relation and
-    * pays two shuffles for the same numbers. */
+  /** Count of the most frequent element of `xs`. Narrow by design:
+    * per-doc compute, zero shuffles — the alternative explode + count
+    * + window-max materializes an O(total tokens) relation and pays
+    * two shuffles for the same numbers. Rendered by the native
+    * [[graft.functions.ArrayTopCount]] (one hash-count pass per row);
+    * the O(distinct·n) interpreted-HOF rendering it replaced
+    * ([[topCountHof]]) dominated q_repetition's sf0.1 profile. */
   private def topCount(xs: Column): Column =
+    graft.functions.ArrayTopCount.arrayTopCount(xs)
+
+  /** The HOF rendering topCount replaced; kept as the semantic
+    * specification the native expression is spec-pinned against
+    * (CorpusSpec property test), same contract as Text.charHashHof. */
+  private[graft] def topCountHof(xs: Column): Column =
     array_max(transform(array_distinct(xs), w =>
       size(filter(xs, x => x === w))))
 

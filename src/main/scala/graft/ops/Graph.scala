@@ -42,9 +42,22 @@ object Graph {
       .distinct()
   }
 
+  /** Closing-join broadcast ceiling: below it the undirected edge set
+    * ships to every task and the O(m^1.5) wedge stream probes it
+    * in-place — the wedge relation NEVER shuffles (it was 34× the
+    * edge count on the harness graph; shuffling it was the whole
+    * cost). Past the gate the plan degrades to the shuffled equi-join
+    * — at web scale the edge set outgrows any broadcast ceiling and
+    * wedges must move. Same gate class as PageRank.BroadcastMaxNodes. */
+  val BroadcastMaxEdges = 4000000L
+
   /** Per-node triangle counts (node, n_tri), nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges.localCheckpoint()
+    // one job on materialized blocks (the PageRank one-count-per-query
+    // precedent): localCheckpoint hides e's size from Catalyst, so the
+    // broadcast decision needs an explicit measurement
+    val edgeCount = e.count()
     val deg = e.select(col("u").as("n"))
       .unionByName(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -62,7 +75,8 @@ object Graph {
     val wedges = oriented.select(col("src").as("x"), col("dst").as("y"))
       .join(oriented.select(col("src").as("x"), col("dst").as("z")), Seq("x"))
       .where(col("y") < col("z"))
-    val tri = wedges.join(e, col("y") === col("u") && col("z") === col("v"))
+    val closing = if (edgeCount <= BroadcastMaxEdges) broadcast(e) else e
+    val tri = wedges.join(closing, col("y") === col("u") && col("z") === col("v"))
       .select(col("x"), col("y"), col("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))

@@ -25,6 +25,26 @@ class CorpusSpec extends SparkSpec {
     assert(got.getBoolean(5)) // top_word_frac 0.75 > 0.2
   }
 
+  test("native array_top_count is bit-identical to the HOF rendering") {
+    // same contract class as portable_hash vs charHashHof: the codegen
+    // expression must agree with the interpreted HOF specification on
+    // arbitrary token arrays, including empty (both NULL)
+    import graft.functions.ArrayTopCount.arrayTopCount
+    val rnd = new scala.util.Random(14)
+    val rows = (1 to 200).map { _ =>
+      val n = rnd.nextInt(30)
+      Tuple1((1 to n).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    } :+ Tuple1("")
+    val ws = split(col("_1"), " ")
+    val got = rows.toDF("_1")
+      .select(arrayTopCount(ws).as("native"), Corpus.topCountHof(ws).as("hof"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), r.toString)
+      if (!r.isNullAt(0)) assert(r.getInt(0) == r.getInt(1), r.toString)
+    }
+  }
+
   test("single-word doc yields empty bigram stats, no runtime error") {
     val got = Corpus.repetitionProfile(docs(1L -> "solo")).collect().head
     assert(got.getInt(1) == 1 && got.isNullAt(4))

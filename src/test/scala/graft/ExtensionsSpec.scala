@@ -60,6 +60,16 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT srp_band_keys(array('a'), 4, 8)").collect()
       }
       assert(skErr.getMessage.toLowerCase.contains("array<double>"))
+
+      // array_top_count: mode multiplicity; empty array → NULL
+      val tc = spark.sql(
+        """SELECT array_top_count(array('a','b','a')) AS c,
+                  array_top_count(CAST(array() AS array<string>)) AS e""").collect().head
+      assert(tc.getInt(0) == 2 && tc.isNullAt(1))
+      val tcErr = intercept[Exception] {
+        spark.sql("SELECT array_top_count(array(1, 2))").collect()
+      }
+      assert(tcErr.getMessage.toLowerCase.contains("array<string>"))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

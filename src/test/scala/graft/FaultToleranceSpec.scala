@@ -47,6 +47,37 @@ class FaultToleranceSpec extends SparkSpec {
         s"node $k: recovered ${recovered(k)} != clean $v")
     }
   }
+  test("connected components survive first-attempt task failures with identical labels") {
+    import spark.implicits._
+    import graft.ops.Components
+    // chain + island: multi-round pointer jumping, so the injected
+    // failure sits below several localCheckpoint generations. The
+    // edges go through parquet so the flaky filter runs in executor
+    // tasks — over a local Seq, predicate pushdown +
+    // ConvertToLocalRelation fold the filter at the driver, where
+    // TaskContext is null and the injection can never fire.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ft_cc").toString
+    ((1L until 40L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("src", "dst").write.mode("overwrite").parquet(dir)
+    val edges = spark.read.parquet(dir)
+    val clean = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    failedTasks.clear()
+    val flaky = udf { (src: Long) =>
+      val tc = TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 &&
+          failedTasks.add(tc.stageId() + "_" + tc.partitionId()))
+        throw new RuntimeException("injected first-attempt task failure")
+      true
+    }
+    val recovered = Components.connectedComponents(edges.filter(flaky(col("src"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(failedTasks.size() > 0, "injection never fired — the experiment didn't run")
+    assert(recovered == clean,
+      s"labels diverged after recovery: $recovered vs $clean")
+  }
 }
 
 object FaultToleranceSpec {

@@ -42,6 +42,14 @@ class PlanSpec extends SparkSpec {
     assert(parts.head.files.nonEmpty)
   }
 
+  test("triangle closing join broadcasts the edge set under the gate (wedges never shuffle)") {
+    val p = planOf("q_triangles")
+    val closing = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("y#") && l.contains("z#"))
+    assert(closing.exists(_.contains("BroadcastHashJoin")),
+      s"the O(m^1.5) wedge stream must probe a broadcast edge set, not shuffle: $closing\n$p")
+  }
+
   test("vector pairs join is pure equi (no join-condition cosine)") {
     val p = planOf("q_vector_pairs")
     val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")

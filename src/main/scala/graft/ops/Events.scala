@@ -71,6 +71,17 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** ST8 as a declared query: the batch face of the stream-static
+    * enrichment join ([[Streaming.enrichedTumbling]]) — every event
+    * enriched with its user's market segment from the `customer` dim,
+    * rolled into tumbling hourly counts per segment. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    Streaming.enrichedTumbling(Tables.events(s, d), dim)
+      .orderBy(col("ws"), col("segment"))
+  }
+
   /** Ordered-funnel attribution (event analytics): within each
     * (user, day), the first view, the first click strictly after it,
     * the first purchase strictly after that click — rolled up per
@@ -144,6 +155,7 @@ object Events {
     "q_stream_watermark" -> streamWatermark,
     "q_stream_stateful" -> streamStateful,
     "q_stream_join"     -> streamJoin,
+    "q_stream_enrich"   -> streamEnrich,
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,6 +201,11 @@ object Events {
          date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    "q_stream_enrich" ->
+      """SELECT date_trunc('hour', e.ts) AS ws, c.c_mktsegment AS segment,
+         count(*) AS n, round(sum(e.value), 2) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1, 2 ORDER BY ws, segment""",
     // An event at t belongs to the 4 slide-grid windows with
     // start in (t - 1h, t]: start = floor15(t) - k*15min, k in 0..3.
     "q_stream_sliding" ->

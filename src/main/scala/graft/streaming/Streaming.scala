@@ -47,6 +47,21 @@ object Streaming {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join (ST8): events joined to a static
+    * dimension `dim(user_id, segment)`, then tumbling 1-hour counts
+    * per segment. Stream-static inner joins are STATELESS — each
+    * micro-batch probes the static side (broadcast at dim sizes, and
+    * the hint survives under `readStream`), so unlike the
+    * stream-stream band join (ST7) no join state accumulates and no
+    * watermark is needed for the join itself, only for the windowed
+    * aggregation downstream. The canonical "enrich the firehose with
+    * reference data" shape. */
+  def enrichedTumbling(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("ws"), col("segment"), col("n"), col("sum_value"))
+
   /** ST4 (watermark policy) as a deterministic relation: the
     * append-mode output of the watermarked tumbling aggregation once
     * the stream is exhausted — exactly the windows whose end is at or

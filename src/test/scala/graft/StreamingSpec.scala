@@ -39,6 +39,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: micro-batches probe the static dim, no join state") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "AUTO"), (2L, "HOME")).toDF("user_id", "segment")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = mem.toDF.toDF("ts", "user_id", "value")
+    val agg = Streaming.enrichedTumbling(events.withWatermark("ts", "10 minutes"), dim)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("enrich").start()
+    val streamed = try {
+      mem.addData(
+        (t("2024-01-01 00:05:00"), 1L, 1.0),
+        (t("2024-01-01 00:20:00"), 2L, 2.0),
+        (t("2024-01-01 00:40:00"), 1L, 3.0),
+        (t("2024-01-01 00:50:00"), 9L, 9.0)) // no dim row: inner join drops
+      q.processAllAvailable()
+      mem.addData((t("2024-01-01 02:00:00"), 1L, 0.5)) // closes hour 0
+      q.processAllAvailable()
+      spark.table("enrich").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ws"), r.getAs[String]("segment"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    } finally q.stop()
+    val batch = Streaming.enrichedTumbling(
+      Seq((t("2024-01-01 00:05:00"), 1L, 1.0), (t("2024-01-01 00:20:00"), 2L, 2.0),
+        (t("2024-01-01 00:40:00"), 1L, 3.0), (t("2024-01-01 00:50:00"), 9L, 9.0))
+        .toDF("ts", "user_id", "value"), dim)
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws"), r.getAs[String]("segment"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+    assert(streamed == batch.filter(_._1 == t("2024-01-01 00:00:00")),
+      s"stream $streamed vs closed-window batch slice of $batch")
+  }
+
   test("late rows beyond the watermark are dropped") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]

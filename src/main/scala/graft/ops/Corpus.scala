@@ -255,7 +255,34 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Packing bin capacity in whitespace tokens (T20). */
+  private val PackCapacity = 128
+
+  /** Sequence packing (T20): assign documents to fixed-capacity
+    * training bins by greedy CONTIGUOUS packing — bin = exclusive
+    * running token total ÷ capacity, per source, in doc_id order.
+    * Deterministic on any engine or cluster size (unlike first-fit
+    * heuristics whose output depends on partition visit order), and
+    * the window partitions by `source`, so packing parallelizes
+    * per-shard — the unpartitioned variant would serialize the corpus
+    * through one task, the single-partition window trap at 100 TB.
+    * A doc whose tokens straddle a boundary belongs to the bin its
+    * first token falls in (documents stay whole; capacity is a soft
+    * target, the standard pack-then-truncate prep). */
+  def packSequences(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("cum_before") / (PackCapacity * 1.0)).cast("int").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> ((s: SparkSession, d: String) =>
+      packSequences(Tables.documents(s, d))),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) =>
       dedupIncremental(Tables.documents(s, d))),
     "q_repetition" -> ((s: SparkSession, d: String) =>
@@ -271,6 +298,16 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+           coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM t)
+         SELECT doc_id, source, n_tokens,
+           CAST(floor(cum_before / 128.0) AS INT) AS bin
+         FROM c ORDER BY doc_id""",
     "q_dedup_incremental" ->
       s"""WITH ${Text.portableBandsCte},
          hist AS (SELECT DISTINCT band, band_sig FROM bands WHERE doc_id % 10 < 8),

@@ -125,6 +125,24 @@ class CorpusSpec extends SparkSpec {
     got.filter(_.getBoolean(2)).foreach(r => assert(r.getInt(1) == 8, r))
   }
 
+  test("sequence packing: contiguous bins per source, capacity-aligned, exhaustive") {
+    val got = Corpus.packSequences(Tables.documents(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._1)
+      // bins are non-decreasing in doc order and start at 0
+      assert(ordered.head._4 == 0)
+      assert(ordered.sliding(2).forall { case Array(a, b) => b._4 >= a._4; case _ => true })
+      // bin = exclusive running total / capacity, recomputed independently
+      var cum = 0L
+      ordered.foreach { case (_, _, n, bin) =>
+        assert(bin == (cum / 128).toInt, s"doc at cum=$cum tokens -> bin $bin")
+        cum += n
+      }
+    }
+  }
+
   test("inverted index agrees with wordcount and its own postings") {
     val idx = Corpus.invertedIndex(Tables.documents(spark, sf0001)).collect()
     val wc = Text.wordcount(spark, sf0001)

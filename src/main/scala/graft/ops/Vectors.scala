@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity search over `embeddings.embedding` (FLOAT[64]) —
@@ -57,6 +58,27 @@ object Vectors {
       .select(col("vec_id"), col("label"), cosine(darr, qvec).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(50)
+
+  /** Batched ANN serving (V5, r4): top-10 neighbors for EVERY query
+    * in a query set, answered by ONE corpus scan — the serving shape
+    * at scale, where q separate scans (or q driver round trips) is
+    * the anti-pattern. The query set (a fixed id slice standing in
+    * for the online batch) broadcasts; the corpus pairs against it in
+    * a BroadcastNestedLoopJoin — bounded cartesian: |corpus| × |batch|
+    * rows, never |corpus|² — then one window per query id keeps the
+    * top-10 (cos desc, vec_id tiebreak; a query's own vector ranks
+    * first at cos 1, the conventional self-hit). */
+  def vectorTopkBatch(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
+    val queries = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc))
+    e.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rn", rn).filter(col("rn") <= 10).drop("rn")
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
 
   /** All-pairs near-neighbor (V2): candidates bounded by the label
     * equi-key plus a vec_id band of 25. The band rides as an *equi*
@@ -254,6 +276,7 @@ object Vectors {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_topk"  -> vectorTopk,
+    "q_vector_topk_batch" -> vectorTopkBatch,
     "q_vector_pairs" -> vectorPairs,
     "q_vector_ivf"   -> vectorIvf,
     "q_vector_ivf_probe" -> vectorIvfProbe,
@@ -275,6 +298,16 @@ object Vectors {
                      $sqlQvec AS q FROM embeddings)
          SELECT vec_id, label, ${sqlCos("v", "q")} AS cos
          FROM e ORDER BY cos DESC, vec_id ASC LIMIT 50""",
+    "q_vector_topk_batch" ->
+      s"""WITH e AS (SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 7),
+         s AS (SELECT q.qid, e.vec_id, ${sqlCos("e.v", "q.qv")} AS cos
+               FROM e CROSS JOIN q),
+         r AS (SELECT qid, vec_id, cos,
+                      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+               FROM s)
+         SELECT qid, vec_id, cos FROM r WHERE rn <= 10
+         ORDER BY qid, cos DESC, vec_id""",
     "q_vector_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlDarr("embedding")} AS v FROM embeddings)
          SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,

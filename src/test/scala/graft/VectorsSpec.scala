@@ -87,6 +87,19 @@ class VectorsSpec extends SparkSpec {
     assert(probeRecall >= recall, "multi-probe must never lose to single-probe")
   }
 
+  test("batched ANN: every query's self-hit ranks first, 10 rows per query") {
+    val got = ops.Vectors.vectorTopkBatch(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val perQuery = got.groupBy(_._1)
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { case (qid, rows) =>
+      assert(rows.length == 10, s"query $qid returned ${rows.length} rows")
+      // rows come back in rank order: head is the self-hit at cos 1
+      assert(rows.head._2 == qid && math.abs(rows.head._3 - 1.0) < 1e-12,
+        s"query $qid self-hit missing: ${rows.head}")
+    }
+  }
+
   test("q_dedup_embed oracle's 20-round unroll reaches the fixed point on testdata") {
     // the DuckDB oracle unrolls exactly 20 propagation rounds while
     // the engine runs Components to a fixed point; a similarity chain

@@ -41,6 +41,14 @@ object Multimodal {
     * stride bugs the mean cannot see. */
   case class ImageFeatures(media_id: Long, mean_intensity: Double, checksum: Long)
 
+  /** Features of the 2× nearest-neighbor downsampled image (T9 resize
+    * stage). gray_sum is the raw integer intensity total — exact, so
+    * no cross-engine rounding contract at all (the small resized
+    * grids make a rounded mean land on .xxxxxx5 ties where Spark's
+    * HALF_UP and DuckDB's rounding disagree; sf0.1 had exactly one). */
+  case class ResizedFeatures(media_id: Long, out_w: Int, out_h: Int,
+      gray_sum: Long, checksum: Long)
+
   // ---------- pure-JVM BMP codec ----------
 
   /** Stride of a 24-bpp BMP row: 3 bytes/pixel, rounded up to 4. */
@@ -227,6 +235,43 @@ object Multimodal {
     }
   }
 
+  /** Real-image resize (T9): decode → nearest-neighbor 2× downsample
+    * (top-left of each 2×2, so pixel values stay integral and the
+    * position-weighted checksum stays exact) → re-featurize, all
+    * inside the batched map — pixels never become rows, payloads
+    * never shuffle. The closed-form oracle reproduces the resized
+    * grid as gray(2x, 2y) over (w/2, h/2). */
+  private def resizedFeatures(media: Dataset[Media], batchSize: Int = 64): Dataset[ResizedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          bmpDecode(m.payload).map { img =>
+            val ow = img.width / 2
+            val oh = img.height / 2
+            val n = ow * oh
+            var sum = 0L
+            var chk = 0L
+            var i = 0
+            while (i < n) {
+              val x = i % ow
+              val y = i / ow
+              val g = img.gray((2 * y) * img.width + 2 * x) & 0xFF
+              sum += g
+              chk += g.toLong * ((i % 97) + 1)
+              i += 1
+            }
+            ResizedFeatures(m.media_id, ow, oh, sum, chk)
+          }.iterator
+        }
+      }
+    }
+  }
+
+  def multimodalResize(s: SparkSession, d: String): DataFrame =
+    resizedFeatures(mediaTable(s, d).filter(_.kind == "image")).toDF()
+      .orderBy(col("media_id"))
+
   /** 2×2 average-pool "resize" over a decoded frame — pure kernel,
     * used inside the batched map (no per-pixel rows ever hit the
     * engine). */
@@ -327,6 +372,7 @@ object Multimodal {
     "q_multimodal_meta"     -> multimodalMeta,
     "q_multimodal_decode"   -> multimodalDecode,
     "q_multimodal_features" -> multimodalFeatures,
+    "q_multimodal_resize"   -> multimodalResize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -368,6 +414,24 @@ object Multimodal {
              i -> (((i % w) * 7 + (i // w) * 13 + media_id) % 256) * ((i % 97) + 1)), 'sum')
              AS BIGINT) AS checksum
          FROM dims ORDER BY media_id""",
+    // the resized grid in closed form: pixel (x, y) of the output is
+    // imagePixel(2x, 2y); mean and checksum re-derive over (w/2, h/2)
+    "q_multimodal_resize" ->
+      """WITH d AS (
+           SELECT doc_id AS media_id, CAST(n_chars AS INT) AS nc FROM documents
+           WHERE n_chars % 3 = 1),
+         o AS (
+           SELECT media_id, (16 + nc % 48) // 2 AS ow, (16 + (nc * 5) % 48) // 2 AS oh FROM d)
+         SELECT media_id,
+           CAST(ow AS INT) AS out_w,
+           CAST(oh AS INT) AS out_h,
+           CAST(list_aggregate(list_transform(range(0, ow * oh),
+             i -> ((((i % ow) * 2) * 7 + ((i // ow) * 2) * 13 + media_id) % 256)), 'sum')
+             AS BIGINT) AS gray_sum,
+           CAST(list_aggregate(list_transform(range(0, ow * oh),
+             i -> ((((i % ow) * 2) * 7 + ((i // ow) * 2) * 13 + media_id) % 256) * ((i % 97) + 1)), 'sum')
+             AS BIGINT) AS checksum
+         FROM o ORDER BY media_id""",
     // both decode paths in closed form: images = mean of imagePixel
     // over the single real frame; audio/video = mean over sampled stub
     // frames of text-byte pixels (ASCII corpus: char position = byte

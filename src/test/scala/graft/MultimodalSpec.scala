@@ -77,6 +77,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq((0f + 1f + 4f + 5f) / 4, (2f + 3f + 6f + 7f) / 4))
   }
 
+  test("resize halves dims and reproduces the closed-form downsampled grid") {
+    val resized = Multimodal.multimodalResize(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    val dims = Multimodal.multimodalDecode(spark, sf0001)
+      .select("media_id", "width", "height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(resized.keySet == dims.keySet && resized.nonEmpty)
+    resized.foreach { case (id, (ow, oh, graySum, chk)) =>
+      val (w, h) = dims(id)
+      assert(ow == w / 2 && oh == h / 2, s"media $id dims")
+      // recompute from the same closed form the BMP was generated from
+      var s = 0L; var c = 0L; var i = 0
+      while (i < ow * oh) {
+        val g = ((i % ow) * 2 * 7 + (i / ow) * 2 * 13 + id) % 256
+        s += g; c += g * ((i % 97) + 1); i += 1
+      }
+      assert(graySum == s && chk == c, s"media $id: ($graySum,$chk) vs ($s,$c)")
+    }
+  }
+
   test("harness media table round-trips and features aggregate") {
     val feats = Multimodal.multimodalFeatures(spark, sf0001)
     assert(feats.count() > 0)

@@ -13,7 +13,8 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   *  - [[repetitionProfile]]: Gopher-style repetition filters (Rae et
   *    al. 2021 §A1.1) adapted to the word/bigram level — fraction of
   *    duplicate words, top-word fraction, top-bigram fraction, and a
-  *    composite flag. All-narrow: per-document HOF arithmetic, zero
+  *    composite flag. All-narrow: per-document arithmetic (mode
+  *    counts via the native `array_top_count` expression), zero
   *    shuffles before the presentation sort.
   *  - [[decontaminate]]: benchmark decontamination by word-n-gram
   *    overlap (the GPT-3 appendix-C method: any document sharing an
@@ -34,6 +35,11 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   *    100 TB posting lists are the thing you'd segment (delta-encoded
   *    chunks per term-shard), which is a layout decision downstream of
   *    this exact dataflow.
+  *  - [[dedupIncremental]]: dedup an arriving delta batch against the
+  *    ingested corpus by probing maintained hash/band indexes —
+  *    O(delta) per batch, never O(corpus).
+  *  - [[packSequences]]: deterministic per-source sequence packing
+  *    into fixed-capacity training bins.
   *
   * No reference analog (the reference has no text pipeline); these
   * extend `ops/Text.scala` and follow its conventions: raw

@@ -82,6 +82,27 @@ object Events {
       .orderBy(col("ws"), col("segment"))
   }
 
+  /** Time-series densification (E3, r4): hourly counts per event type
+    * INCLUDING empty hours — the gap-filling step every downstream
+    * charting/anomaly job needs, because a missing bucket and a
+    * zero bucket are different facts. The hour spine generates from
+    * the 1-row [min, max] aggregate (`sequence` + explode — never a
+    * driver loop), the type dim broadcasts, and the observed counts
+    * left-join onto the dense spine. Spine size is bounded by
+    * time-span × type-cardinality, independent of event volume. */
+  def densify(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+    val counts = e.groupBy(col("h"), col("event_type")).agg(count(lit(1)).as("n"))
+    val spine = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = e.select(col("event_type")).distinct()
+    spine.crossJoin(broadcast(types))
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("h"), col("event_type"))
+  }
+
   /** Ordered-funnel attribution (event analytics): within each
     * (user, day), the first view, the first click strictly after it,
     * the first purchase strictly after that click — rolled up per
@@ -156,6 +177,7 @@ object Events {
     "q_stream_stateful" -> streamStateful,
     "q_stream_join"     -> streamJoin,
     "q_stream_enrich"   -> streamEnrich,
+    "q_densify"         -> densify,
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +223,17 @@ object Events {
          date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    "q_densify" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+         counts AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+         span AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+         hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+         types AS (SELECT DISTINCT event_type FROM e)
+         SELECT hours.h AS h, types.event_type AS event_type,
+                CAST(coalesce(counts.n, 0) AS BIGINT) AS n
+         FROM hours CROSS JOIN types
+         LEFT JOIN counts ON counts.h = hours.h AND counts.event_type = types.event_type
+         ORDER BY hours.h, types.event_type""",
     "q_stream_enrich" ->
       """SELECT date_trunc('hour', e.ts) AS ws, c.c_mktsegment AS segment,
          count(*) AS n, round(sum(e.value), 2) AS sum_value

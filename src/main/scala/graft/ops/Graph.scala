@@ -51,8 +51,13 @@ object Graph {
     * wedges must move. Same gate class as PageRank.BroadcastMaxNodes. */
   val BroadcastMaxEdges = 4000000L
 
-  /** Per-node triangle counts (node, n_tri), nodes in ≥1 triangle. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** Per-node triangle counts (node, n_tri), nodes in ≥1 triangle.
+    * `maxBroadcastEdges` is a parameter so the above-gate degraded
+    * path (shuffled closing join) is executable in spec, not just
+    * asserted — GraphSpec pins both regimes produce identical
+    * counts. */
+  def triangleCounts(edges: DataFrame,
+      maxBroadcastEdges: Long = BroadcastMaxEdges): DataFrame = {
     val e = edges.localCheckpoint()
     // one job on materialized blocks (the PageRank one-count-per-query
     // precedent): localCheckpoint hides e's size from Catalyst, so the
@@ -75,7 +80,7 @@ object Graph {
     val wedges = oriented.select(col("src").as("x"), col("dst").as("y"))
       .join(oriented.select(col("src").as("x"), col("dst").as("z")), Seq("x"))
       .where(col("y") < col("z"))
-    val closing = if (edgeCount <= BroadcastMaxEdges) broadcast(e) else e
+    val closing = if (edgeCount <= maxBroadcastEdges) broadcast(e) else e
     val tri = wedges.join(closing, col("y") === col("u") && col("z") === col("v"))
       .select(col("x"), col("y"), col("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))

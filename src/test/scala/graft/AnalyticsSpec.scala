@@ -65,6 +65,21 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
 
+  test("densify fills every hour-type cell: zeros present, totals conserved") {
+    val got = ops.Events.densify(spark, sf0001).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val types = got.map(_._2).distinct.length
+    val hours = got.map(_._1).distinct.length
+    assert(got.length == types * hours, "output must be the full dense grid")
+    assert(got.exists(_._3 == 0L), "the fixed span must contain at least one empty cell")
+    val total = got.map(_._3).sum
+    val plain = Tables.events(spark, sf0001).count()
+    assert(total == plain, s"gap filling must not invent or drop events: $total vs $plain")
+    // spine is contiguous: hour steps of exactly 1h between distinct hours
+    val hs = got.map(_._1.getTime).distinct.sorted
+    assert(hs.sliding(2).forall { case Array(a, b) => b - a == 3600000L; case _ => true })
+  }
+
   test("degree histogram counts parallel edges") {
     // node 10 → two parallel edges to 20 plus one to 30: degree 3;
     // 20 and 30 each have the reverse degree from symmetry

@@ -48,6 +48,14 @@ class GraphSpec extends SparkSpec {
     assert(got(e) == naive(e))
   }
 
+  test("above the broadcast gate the shuffled closing join gives identical counts") {
+    // gate = 0 forces the degraded (web-scale) path; same triangles
+    val e = Graph.coEdges(spark, sf0001)
+    val shuffled = Graph.triangleCounts(e, maxBroadcastEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == got(e))
+  }
+
   test("hub skew: star + one closing edge (degree ordering must not double count)") {
     // hub 1 connects to 2..8; only edge (2,3) closes a triangle
     val star = (2L to 8L).map(i => 1L -> i) :+ (2L -> 3L)

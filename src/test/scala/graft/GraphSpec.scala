@@ -56,6 +56,30 @@ class GraphSpec extends SparkSpec {
     assert(shuffled == got(e))
   }
 
+  test("k-core: K5 survives k=4 peeling, pendant chain peels away") {
+    // K5 (each degree 4) + a chain hanging off node 1
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++
+      Seq((1L, 10L), (10L, 11L))
+    val got = Graph.kCore(edges(k5: _*), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(_ -> 4L).toMap, got)
+  }
+
+  test("k-core above the max degree is empty, not an error") {
+    val got = Graph.kCore(edges(1L -> 2L, 2L -> 3L), k = 10).collect()
+    assert(got.isEmpty)
+  }
+
+  test("k-core on the real graph: fixed point within the oracle's 8-round unroll") {
+    // maxRounds = 8 — converging here proves the unrolled oracle is
+    // deep enough (a corpus needing more rounds fails this spec
+    // before it can silently diverge from the 8-round SQL)
+    val core = Graph.kCore(Graph.coEdges(spark, sf0001), Graph.KCoreK, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(core.nonEmpty)
+    assert(core.forall(_._2 >= Graph.KCoreK), "every core node keeps degree >= k")
+  }
+
   test("hub skew: star + one closing edge (degree ordering must not double count)") {
     // hub 1 connects to 2..8; only edge (2,3) closes a triangle
     val star = (2L to 8L).map(i => 1L -> i) :+ (2L -> 3L)

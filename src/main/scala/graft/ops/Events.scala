@@ -82,6 +82,25 @@ object Events {
       .orderBy(col("ws"), col("segment"))
   }
 
+  /** Changelog compaction (E4, r4): latest state per key — the
+    * log-compacted view every CDC/upsert pipeline materializes.
+    * Rendered as ONE partial-aggregated `max(struct(...))` per key
+    * (struct ordering = lexicographic, so (ts, event_id) embeds the
+    * "latest, tiebreak by id" order into a combiner-friendly
+    * aggregate): map-side partials shrink each partition to its
+    * per-key champions BEFORE the shuffle, so the wire carries one
+    * row per (partition, key). The window rendering
+    * (`row_number() = 1`, the oracle's) sorts entire key histories
+    * instead — correct, but strictly more work at any scale. */
+  def compactLatest(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("last"))
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"), col("last.value").as("last_value"))
+      .orderBy(col("user_id"))
+
   /** Time-series densification (E3, r4): hourly counts per event type
     * INCLUDING empty hours — the gap-filling step every downstream
     * charting/anomaly job needs, because a missing bucket and a
@@ -178,6 +197,7 @@ object Events {
     "q_stream_join"     -> streamJoin,
     "q_stream_enrich"   -> streamEnrich,
     "q_densify"         -> densify,
+    "q_compact_latest"  -> compactLatest,
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,6 +243,12 @@ object Events {
          date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type""",
+    "q_compact_latest" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+                event_type AS last_type, value AS last_value
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY user_id""",
     "q_densify" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
          counts AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),

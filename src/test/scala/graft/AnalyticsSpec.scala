@@ -65,6 +65,20 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
   }
 
+  test("compaction keeps the latest event per user, ties broken by event_id") {
+    val got = ops.Events.compactLatest(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getLong(2))).toMap
+    // independent rendering: window max over collected rows
+    val all = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val expect = all.groupBy(_._1).map { case (u, rows) =>
+      val best = rows.maxBy(r => (r._2.getTime, r._3))
+      u -> (best._2, best._3)
+    }
+    assert(got == expect)
+  }
+
   test("densify fills every hour-type cell: zeros present, totals conserved") {
     val got = ops.Events.densify(spark, sf0001).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))

@@ -151,9 +151,69 @@ object Graph {
   def kcore(s: SparkSession, d: String): DataFrame =
     kCore(coEdges(s, d), KCoreK)
 
+  /** BFS min-hop distances from a source node (the fourth iterative
+    * graph operator; completes the profile suite next to PageRank /
+    * CC / k-core / triangles). Classic frontier expansion: each round
+    * joins ONLY the frontier against the symmetric adjacency — never
+    * the whole distance relation — then anti-joins the visited set, so
+    * per-round shuffle volume is O(frontier adjacency), the property
+    * that makes level-synchronous BFS the standard at cluster scale
+    * (Pregel's canonical example). Convergence = empty frontier,
+    * observe()d on each round's own checkpoint job; loop mechanics are
+    * the [[Components]] idiom (lineage cut + `freshLeaf` stats reset
+    * per round, loud failure past `maxRounds`).
+    *
+    * Unreached nodes are absent from the output (no sentinel
+    * distances), matching the oracle's min-propagation fixed point. */
+  def bfs(edges: DataFrame, src: Long, maxRounds: Int = 30): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint() // one materialization for every round's probe
+    var visited = edges.sparkSession.range(1)
+      .select(lit(src).as("node"), lit(0).cast("int").as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var frontierSize = 1L
+    var round = 0
+    while (frontierSize > 0 && round < maxRounds) {
+      round += 1
+      val next = sym.join(frontier, col("a") === col("node"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node").as("vn")),
+          col("node") === col("vn"), "left_anti")
+        .select(col("node"), lit(round).cast("int").as("dist"))
+      val obs = Observation(s"graft.bfs.frontier.$round")
+      val prev = visited
+      visited = org.apache.spark.sql.GraftColumnBridge.freshLeaf(
+        visited.unionByName(next)
+          .observe(obs, count(when(col("dist") === round, 1)).as("n_new"))
+          .localCheckpoint())
+      prev.unpersist()
+      frontierSize =
+        Option(obs.get("n_new")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      frontier = visited.filter(col("dist") === round).select(col("node"))
+    }
+    if (frontierSize > 0) {
+      visited.unpersist()
+      throw new IllegalStateException(
+        s"bfs(src=$src) still expanding after $maxRounds rounds — " +
+          "refusing to return truncated distances")
+    }
+    visited.orderBy(col("node"))
+  }
+
+  /** BFS source: node 0 co-occurs at every harness SF (part keys start
+    * at 0) and reaches the whole graph within eccentricity 2–3 —
+    * GraphSpec pins convergence within the oracle's 8-round unroll. */
+  val BfsSource = 0L
+
+  def bfsQuery(s: SparkSession, d: String): DataFrame =
+    bfs(coEdges(s, d), BfsSource)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> triangles,
     "q_kcore"     -> kcore,
+    "q_bfs"       -> bfsQuery,
   )
 
   /** Shared co-occurrence edge SQL (the q_triangles CTE's body). */
@@ -180,7 +240,29 @@ object Graph {
        GROUP BY n ORDER BY node"""
   }
 
+  /** 8-round unrolled min-distance propagation — the measured source
+    * eccentricity is 2 (sf0.001/sf0.01) and 3 (sf0.1), so 8 rounds
+    * carry >2× margin; GraphSpec pins convergence within 8 on the real
+    * graph. Each round: dist(n) = min(dist(n), 1 + dist(neighbor)). */
+  private val bfsOracle: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""b$r AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+              SELECT node, dist FROM b${r - 1}
+              UNION ALL
+              SELECT s.b AS node, p.dist + 1 AS dist
+              FROM b${r - 1} p JOIN sym s ON s.a = p.node) t
+            GROUP BY node)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED ($coEdgesSql),
+       sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       b0 AS (SELECT $BfsSource AS node, 0 AS dist),
+       $rounds
+       SELECT node, CAST(dist AS INT) AS dist FROM b8 ORDER BY node"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bfs"   -> bfsOracle,
     "q_kcore" -> kcoreOracle,
     "q_triangles" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

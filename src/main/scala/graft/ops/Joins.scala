@@ -149,7 +149,56 @@ object Joins {
         round(col("value") - col("type_avg"), 6).as("dev_from_type_avg"))
   }
 
+  /** Bloom-pruned semi join (J9, r4): the runtime-filter technique
+    * made explicit. The build side (high-value orders, ~10% of the
+    * table) aggregates its keys into ONE bloom filter row
+    * (`bloom_filter_agg` via the catalyst bridge — the same expression
+    * Spark's own `InjectRuntimeFilter` plants); the filter broadcasts
+    * to the probe side, where `might_contain(xxhash64(key))` discards
+    * ~90% of lineitem BEFORE the join shuffle. The exact left-semi
+    * join then removes the bloom's false positives, so the result is
+    * bit-identical to the plain semi join — which is exactly what the
+    * DuckDB oracle checks (the bloom is a pure plan optimization,
+    * invisible to semantics).
+    *
+    * Why this matters at 100 TB: a shuffled semi join moves the whole
+    * probe side; AQE/InjectRuntimeFilter only inserts this prune when
+    * its cost model notices. Declaring it explicitly makes the
+    * pre-shuffle prune part of the operator contract — the probe
+    * shuffle carries ~selectivity × |lineitem| rows, and the bloom
+    * (1.6 Mbit here, sized ~16 bits/key at any scale) rides one
+    * broadcast, never a shuffle. JoinsSpec pins that the bloom really
+    * prunes (probe survivors ≪ probe rows) and PlanSpec pins the
+    * might_contain filter sits BELOW the join. */
+  def joinBloom(s: SparkSession, d: String): DataFrame = {
+    val sel = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+    val bloom = sel.agg(
+      org.apache.spark.sql.GraftColumnBridge
+        .bloomFilterAgg(xxhash64(col("o_orderkey")), 100000L, 1600000L).as("bf"))
+    bloomPrunedSemi(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity")), bloom, sel)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Probe-side bloom prune + exact confirm, factored so JoinsSpec can
+    * count survivors between the two stages. `bloom` is a 1-row
+    * relation (the aggregated filter), attached as a scalar subquery —
+    * it executes once and its result ships to every probe task. */
+  private[graft] def bloomPrunedSemi(probe: DataFrame, bloom: DataFrame,
+      keys: DataFrame): DataFrame =
+    bloomPruned(probe, bloom)
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+
+  private[graft] def bloomPruned(probe: DataFrame, bloom: DataFrame): DataFrame =
+    probe.where(org.apache.spark.sql.GraftColumnBridge
+      .bloomMightContain(bloom, xxhash64(col("l_orderkey"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bloom" -> joinBloom,
     "q_join_skew_salted" -> ((s: SparkSession, d: String) => joinSkewSalted(s, d)),
     "q_join_asof_tol" -> joinAsofTolerance,
     "q_join_outer" -> joinOuter,
@@ -179,6 +228,13 @@ object Joins {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
 
   val oracles: Map[String, String] = Map(
+    // the plain semi join: the bloom prune must not change the result
+    "q_join_bloom" ->
+      """SELECT l_orderkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey AND o_totalprice > 450000.0)
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
     // the unsalted join: salting must not change the result
     "q_join_skew_salted" ->
       """WITH dim AS (SELECT event_type, round(sum(value), 4) / count(*) AS type_avg

@@ -274,7 +274,57 @@ object Vectors {
       .limit(10)
   }
 
+  /** Per-dimension z-score feature normalization (V6, r4) — the
+    * standard pre-training scaling pass over an embedding corpus.
+    * Two-phase shape: (1) one narrow posexplode + groupBy computes the
+    * 64 per-dimension moments (the only shuffle — 64 rows out); (2)
+    * the moments pack into ONE sorted struct-array row that broadcasts
+    * back, and `zip_with` normalizes every vector in place — no second
+    * shuffle, no join by dimension against the corpus. At 100 TB the
+    * stats pass is a map-side-combined agg over dims (64 keys,
+    * perfectly partial-aggregatable) and the apply pass is
+    * embarrassingly parallel.
+    *
+    * Cross-engine determinism via the lockstep-rounding rule (the
+    * `q_join_skew_salted` precedent): every corpus-order-dependent
+    * aggregate (Σx, Σx²) is rounded to 4 decimals BEFORE further
+    * arithmetic (margin to the nearest rounding boundary is ≥5e-4 at
+    * every SF vs ~1e-11 summation noise), after which mean/sd/z are
+    * pure IEEE arithmetic both engines compute bit-identically —
+    * including the |z| > 2 outlier comparison, which therefore needs
+    * no epsilon. Output keeps order-independent per-vector reductions
+    * only (first-dim z, min, max, outlier count). */
+  def embedNormalize(s: SparkSession, d: String): DataFrame =
+    zScores(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        round(element_at(col("z"), 1), 4).as("z_first"),
+        round(array_min(col("z")), 4).as("z_min"),
+        round(array_max(col("z")), 4).as("z_max"),
+        size(filter(col("z"), zz => abs(zz) > 2)).cast("long").as("n_outliers"))
+      .orderBy(col("vec_id"))
+
+  /** The normalized `(vec_id, z)` relation behind [[embedNormalize]] —
+    * factored out so VectorsSpec can pin the normalization contract
+    * (per-dim mean ≈ 0, variance ≈ 1) on the full z arrays, which the
+    * declared query reduces away. */
+  private[graft] def zScores(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), darr.as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((round(sum(col("x")), 4) / count(lit(1))).as("m"),
+        (round(sum(col("x") * col("x")), 4) / count(lit(1))).as("msq"))
+      .select(col("i"), col("m"), sqrt(col("msq") - col("m") * col("m")).as("sd"))
+    // one row: the 64 (i, m, sd) structs sorted by dim — struct order
+    // is lexicographic on the leading field, i.e. dim order
+    val packed = stats.agg(
+      sort_array(collect_list(struct(col("i"), col("m"), col("sd")))).as("ms"))
+    val z = zip_with(col("v"), col("ms"), (x, st) => (x - st("m")) / st("sd"))
+    e.crossJoin(broadcast(packed))
+      .select(col("vec_id"), z.as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_normalize" -> embedNormalize,
     "q_vector_topk"  -> vectorTopk,
     "q_vector_topk_batch" -> vectorTopkBatch,
     "q_vector_pairs" -> vectorPairs,
@@ -293,6 +343,22 @@ object Vectors {
     s"${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
 
   val oracles: Map[String, String] = Map(
+    // same lockstep-rounded moments (Σx, Σx² rounded at 4 before any
+    // division), then identical IEEE mean/sd/z on both engines
+    "q_embed_normalize" ->
+      s"""WITH e AS (SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
+         x AS (SELECT vec_id, i, v[i] AS x FROM e, range(1, 65) t(i)),
+         d AS (SELECT i, m, sqrt(msq - m*m) AS sd FROM (
+                 SELECT i, round(sum(x), 4) / count(*) AS m,
+                        round(sum(x*x), 4) / count(*) AS msq
+                 FROM x GROUP BY i)),
+         z AS (SELECT vec_id, i, (x - m) / sd AS z FROM x JOIN d USING (i))
+         SELECT vec_id,
+           round(max(CASE WHEN i = 1 THEN z END), 4) AS z_first,
+           round(min(z), 4) AS z_min,
+           round(max(z), 4) AS z_max,
+           CAST(count(*) FILTER (WHERE abs(z) > 2) AS BIGINT) AS n_outliers
+         FROM z GROUP BY vec_id ORDER BY vec_id""",
     "q_vector_topk" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlDarr("embedding")} AS v,
                      $sqlQvec AS q FROM embeddings)

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Spark 4 made the Column↔Expression converters `private[sql]`
@@ -35,6 +36,32 @@ object GraftColumnBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** `bloom_filter_agg` as a Column: Spark ships the aggregate that
+    * builds a `util.sketch.BloomFilter` over xxhash64'd keys (it is
+    * what `InjectRuntimeFilter` plants for its own runtime filters,
+    * `catalyst.optimizer.InjectRuntimeFilter`), but leaves it out of
+    * the public function registry — this bridge exposes it so the
+    * engine can build EXPLICIT semi-join pushdown filters. `child`
+    * must already be an xxhash64 (LongType) column, mirroring the
+    * optimizer's own usage. */
+  def bloomFilterAgg(child: Column, estimatedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new BloomFilterAggregate(ExpressionUtils.expression(child),
+        Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+
+  /** `might_contain` probe against a 1-row [[bloomFilterAgg]] relation;
+    * `value` must be the same xxhash64 rendering the filter was built
+    * over. The filter side must analyze as a SCALAR SUBQUERY (the
+    * expression rejects plain input columns) — exactly how
+    * `InjectRuntimeFilter` plants its own probes, and what makes the
+    * build side execute once as a subquery stage whose result ships to
+    * every probe task. False positives possible, false negatives
+    * never — callers must re-verify positives with an exact join. */
+  def bloomMightContain(bloom: Dataset[Row], value: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      catalyst.expressions.ScalarSubquery(bloom.queryExecution.analyzed),
+      ExpressionUtils.expression(value)))
 
   /** Whether `key` was EXPLICITLY set on this session (builder conf,
     * spark-defaults, or runtime set) as opposed to merely having a

@@ -80,6 +80,35 @@ class GraphSpec extends SparkSpec {
     assert(core.forall(_._2 >= Graph.KCoreK), "every core node keeps degree >= k")
   }
 
+  private def bfsMap(e: DataFrame, src: Long, maxRounds: Int = 30): Map[Long, Int] =
+    Graph.bfs(e, src, maxRounds).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("BFS: path graph gets hop-exact distances") {
+    val path = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    assert(bfsMap(path, 1L) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("BFS: chord shortcuts win (min distance, not any distance)") {
+    // square 1-2-3-4-1 plus chord 1-3: dist(3) must be 1, not 2
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 1L -> 3L)
+    assert(bfsMap(g, 1L) == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
+  test("BFS: disconnected component is absent, not sentinel-distanced") {
+    val g = edges(1L -> 2L, 5L -> 6L)
+    assert(bfsMap(g, 1L) == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("BFS on the real graph: converges within the oracle's 8-round unroll") {
+    // maxRounds = 8 — same unroll-sufficiency pin as k-core: a corpus
+    // whose source eccentricity outgrows the 8-round SQL fails here
+    // before the oracle can silently truncate distances
+    val d = bfsMap(Graph.coEdges(spark, sf0001), Graph.BfsSource, maxRounds = 8)
+    assert(d(Graph.BfsSource) == 0)
+    assert(d.values.max <= 7, s"eccentricity ${d.values.max} leaves no unroll margin")
+  }
+
   test("hub skew: star + one closing edge (degree ordering must not double count)") {
     // hub 1 connects to 2..8; only edge (2,3) closes a triangle
     val star = (2L to 8L).map(i => 1L -> i) :+ (2L -> 3L)

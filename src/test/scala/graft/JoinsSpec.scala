@@ -42,6 +42,22 @@ class JoinsSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("matched_click_id")))
   }
 
+  test("bloom prune: no false negatives, and the probe side really shrinks") {
+    val sel = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice") > 450000.0).select(col("o_orderkey"))
+    val bloom = sel.agg(org.apache.spark.sql.GraftColumnBridge
+      .bloomFilterAgg(xxhash64(col("o_orderkey")), 100000L, 1600000L).as("bf"))
+    val probe = Tables.lineitem(spark, sf0001).select(col("l_orderkey"))
+    val pruned = Joins.bloomPruned(probe, bloom)
+    val exact = probe.join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // every true match survives the bloom (false negatives never)...
+    assert(exact.exceptAll(pruned).count() == 0)
+    // ...and the prune is real: survivors track the ~10% selectivity,
+    // not the full probe (this is the pre-shuffle volume at scale)
+    assert(pruned.count() < probe.count() / 2,
+      s"bloom kept ${pruned.count()} of ${probe.count()} probe rows — not pruning")
+  }
+
   test("band join: boundary is (exclusive, inclusive]") {
     val ev = events(
       (1L, "2024-01-01 10:00:00", "click", 7L),

@@ -50,6 +50,17 @@ class PlanSpec extends SparkSpec {
       s"the O(m^1.5) wedge stream must probe a broadcast edge set, not shuffle: $closing\n$p")
   }
 
+  test("bloom-pruned join: might_contain filters the probe BELOW the semi join") {
+    val p = planOf("q_join_bloom")
+    val joinAt = p.indexOf("LeftSemi")
+    val bloomAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt >= 0, p)
+    // tree printing puts children after parents: the bloom filter must
+    // sit under the semi join (pruning before the shuffle), not above
+    assert(bloomAt > joinAt,
+      s"might_contain must be below the semi join, not above it:\n$p")
+  }
+
   test("vector pairs join is pure equi (no join-condition cosine)") {
     val p = planOf("q_vector_pairs")
     val joinLine = p.linesIterator.find(_.contains("Join")).getOrElse("")

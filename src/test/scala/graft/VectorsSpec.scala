@@ -100,6 +100,23 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("z-score normalization: per-dimension mean ~0 and variance ~1") {
+    // the contract the declared query's reductions can't see: after
+    // normalization every dimension is centered and unit-variance (up
+    // to the lockstep 4-decimal rounding of the moment sums, which
+    // bounds |mean| by 5e-5/(n·sd) and |var−1| by ~1e-4 here)
+    val dims = ops.Vectors.zScores(Tables.embeddings(spark, sf0001))
+      .select(posexplode(col("z")).as(Seq("i", "zz")))
+      .groupBy(col("i"))
+      .agg(avg(col("zz")).as("m"), var_pop(col("zz")).as("v"))
+      .collect()
+    assert(dims.length == 64)
+    dims.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-6, s"dim ${r.get(0)} mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3, s"dim ${r.get(0)} var ${r.getDouble(2)}")
+    }
+  }
+
   test("q_dedup_embed oracle's 20-round unroll reaches the fixed point on testdata") {
     // the DuckDB oracle unrolls exactly 20 propagation rounds while
     // the engine runs Components to a fixed point; a similarity chain

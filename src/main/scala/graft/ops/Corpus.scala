@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   *    deterministic key-hash Bernoulli draw as `q_sample` — rates land
   *    in a broadcast dim, the draw is a pushable scan predicate,
   *    reproducible across engines and cluster sizes.
+  *  - [[mixEpochs]]: epoch-based mixture UPSAMPLING — the complement
+  *    of [[sampleTemperature]]'s downsampling: every language is
+  *    replicated up to the majority language's expected row count,
+  *    whole epochs as integer copies plus a deterministic key-hash
+  *    Bernoulli draw for the fractional epoch (how LLM data recipes
+  *    express "2.4 epochs of books"). Pure integer rate math, so both
+  *    engines derive bit-identical copy counts.
   *  - [[invertedIndex]]: term → (document frequency, sorted posting
   *    list) — the search-index build. One shuffle on the term key; at
   *    100 TB posting lists are the thing you'd segment (delta-encoded
@@ -203,6 +210,35 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Epoch-based mixture upsampling (T21): replicate each language up
+    * to the majority language's expected count. Rates are integer
+    * permille — `max_docs * 1000 div n_docs` — so the whole-epoch copy
+    * count (`permille div 1000`) and the fractional-epoch draw
+    * (`permille % 1000` vs the key-hash) involve no floats anywhere;
+    * both engines compute identical copy counts from identical
+    * integers. The rate dim is #languages rows → broadcast; the
+    * replication is a narrow `explode(sequence(...))` (no shuffle at
+    * all before the presentation sort) — at scale this is the shape
+    * that feeds a training shuffle: copies materialize in the scan
+    * stage's own tasks, never concentrated on a driver or a reducer.
+    * Every doc keeps ≥ 1 copy (permille ≥ 1000 by construction), so
+    * `sequence(1, copies)` can never hit the empty-range crash the
+    * chunker guards against. */
+  def mixEpochs(docs: DataFrame): DataFrame = {
+    val rates = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("max_docs", max(col("n_docs")).over(Window.partitionBy()))
+      .select(col("lang"), expr("max_docs * 1000 div n_docs").as("permille"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("copies",
+        expr("permille div 1000") +
+          when(((col("doc_id") * 31 + 11) % 1000003L) % 1000 < col("permille") % 1000,
+            1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"), col("permille"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
   /** Inverted index (T18): term → document frequency + comma-joined
     * numerically-sorted posting list. Distinct (term, doc) pairs
     * shuffle once on the term key; postings sort numerically BEFORE
@@ -299,6 +335,8 @@ object Corpus {
       vocabMask(Tables.documents(s, d))),
     "q_sample_temperature" -> ((s: SparkSession, d: String) =>
       sampleTemperature(Tables.documents(s, d))),
+    "q_mix_epochs" -> ((s: SparkSession, d: String) =>
+      mixEpochs(Tables.documents(s, d))),
     "q_inverted_index" -> ((s: SparkSession, d: String) =>
       invertedIndex(Tables.documents(s, d))),
   )
@@ -367,6 +405,20 @@ object Corpus {
            string_agg(coalesce(v.w, '<unk>'), ' ' ORDER BY pos) AS masked_text
          FROM t LEFT JOIN vocab v USING (w)
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // epoch ≤ 64 static bound: the true max is ceil(max/n)+1 ≈ 4 here
+    // (DuckDB's range() can't take lateral column bounds, so the
+    // explode is a bounded inequality join instead)
+    "q_mix_epochs" ->
+      """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         r AS (SELECT lang, (SELECT max(n_docs) FROM n) * 1000 // n_docs AS permille FROM n)
+         SELECT d.doc_id, d.lang, r.permille, t.epoch
+         FROM documents d
+         JOIN r USING (lang)
+         JOIN range(1, 64) t(epoch)
+           ON t.epoch <= r.permille // 1000
+                + (CASE WHEN ((d.doc_id * 31 + 11) % 1000003) % 1000 < r.permille % 1000
+                        THEN 1 ELSE 0 END)
+         ORDER BY d.doc_id, t.epoch""",
     "q_sample_temperature" ->
       """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
          r AS (SELECT lang, CAST(floor(sqrt((SELECT min(n_docs) FROM n) * 1.0 / n_docs) * 1000) AS INT) AS keep_permille FROM n)

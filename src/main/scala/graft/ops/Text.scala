@@ -157,6 +157,61 @@ object Text {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Prefix-filtered exact Jaccard (the LOSSLESS at-scale rendering of
+    * [[dedupNgram]], completing the family's third algorithm class):
+    * shared-shingle joins are quadratic on stop-shingles, the IDF cap
+    * fixes that by CHANGING the universe — prefix filtering (Bayardo
+    * et al., WWW 2007 "Scaling Up All Pairs Similarity Search") keeps
+    * exact semantics. Order every doc's shingles by global rarity
+    * (df asc, shingle asc); for J ≥ 1/10 any qualifying pair must
+    * overlap in ≥ ceil(n/10) shingles, so each doc only exposes its
+    * first n − ceil(n/10) + 1 rarest shingles to the candidate join —
+    * the frequent shingles that drive the quadratic blow-up never
+    * enter it (candidates shrink with rarity skew; TextSpec pins both
+    * losslessness and real pruning on the harness corpus). The prefix
+    * bound uses integer ceil (`(n + 9) div 10`) — a float `0.1 * n`
+    * could round above an integer and silently shorten the prefix
+    * into false negatives. Verification then intersects the candidate
+    * pairs' full sorted shingle arrays — linear in candidates, one
+    * array build per doc, never a second shingle self-join. Result ≡
+    * [[dedupNgram]] (same oracle SQL), like the salted join: same
+    * semantics, the plan built for scale. */
+  def dedupPrefix(s: SparkSession, d: String): DataFrame = {
+    val cand = prefixCandidates(Tables.documents(s, d))
+    val sets = docShingles(Tables.documents(s, d))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("gs").as("ga"), col("n").as("na")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("gs").as("gb"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"),
+        col("na"), col("nb"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jac", col("inter") / col("uni").cast("double"))
+      .filter(col("jac") >= 0.1)
+      .select(col("da"), col("db"), col("inter"), col("uni"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Candidate pair relation behind [[dedupPrefix]], exposed so
+    * TextSpec can pin the prefix-filter guarantees (superset of true
+    * pairs, subset of the shared-shingle candidates). */
+  private[graft] def prefixCandidates(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+    val rn = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g")))
+    val prefix = sh.withColumn("rn", rn)
+      .filter(col("rn") <= col("n") - expr("(n + 9) div 10") + 1)
+      .select(col("doc_id"), col("g"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
   /** Feature-hashed document embeddings (the hashing trick): each
     * word maps to one of 64 buckets via a polynomial character hash
     * chosen to be expressible identically in any engine (fold of
@@ -561,6 +616,7 @@ object Text {
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_ngram_idf" -> dedupNgramIdf,
+    "q_dedup_prefix"  -> dedupPrefix,
     "q_hash_embed"    -> hashEmbed,
     "q_doc_sim"       -> docSim,
     "q_lang_id"       -> langId,
@@ -579,6 +635,21 @@ object Text {
     "q_dedup_simhash_portable" -> ((s: SparkSession, d: String) =>
       simhashPortable(Tables.documents(s, d))),
   )
+
+  /** The exact-Jaccard pair SQL shared verbatim by `q_dedup_ngram` and
+    * `q_dedup_prefix` (prefix filtering changes the plan, never the
+    * result). Defined lazy: it references [[shinglesCte]] below. */
+  private lazy val ngramOracleSql: String =
+    s"""WITH $shinglesCte,
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                 FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT da, db, inter, sa.n + sb.n - inter AS uni,
+              inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
+       FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
+       ORDER BY da, db"""
 
   /** Shared oracle CTE fragments — single source for SQL that appears
     * in multiple oracles (same pattern as PageRank's unrolled CTE). */
@@ -719,17 +790,10 @@ object Text {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
-    "q_dedup_ngram" ->
-      s"""WITH $shinglesCte,
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-                   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT da, db, inter, sa.n + sb.n - inter AS uni,
-                inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
-         FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-         WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
-         ORDER BY da, db""",
+    "q_dedup_ngram" -> ngramOracleSql,
+    // prefix filtering is lossless: same semantics, same oracle —
+    // the salted-join precedent (identical result, scale-built plan)
+    "q_dedup_prefix" -> ngramOracleSql,
     "q_dedup_ngram_idf" ->
       s"""WITH $shinglesCte,
          rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY g)

@@ -323,7 +323,54 @@ object Vectors {
       .select(col("vec_id"), z.as("z"))
   }
 
+  /** Fixed-iteration Lloyd's k-means over the embedding corpus (V7,
+    * r4) — the curation clustering pass (domain discovery, diversity
+    * sampling) rendered as pure dataflow. k = 4 seeds from vec_ids
+    * {0,100,200,300} (present at every SF), two update steps, final
+    * assignment — a FIXED unroll, so the whole thing is one static
+    * declarative plan (no loop state, no checkpoints) and the oracle
+    * is the same recurrence unrolled in SQL.
+    *
+    * Per iteration: centroids (4 rows) broadcast against the corpus —
+    * a bounded 4× expansion, argmin by (dist, cluster) window — and
+    * the update is a posexplode moment agg on (cluster, dim): 256
+    * keys, perfectly map-side combinable. At 100 TB that is the
+    * canonical distributed k-means shape: the corpus never shuffles,
+    * only 256-row moment tables move. Distances are the house left
+    * fold (bit-identical to DuckDB `list_reduce`); centroid means are
+    * lockstep-rounded (Σx at 4 decimals) so every engine derives the
+    * SAME centroids and therefore the same assignment — ties broken
+    * by cluster id, empty clusters drop out identically on both
+    * engines (none occur on the harness corpus). */
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
+    val init = e.filter(col("vec_id").isin(0L, 100L, 200L, 300L))
+      .select(expr("vec_id div 100").as("cluster"), col("v").as("c"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val dist = fold(zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)))
+      val rn = row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cluster")))
+      e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("v"), col("cluster"), dist.as("dist"))
+        .withColumn("rn", rn).filter(col("rn") === 1).drop("rn")
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cluster"), col("i"))
+        .agg((round(sum(col("x")), 4) / count(lit(1))).as("cd"))
+        .groupBy(col("cluster"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("cd")))),
+          s => s("cd")).as("c"))
+
+    val a3 = assign(update(assign(update(assign(init)))))
+    a3.select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> kmeans,
     "q_embed_normalize" -> embedNormalize,
     "q_vector_topk"  -> vectorTopk,
     "q_vector_topk_batch" -> vectorTopkBatch,
@@ -342,7 +389,39 @@ object Vectors {
   private def sqlCos(a: String, b: String) =
     s"${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
 
+  /** The k-means recurrence unrolled: assignment = argmin over the
+    * left-fold squared distance (bit-identical to Spark's
+    * `zip_with`+`aggregate`), update = lockstep-rounded per-(cluster,
+    * dim) means re-packed into centroid lists ordered by dim. */
+  private val kmeansOracle: String = {
+    def distTo(c: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> (e.v[i] - $c[i]) * (e.v[i] - $c[i])), (x, y) -> x + y)"
+    def assign(a: String, cPrev: String) =
+      s"""$a AS MATERIALIZED (
+           SELECT vec_id, cluster, dist FROM (
+             SELECT dd.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+             FROM (SELECT e.vec_id, c.cluster, ${distTo("c.c")} AS dist
+                   FROM e CROSS JOIN $cPrev c) dd) WHERE rn = 1)"""
+    def update(c: String, aPrev: String) =
+      s"""$c AS MATERIALIZED (
+           SELECT cluster, list(cd ORDER BY i) AS c FROM (
+             SELECT a.cluster, t.i, round(sum(e.v[t.i]), 4) / count(*) AS cd
+             FROM e JOIN $aPrev a USING (vec_id), range(1, 65) t(i)
+             GROUP BY a.cluster, t.i) m GROUP BY cluster)"""
+    s"""WITH e AS MATERIALIZED (
+         SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
+       c0 AS (SELECT vec_id // 100 AS cluster, v AS c FROM e
+              WHERE vec_id IN (0, 100, 200, 300)),
+       ${assign("a1", "c0")},
+       ${update("c1", "a1")},
+       ${assign("a2", "c1")},
+       ${update("c2", "a2")},
+       ${assign("a3", "c2")}
+       SELECT vec_id, cluster, round(dist, 6) AS dist FROM a3 ORDER BY vec_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans" -> kmeansOracle,
     // same lockstep-rounded moments (Σx, Σx² rounded at 4 before any
     // division), then identical IEEE mean/sd/z on both engines
     "q_embed_normalize" ->

@@ -109,6 +109,29 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("epoch mixing: majority lang keeps exactly 1 epoch, minorities equalize") {
+    val docs = Tables.documents(spark, sf0001)
+    val mixed = Corpus.mixEpochs(docs)
+    val perLang = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMax = orig.values.max
+    // the majority language's permille is exactly 1000 → one copy each
+    val majority = orig.maxBy(_._2)._1
+    assert(perLang(majority) == nMax)
+    // every minority upsamples to within 5% of the majority (integer
+    // permille truncation + the Bernoulli draw's key-hash realization)
+    perLang.foreach { case (l, n) =>
+      assert(math.abs(n.toDouble / nMax - 1.0) < 0.05, s"$l: $n vs $nMax")
+    }
+    // replication is per-doc contiguous epochs starting at 1
+    val bad = mixed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("epoch").as("lo"), max("epoch").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n")).count()
+    assert(bad == 0, "epochs must be 1..copies per doc")
+  }
+
   test("incremental dedup: exact delta copy hits all bands, novel doc hits none") {
     // ids: 1 -> history (1 % 10 < 8), 18/19 -> delta batch
     val base = (1 to 12).map(i => s"w$i").mkString(" ")

@@ -100,6 +100,25 @@ class TextSpec extends SparkSpec {
     assert(out(4L) == 3L)
   }
 
+  test("prefix filtering: lossless vs the shared-shingle join, and really pruning") {
+    val docs = Tables.documents(spark, sf0001)
+    val viaPrefix = ops.Text.dedupPrefix(spark, sf0001)
+      .select("da", "db", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaShared = ops.Text.dedupNgram(spark, sf0001)
+      .select("da", "db", "inter", "uni").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the prefix-filter lemma: identical result set (no false negatives)
+    assert(viaPrefix == viaShared)
+    // and the candidate set covers every true pair while pruning the
+    // quadratic all-pairs space — what keeps this exact algorithm
+    // viable at scale
+    val candPrefix = ops.Text.prefixCandidates(docs).count()
+    assert(candPrefix >= viaShared.size, "candidates must cover every true pair")
+    assert(candPrefix < 125000 / 2,
+      s"prefix candidates ($candPrefix) should prune the ~125k all-pairs space")
+  }
+
   test("minhash on harness data flags the planted near-duplicates") {
     val out = Text.dedupMinhash(spark, sf0001)
     assert(out.filter(col("is_dup")).count() > 0)

@@ -100,6 +100,21 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("k-means: every vector assigned once, all 4 clusters alive, seeds stay home") {
+    val out = ops.Vectors.kmeans(spark, sf0001).collect()
+    assert(out.length == 500)
+    assert(out.map(_.getLong(0)).distinct.length == 500, "one row per vector")
+    val byCluster = out.groupBy(_.getLong(1))
+    assert(byCluster.keySet == Set(0L, 1L, 2L, 3L), s"clusters ${byCluster.keySet}")
+    // distances are squared L2: non-negative everywhere
+    assert(out.forall(_.getDouble(2) >= 0.0))
+    // each seed vector remains in the cluster it seeded (centroids
+    // move, but not past another seed on this corpus)
+    val seedHome = out.filter(r => Set(0L, 100L, 200L, 300L)(r.getLong(0)))
+      .map(r => r.getLong(0) / 100 == r.getLong(1)).forall(identity)
+    assert(seedHome, "a seed vector left its own cluster")
+  }
+
   test("z-score normalization: per-dimension mean ~0 and variance ~1") {
     // the contract the declared query's reductions can't see: after
     // normalization every dimension is centered and unit-variance (up

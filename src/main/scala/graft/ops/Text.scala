@@ -163,19 +163,21 @@ object Text {
     * fixes that by CHANGING the universe — prefix filtering (Bayardo
     * et al., WWW 2007 "Scaling Up All Pairs Similarity Search") keeps
     * exact semantics. Order every doc's shingles by global rarity
-    * (df asc, shingle asc); for J ≥ 1/10 any qualifying pair must
-    * overlap in ≥ ceil(n/10) shingles, so each doc only exposes its
-    * first n − ceil(n/10) + 1 rarest shingles to the candidate join —
-    * the frequent shingles that drive the quadratic blow-up never
-    * enter it (candidates shrink with rarity skew; TextSpec pins both
-    * losslessness and real pruning on the harness corpus). The prefix
-    * bound uses integer ceil (`(n + 9) div 10`) — a float `0.1 * n`
-    * could round above an integer and silently shorten the prefix
-    * into false negatives. Verification then intersects the candidate
+    * (df asc, shingle asc); for J ≥ 4/5 (the near-dup regime prefix
+    * filtering is built for — pruning strength is 1−t, so a low
+    * threshold would expose most of every doc) any qualifying pair
+    * must overlap in ≥ ceil(4n/5) shingles, so each doc exposes only
+    * its first n − ceil(4n/5) + 1 ≈ n/5 rarest shingles to the
+    * candidate join — the frequent shingles that drive the quadratic
+    * blow-up never enter it (TextSpec pins both losslessness and real
+    * pruning against an in-spec naive enumeration). The prefix bound
+    * uses integer ceil (`(4n + 4) div 5`) — a float `0.8 * n` could
+    * round above an integer and silently shorten the prefix into
+    * false negatives. Verification then intersects the candidate
     * pairs' full sorted shingle arrays — linear in candidates, one
-    * array build per doc, never a second shingle self-join. Result ≡
-    * [[dedupNgram]] (same oracle SQL), like the salted join: same
-    * semantics, the plan built for scale. */
+    * array build per doc, never a second shingle self-join. On this
+    * corpus the ≥ 4/5 pairs are exactly the planted near-duplicates
+    * (28/25/256 pairs across the three SFs). */
   def dedupPrefix(s: SparkSession, d: String): DataFrame = {
     val cand = prefixCandidates(Tables.documents(s, d))
     val sets = docShingles(Tables.documents(s, d))
@@ -189,10 +191,18 @@ object Text {
         col("na"), col("nb"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .withColumn("jac", col("inter") / col("uni").cast("double"))
-      .filter(col("jac") >= 0.1)
+      .filter(col("jac") >= lit(PrefixJacNum.toDouble / PrefixJacDen))
       .select(col("da"), col("db"), col("inter"), col("uni"), col("jac"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** Jaccard floor of [[dedupPrefix]] as an exact rational (4/5) — the
+    * integer prefix-length ceil, the Spark threshold literal, and the
+    * oracle SQL all derive from the same pair (lockstep-constant
+    * rule), and 4.0/5 parses to the identical double in both
+    * engines. */
+  private val PrefixJacNum = 4
+  private val PrefixJacDen = 5
 
   /** Candidate pair relation behind [[dedupPrefix]], exposed so
     * TextSpec can pin the prefix-filter guarantees (superset of true
@@ -204,7 +214,8 @@ object Text {
     val rn = row_number().over(
       Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g")))
     val prefix = sh.withColumn("rn", rn)
-      .filter(col("rn") <= col("n") - expr("(n + 9) div 10") + 1)
+      .filter(col("rn") <=
+        col("n") - expr(s"($PrefixJacNum * n + ${PrefixJacDen - 1}) div $PrefixJacDen") + 1)
       .select(col("doc_id"), col("g"))
     prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -636,10 +647,12 @@ object Text {
       simhashPortable(Tables.documents(s, d))),
   )
 
-  /** The exact-Jaccard pair SQL shared verbatim by `q_dedup_ngram` and
-    * `q_dedup_prefix` (prefix filtering changes the plan, never the
-    * result). Defined lazy: it references [[shinglesCte]] below. */
-  private lazy val ngramOracleSql: String =
+  /** The exact-Jaccard pair SQL, parameterized by its floor: the
+    * brute-force shared-shingle enumeration serves as the oracle for
+    * BOTH `q_dedup_ngram` (floor 0.1) and `q_dedup_prefix` (floor
+    * 4/5 — prefix filtering changes the plan, never the result).
+    * Defined as a method: it references [[shinglesCte]] below. */
+  private def jaccardOracleSql(minJac: String): String =
     s"""WITH $shinglesCte,
        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
@@ -648,7 +661,7 @@ object Text {
        SELECT da, db, inter, sa.n + sb.n - inter AS uni,
               inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jac
        FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-       WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.1
+       WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= $minJac
        ORDER BY da, db"""
 
   /** Shared oracle CTE fragments — single source for SQL that appears
@@ -790,10 +803,10 @@ object Text {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
-    "q_dedup_ngram" -> ngramOracleSql,
-    // prefix filtering is lossless: same semantics, same oracle —
-    // the salted-join precedent (identical result, scale-built plan)
-    "q_dedup_prefix" -> ngramOracleSql,
+    "q_dedup_ngram" -> jaccardOracleSql("0.1"),
+    // prefix filtering is lossless: same brute-force oracle at the
+    // near-dup floor (4.0/5 parses to the identical double literal)
+    "q_dedup_prefix" -> jaccardOracleSql(s"$PrefixJacNum.0 / $PrefixJacDen"),
     "q_dedup_ngram_idf" ->
       s"""WITH $shinglesCte,
          rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY g)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Text
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, expr, size, split}
 
 /** Golden tests for the hash-based near-dup operators (no DuckDB
   * oracle — xxhash64 is engine-specific, so behavior is pinned on
@@ -100,23 +100,39 @@ class TextSpec extends SparkSpec {
     assert(out(4L) == 3L)
   }
 
-  test("prefix filtering: lossless vs the shared-shingle join, and really pruning") {
+  test("prefix filtering: lossless vs naive enumeration, and really pruning") {
     val docs = Tables.documents(spark, sf0001)
     val viaPrefix = ops.Text.dedupPrefix(spark, sf0001)
       .select("da", "db", "inter", "uni").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    val viaShared = ops.Text.dedupNgram(spark, sf0001)
+    // the oracle-shaped naive enumeration (dedupNgram's shared-shingle
+    // join) re-thresholded at 4/5 — the prefix-filter lemma says the
+    // result sets must be identical (no false negatives)
+    val naive = ops.Text.dedupNgram(spark, sf0001)
+      .filter(col("jac") >= 4.0 / 5)
       .select("da", "db", "inter", "uni").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    // the prefix-filter lemma: identical result set (no false negatives)
-    assert(viaPrefix == viaShared)
-    // and the candidate set covers every true pair while pruning the
-    // quadratic all-pairs space — what keeps this exact algorithm
-    // viable at scale
+    assert(viaPrefix == naive)
+    assert(viaPrefix.nonEmpty, "the planted near-dups must surface")
+    // the candidate set covers every true pair while pruning hard —
+    // at t = 4/5 each doc exposes only ~n/5 rare shingles. Naive
+    // shared-shingle candidates (what dedupNgram's join enumerates),
+    // built independently in-spec:
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> " +
+          "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        .as("g")).distinct()
+    val candShared = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
     val candPrefix = ops.Text.prefixCandidates(docs).count()
-    assert(candPrefix >= viaShared.size, "candidates must cover every true pair")
-    assert(candPrefix < 125000 / 2,
-      s"prefix candidates ($candPrefix) should prune the ~125k all-pairs space")
+    assert(candPrefix >= viaPrefix.size, "candidates must cover every true pair")
+    // measured: 28 vs 12,025 here (430×); 118k vs 1.13M at sf0.1
+    assert(candPrefix * 10 < candShared,
+      s"prefix candidates ($candPrefix) must prune ≥10× vs shared-shingle ($candShared)")
   }
 
   test("minhash on harness data flags the planted near-duplicates") {

@@ -177,7 +177,17 @@ object Graph {
     var round = 0
     while (frontierSize > 0 && round < maxRounds) {
       round += 1
-      val next = sym.join(frontier, col("a") === col("node"))
+      // the frontier's EXACT size is free (last round's observe), so
+      // the broadcast decision needs no extra job: under the gate the
+      // frontier ships to the adjacency's partitions and the 2|E|-row
+      // sym relation never reshuffles — without this, the checkpoint's
+      // conservative stats make every round sort-merge the full
+      // adjacency. Past the gate (web-scale frontiers) the plan
+      // degrades to the shuffled equi-join, same class as
+      // PageRank.BroadcastMaxNodes.
+      val fr = if (frontierSize <= BfsBroadcastMaxFrontier) broadcast(frontier)
+               else frontier
+      val next = sym.join(fr, col("a") === col("node"))
         .select(col("b").as("node")).distinct()
         .join(visited.select(col("node").as("vn")),
           col("node") === col("vn"), "left_anti")
@@ -206,6 +216,10 @@ object Graph {
     * at 0) and reaches the whole graph within eccentricity 2–3 —
     * GraphSpec pins convergence within the oracle's 8-round unroll. */
   val BfsSource = 0L
+
+  /** Frontier-broadcast ceiling for [[bfs]] — same gate class as
+    * [[BroadcastMaxEdges]] and PageRank's node gate. */
+  val BfsBroadcastMaxFrontier = 4000000L
 
   def bfsQuery(s: SparkSession, d: String): DataFrame =
     bfs(coEdges(s, d), BfsSource)

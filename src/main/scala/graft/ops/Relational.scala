@@ -332,6 +332,48 @@ object Relational {
         round(median(col("l_quantity")), 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Grouped closed-form OLS (A10, r4): per-event-type regression of
+    * value on hour-of-day — the "is there a time-of-day effect"
+    * analytics primitive, fit in ONE aggregation pass from the five
+    * population moments. No iterative solver, no `regr_slope` (whose
+    * internal accumulation order can't be lockstep-rounded across
+    * engines): the moments are AVERAGES rounded at 6 decimals —
+    * avg error shrinks ~1/n while rounding granularity stays fixed,
+    * so the boundary cushion is ~460× at sf0.1 (the sum-based
+    * renderings at any rounding depth were measured to sit within
+    * 5e-9 of a boundary) — and slope/intercept/r² are then pure IEEE
+    * arithmetic both engines compute bit-identically. Map-side
+    * combinable, 5 output rows: the at-scale shape for grouped
+    * model fitting. */
+  def regression(s: SparkSession, d: String): DataFrame =
+    regressionCore(Tables.events(s, d).select(col("event_type"),
+      hour(col("ts")).cast("double").as("x"), col("value").as("y")))
+
+  /** Closed-form fit over any `(event_type, x, y)` relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the fit on
+    * hand-computed fixtures (perfect line → slope/intercept exact,
+    * r² = 1). */
+  def regressionCore(ev: DataFrame): DataFrame = {
+    val m = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      round(avg(col("x")), 6).as("mx"), round(avg(col("y")), 6).as("my"),
+      round(avg(col("x") * col("y")), 6).as("mxy"),
+      round(avg(col("x") * col("x")), 6).as("mxx"),
+      round(avg(col("y") * col("y")), 6).as("myy"))
+    // degenerate groups (zero variance) get NULLs, the regr_* family
+    // convention — without the guards ANSI mode raises DIVIDE_BY_ZERO
+    val cov = col("mxy") - col("mx") * col("my")
+    val varx = col("mxx") - col("mx") * col("mx")
+    val vary = col("myy") - col("my") * col("my")
+    val slope = when(varx =!= 0.0, cov / varx)
+    m.select(col("event_type"), col("n"),
+        round(slope, 6).as("slope"),
+        round(col("my") - slope * col("mx"), 6).as("intercept"),
+        round(when(varx =!= 0.0 && vary =!= 0.0,
+          cov * cov / (varx * vary)), 6).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   /** Ordered collect family: collect_list/collect_set surface with a
     * deterministic sort before join — per-nation supplier rosters,
     * groups bounded by the dimension's cardinality (collect over an
@@ -349,6 +391,7 @@ object Relational {
       .orderBy(col("n_name"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regression"        -> regression,
     "q_agg_stats"         -> aggStats,
     "q_agg_collect"       -> aggCollect,
     "q_agg_salted"        -> aggSalted,
@@ -372,6 +415,25 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // same rounded-average moments, then identical IEEE closed form
+    "q_regression" ->
+      """WITH m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  round(avg(extract(hour FROM ts) * 1.0), 6) AS mx,
+                  round(avg(value), 6) AS my,
+                  round(avg(extract(hour FROM ts) * value), 6) AS mxy,
+                  round(avg(extract(hour FROM ts) * extract(hour FROM ts) * 1.0), 6) AS mxx,
+                  round(avg(value * value), 6) AS myy
+           FROM events GROUP BY event_type)
+         SELECT event_type, n,
+                round(CASE WHEN mxx - mx * mx != 0
+                  THEN (mxy - mx * my) / (mxx - mx * mx) END, 6) AS slope,
+                round(my - CASE WHEN mxx - mx * mx != 0
+                  THEN (mxy - mx * my) / (mxx - mx * mx) END * mx, 6) AS intercept,
+                round(CASE WHEN mxx - mx * mx != 0 AND myy - my * my != 0
+                  THEN (mxy - mx * my) * (mxy - mx * my)
+                       / ((mxx - mx * mx) * (myy - my * my)) END, 6) AS r2
+         FROM m ORDER BY event_type""",
     "q_sample" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE (l_orderkey * 31 + l_linenumber) % 1000003 % 1000 < 100

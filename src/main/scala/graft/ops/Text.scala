@@ -196,6 +196,46 @@ object Text {
       .orderBy(col("da"), col("db"))
   }
 
+  /** PMI collocation mining (T22, r4): which word pairs co-occur in
+    * documents more than independence predicts —
+    * pmi(a,b) = ln(P(a,b) / (P(a)·P(b))) over document-level
+    * occurrence. The corpus-analytics primitive behind phrase
+    * detection and topic seeding. Candidate pairs come from a per-doc
+    * self-join on the doc key: bounded by (distinct words per doc)²
+    * per document — linear in the corpus, never vocab² — and the
+    * support floor (`c_ab ≥ 5`) is applied at aggregation, before any
+    * ln. All counts are integers; the PMI argument is one exact
+    * integer ratio cast to double, so the only cross-engine surface
+    * is `ln` itself (the q_tfidf precedent: round at 6). The doc
+    * count rides in as a 1-row broadcast scalar. */
+  def pmi(s: SparkSession, d: String): DataFrame =
+    pmiCore(Tables.documents(s, d), minSupport = 5)
+
+  /** PMI over any `(doc_id, text)` relation — DataFrame-parameterized
+    * (with the support floor exposed) so TextSpec can pin
+    * hand-computed PMI values on a fixture corpus. */
+  private[graft] def pmiCore(docs: DataFrame, minSupport: Int): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = w.as("a").join(w.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("wa"), col("b.w").as("wb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val dfs = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    pairs
+      .join(dfs.select(col("w").as("wa"), col("c").as("c_a")), Seq("wa"))
+      .join(dfs.select(col("w").as("wb"), col("c").as("c_b")), Seq("wb"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("wa"), col("wb"), col("c_ab"),
+        round(log((col("c_ab") * col("n_docs")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double")), 6).as("pmi"))
+      .orderBy(col("wa"), col("wb"))
+  }
+
   /** Jaccard floor of [[dedupPrefix]] as an exact rational (4/5) — the
     * integer prefix-length ceil, the Spark threshold literal, and the
     * oracle SQL all derive from the same pair (lockstep-constant
@@ -628,6 +668,7 @@ object Text {
     "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_ngram_idf" -> dedupNgramIdf,
     "q_dedup_prefix"  -> dedupPrefix,
+    "q_pmi"           -> pmi,
     "q_hash_embed"    -> hashEmbed,
     "q_doc_sim"       -> docSim,
     "q_lang_id"       -> langId,
@@ -803,6 +844,21 @@ object Text {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    "q_pmi" ->
+      """WITH w AS (SELECT DISTINCT doc_id, w FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) x
+           WHERE w != ''),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         p AS (SELECT a.w AS wa, b.w AS wb, count(*) AS c_ab
+               FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.w < b.w
+               GROUP BY 1, 2 HAVING count(*) >= 5),
+         d AS (SELECT w, count(*) AS c FROM w GROUP BY w)
+         SELECT wa, wb, c_ab,
+                round(ln(CAST(c_ab * n_docs AS DOUBLE) / (da.c * db.c)), 6) AS pmi
+         FROM p CROSS JOIN n
+         JOIN d da ON da.w = wa
+         JOIN d db ON db.w = wb
+         ORDER BY wa, wb""",
     "q_dedup_ngram" -> jaccardOracleSql("0.1"),
     // prefix filtering is lossless: same brute-force oracle at the
     // near-dup floor (4.0/5 parses to the identical double literal)

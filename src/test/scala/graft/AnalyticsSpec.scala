@@ -11,6 +11,40 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("closed-form OLS recovers a hand-built line exactly") {
+    // group "lin": y = 2x + 1 exactly → slope 2, intercept 1, r² = 1
+    // group "flat": y constant → slope 0, intercept = the constant
+    val ev = Seq(
+      ("lin", 0.0, 1.0), ("lin", 1.0, 3.0), ("lin", 2.0, 5.0), ("lin", 3.0, 7.0),
+      ("flat", 0.0, 4.0), ("flat", 1.0, 4.0), ("flat", 2.0, 4.0),
+    ).toDF("event_type", "x", "y")
+    val rows = ops.Relational.regressionCore(ev).collect()
+    val got = rows.map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("lin") == ((2.0, 1.0)), got("lin").toString)
+    assert(got("flat") == ((0.0, 4.0)), got("flat").toString)
+    val lin = rows.find(_.getString(0) == "lin").get
+    assert(lin.getDouble(4) == 1.0, s"perfect line must have r2 = 1, got $lin")
+    // constant y: zero variance → r² is NULL (the regr_* convention)
+    assert(rows.find(_.getString(0) == "flat").get.isNullAt(4))
+  }
+
+  test("PMI: associated pair scores ln 2, independent pairs 0, disjoint absent") {
+    // N=4: c,d always together (positive association); b never with
+    // c/d; everything co-occurs with the ubiquitous a at independence
+    val docs = Seq(
+      (1L, "a c d"), (2L, "a c d"), (3L, "a b"), (4L, "a b"),
+    ).toDF("doc_id", "text")
+    val got = ops.Text.pmiCore(docs, minSupport = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // (c,d): c_ab=2, c_c=c_d=2 → pmi = ln(2·4/(2·2)) = ln 2
+    assert(got(("c", "d")) == ((2L, BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // ubiquitous a is independent of everything: ln(2·4/(4·2)) = 0
+    assert(got(("a", "b"))._2 == 0.0 && got(("a", "c"))._2 == 0.0)
+    // b never meets c or d → no row at all
+    assert(!got.contains(("b", "c")) && !got.contains(("b", "d")))
+  }
+
   test("funnel steps are strictly ordered within (user, day)") {
     // user 1: view 09:00 → click 09:30 → purchase 10:00  = full funnel
     // user 2: click 08:00 BEFORE first view 09:00; click 09:10 after →

@@ -236,6 +236,29 @@ object Text {
       .orderBy(col("wa"), col("wb"))
   }
 
+  /** Edit-distance confirmation (T23, r4): the final verification
+    * stage of a production dedup pipeline — candidates (prefix
+    * filter) → set similarity (Jaccard ≥ 4/5) → CHARACTER-level
+    * confirm. Levenshtein is O(len²) per pair, so the staging is the
+    * whole point: it runs only on the few set-verified pairs
+    * (28/25/256 here), never on candidates, never all-pairs. Distance
+    * and lengths are exact integers on both engines (the DP has one
+    * definition), and the normalized similarity is one exact integer
+    * ratio — the strongest cross-engine determinism class, no
+    * rounding contract needed beyond presentation. */
+  def dedupEdit(s: SparkSession, d: String): DataFrame = {
+    val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    dedupPrefix(s, d).select(col("da"), col("db"))
+      .join(texts.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))
+      .join(texts.select(col("doc_id").as("db"), col("text").as("tb")), Seq("db"))
+      .select(col("da"), col("db"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("edit_dist") / col("max_len").cast("double"), 6))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Jaccard floor of [[dedupPrefix]] as an exact rational (4/5) — the
     * integer prefix-length ceil, the Spark threshold literal, and the
     * oracle SQL all derive from the same pair (lockstep-constant
@@ -668,6 +691,7 @@ object Text {
     "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_ngram_idf" -> dedupNgramIdf,
     "q_dedup_prefix"  -> dedupPrefix,
+    "q_dedup_edit"    -> dedupEdit,
     "q_pmi"           -> pmi,
     "q_hash_embed"    -> hashEmbed,
     "q_doc_sim"       -> docSim,
@@ -859,6 +883,23 @@ object Text {
          JOIN d da ON da.w = wa
          JOIN d db ON db.w = wb
          ORDER BY wa, wb""",
+    // the same 4/5-Jaccard pair CTE, then integer Levenshtein
+    "q_dedup_edit" ->
+      s"""WITH $shinglesCte,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         jp AS (SELECT da, db FROM pairs
+                JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+                WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= $PrefixJacNum.0 / $PrefixJacDen)
+         SELECT da, db,
+                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+                CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len,
+                round(1.0 - levenshtein(a.text, b.text)
+                      / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) AS edit_sim
+         FROM jp JOIN documents a ON a.doc_id = da JOIN documents b ON b.doc_id = db
+         ORDER BY da, db""",
     "q_dedup_ngram" -> jaccardOracleSql("0.1"),
     // prefix filtering is lossless: same brute-force oracle at the
     // near-dup floor (4.0/5 parses to the identical double literal)

@@ -79,6 +79,24 @@ object Windows {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS (A6, r4): per-returnflag totals AND
+    * per-linestatus totals in one pass — the asymmetric shape neither
+    * ROLLUP (hierarchical prefixes) nor CUBE (all 2^k subsets) can
+    * express without computing sets the report doesn't want. Same
+    * single-pass expansion before the hash aggregate; at scale this
+    * is one shuffle where two separate GROUP BYs would scan and
+    * shuffle twice. */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** CUBE (A6): all 2^2 grouping sets over (returnflag, linestatus). */
   def aggCube(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -96,6 +114,7 @@ object Windows {
     "q_window_moving_avg" -> windowMovingAvg,
     "q_agg_rollup"        -> aggRollup,
     "q_agg_cube"          -> aggCube,
+    "q_agg_grouping_sets" -> aggGroupingSets,
   )
 
   val oracles: Map[String, String] = Map(
@@ -127,6 +146,12 @@ object Windows {
          round(sum(l_quantity), 2) AS sum_qty,
          CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         round(sum(l_quantity), 2) AS sum_qty,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q_agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

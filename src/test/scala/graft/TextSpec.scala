@@ -135,6 +135,22 @@ class TextSpec extends SparkSpec {
       s"prefix candidates ($candPrefix) must prune ≥10× vs shared-shingle ($candShared)")
   }
 
+  test("edit-distance confirm: same pairs as the Jaccard stage, char-level sim high") {
+    val edit = ops.Text.dedupEdit(spark, sf0001).collect()
+    val jacPairs = ops.Text.dedupPrefix(spark, sf0001)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the confirm stage scores every set-verified pair, adds none
+    assert(edit.map(r => (r.getLong(0), r.getLong(1))).toSet == jacPairs)
+    // shingle-level 4/5 similarity implies character-level closeness —
+    // a planted mutation, not a coincidental shingle overlap
+    // (measured band on this corpus: [0.931, 0.993])
+    edit.foreach { r =>
+      val sim = r.getDouble(4)
+      assert(sim >= 0.9 && sim <= 1.0, s"pair ${r.getLong(0)},${r.getLong(1)}: $sim")
+      assert(r.getLong(2) < r.getLong(3), "edit_dist must be under max_len")
+    }
+  }
+
   test("minhash on harness data flags the planted near-duplicates") {
     val out = Text.dedupMinhash(spark, sf0001)
     assert(out.filter(col("is_dup")).count() > 0)

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.streaming.Streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch renderings of the event-time operators (SURVEY.md §2.11):
@@ -122,6 +123,42 @@ object Events {
       .orderBy(col("h"), col("event_type"))
   }
 
+  /** Linear multi-touch attribution (E5, r4): every purchase's value
+    * splits EQUALLY across the user's clicks in the prior 24 hours,
+    * and each click reports the credit it accumulated — the marketing
+    * analytics complement of the last-touch as-of join (J6 gives each
+    * purchase ONE click; this gives every touch its share). The join
+    * is the house band shape: user_id equi-key anchors the shuffle,
+    * the 24h window rides as a residual predicate, so candidates are
+    * bounded by per-user activity — never |events|². Credit = value /
+    * touch-count is an exact integer-count division both engines
+    * compute identically; per-click credit sums are rounded at 4 (the
+    * lockstep rule — few purchases per click, sums tiny). Clicks that
+    * touched no purchase are absent (no zero-credit sentinels),
+    * matching the oracle's inner-join semantics. */
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionCore(Tables.events(s, d))
+
+  /** Credit split over any events relation — DataFrame-parameterized
+    * so AnalyticsSpec can pin the split arithmetic by hand. */
+  def attributionCore(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val touches = clicks.join(buys, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+    val k = Window.partitionBy(col("purchase_id"))
+    touches
+      .withColumn("credit", col("value") / count(lit(1)).over(k))
+      .groupBy(col("click_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("credit")), 4).as("attributed"))
+      .orderBy(col("click_id"))
+  }
+
   /** Ordered-funnel attribution (event analytics): within each
     * (user, day), the first view, the first click strictly after it,
     * the first purchase strictly after that click — rolled up per
@@ -186,6 +223,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution"     -> attribution,
     "q_funnel"          -> funnel,
     "q_retention"       -> retention,
     "q_stream_tumbling" -> streamTumbling,
@@ -203,6 +241,21 @@ object Events {
   val oracles: Map[String, String] = Map(
     // same three strictly-ordered steps; left joins keep months whose
     // later steps are empty, rates guarded the same way
+    "q_attribution" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+               FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT c.click_id, c.user_id, b.purchase_id, b.value
+               FROM c JOIN b ON c.user_id = b.user_id
+                AND c.click_ts <= b.purchase_ts
+                AND b.purchase_ts <= c.click_ts + INTERVAL 24 HOUR),
+         w AS (SELECT click_id, user_id,
+                      value / count(*) OVER (PARTITION BY purchase_id) AS credit
+               FROM t)
+         SELECT click_id, user_id, count(*) AS n_purchases,
+                round(sum(credit), 4) AS attributed
+         FROM w GROUP BY click_id, user_id ORDER BY click_id""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts FROM events),
          v AS (SELECT user_id, day, min(ts) AS t_view FROM e

@@ -149,7 +149,7 @@ object Joins {
         round(col("value") - col("type_avg"), 6).as("dev_from_type_avg"))
   }
 
-  /** Bloom-pruned semi join (J9, r4): the runtime-filter technique
+  /** Bloom-pruned semi join (J10, r4): the runtime-filter technique
     * made explicit. The build side (high-value orders, ~10% of the
     * table) aggregates its keys into ONE bloom filter row
     * (`bloom_filter_agg` via the catalyst bridge — the same expression

@@ -332,6 +332,23 @@ object Relational {
         round(median(col("l_quantity")), 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** UNPIVOT / melt (the inverse of [[pivot]], r4): three wide
+    * measure columns become (measure, val) long format, then one
+    * grouped aggregate per (flag, status, measure) — the
+    * wide-to-long reshape every metrics warehouse needs, and in
+    * Spark a zero-shuffle `Expand` (each input row emits k rows in
+    * place; only the downstream agg shuffles, map-side combined). */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("measure"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("measure"))
+
   /** Grouped closed-form OLS (A10, r4): per-event-type regression of
     * value on hour-of-day — the "is there a time-of-day effect"
     * analytics primitive, fit in ONE aggregation pass from the five
@@ -391,6 +408,7 @@ object Relational {
       .orderBy(col("n_name"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"           -> unpivotMeasures,
     "q_regression"        -> regression,
     "q_agg_stats"         -> aggStats,
     "q_agg_collect"       -> aggCollect,
@@ -415,6 +433,16 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH u AS (
+           SELECT l_returnflag, l_linestatus, measure, val
+           FROM (SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+                        l_discount FROM lineitem)
+                UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount)))
+         SELECT l_returnflag, l_linestatus, measure,
+                CAST(count(*) AS BIGINT) AS n, round(sum(val), 2) AS total
+         FROM u GROUP BY 1, 2, 3
+         ORDER BY l_returnflag, l_linestatus, measure""",
     // same rounded-average moments, then identical IEEE closed form
     "q_regression" ->
       """WITH m AS (

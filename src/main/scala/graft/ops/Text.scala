@@ -212,7 +212,7 @@ object Text {
     pmiCore(Tables.documents(s, d), minSupport = 5)
 
   /** PMI over any `(doc_id, text)` relation — DataFrame-parameterized
-    * (with the support floor exposed) so TextSpec can pin
+    * (with the support floor exposed) so AnalyticsSpec can pin
     * hand-computed PMI values on a fixture corpus. */
   private[graft] def pmiCore(docs: DataFrame, minSupport: Int): DataFrame = {
     val w = docs

@@ -45,6 +45,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(!got.contains(("b", "c")) && !got.contains(("b", "d")))
   }
 
+  test("attribution: equal split within 24h, stale clicks and other users excluded") {
+    // user 7: purchase 30.0 splits across both prior clicks (15 each);
+    // purchase 10.0 precedes click 2 → only click 1 touches it.
+    // user 9: purchase lands 25h after the click → no attribution.
+    val ev = Seq(
+      (1L, "click", "2024-01-01 09:00:00", 7L, 0.0),
+      (2L, "click", "2024-01-01 10:00:00", 7L, 0.0),
+      (3L, "purchase", "2024-01-01 09:30:00", 7L, 10.0),
+      (4L, "purchase", "2024-01-01 10:30:00", 7L, 30.0),
+      (5L, "click", "2024-01-01 01:00:00", 9L, 0.0),
+      (6L, "purchase", "2024-01-02 02:00:00", 9L, 50.0),
+    ).map { case (id, et, t, u, v) => (id, et, ts(t), u, v) }
+      .toDF("event_id", "event_type", "ts", "user_id", "value")
+    val got = ops.Events.attributionCore(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(1L -> ((2L, 25.0)), 2L -> ((1L, 15.0))), got.toString)
+  }
+
   test("funnel steps are strictly ordered within (user, day)") {
     // user 1: view 09:00 → click 09:30 → purchase 10:00  = full funnel
     // user 2: click 08:00 BEFORE first view 09:00; click 09:10 after →

@@ -159,6 +159,164 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** SCD Type-2 state intervals (E6, r4): each user's event_type
+    * stream compacted into validity intervals [valid_from, valid_to)
+    * — consecutive same-state events collapse into one interval, the
+    * current state's valid_to is NULL. The warehouse-history
+    * primitive behind every dimension table that answers "what was
+    * this user's state at time T". Three per-user window passes
+    * (change detection via lag, run numbering via running sum, close
+    * via lead) and one grouped agg — all partitioned by user_id, so
+    * at 100 TB each pass is one co-partitioned shuffle and no user's
+    * history ever leaves its partition between them (Spark reuses
+    * the (user_id)-hash exchange across the window stack). State
+    * within a run is constant, so min() reads it deterministically. */
+  def scd2(s: SparkSession, d: String): DataFrame =
+    scd2Core(Tables.events(s, d))
+
+  /** Interval construction over any events relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin run compaction
+    * and the open current interval by hand. */
+  def scd2Core(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val runs = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("brk", when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+      .withColumn("run_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    runs.groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wu))
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  /** First-order transition matrix (E7, r4): per-user event streams
+    * in (ts, event_id) order yield (from_type → to_type) bigram
+    * counts and row-normalized probabilities — the Markov-chain view
+    * of user behavior ("what follows a click?"). One per-user lead()
+    * (co-partitioned window, histories never cross partitions), one
+    * 25-row grouped count, and the normalizing sum rides as a window
+    * over the tiny (from_type) result — event volume touches exactly
+    * one shuffle. Probability = count/total is a long/long division
+    * both engines lower to the same IEEE double; round(4) is
+    * presentation only. */
+  def transitions(s: SparkSession, d: String): DataFrame =
+    transitionsCore(Tables.events(s, d))
+
+  /** Bigram extraction over any events relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the counts and
+    * the row-normalization by hand. */
+  def transitionsCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 4))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Time-weighted average (E8, r4): each event's value holds until
+    * the user's next event; TWAP = Σ(value·Δt) / Σ(Δt) per user —
+    * the metrics/finance aggregate where a value held for 6 hours
+    * must count 6× more than one held for a minute (the plain AVG
+    * over-weights bursts). Δt comes from one per-user lead() in
+    * exact integer MICROSECONDS (unix_micros — both engines derive
+    * bit-identical longs; the span sum stays integer-exact at any
+    * scale), the last event carries no duration and drops out. The
+    * ratio's numerator is a double sum whose ~1e-14 relative
+    * summation-order noise is crushed by the integer-exact
+    * denominator before round(4). One window pass + one agg, both
+    * keyed by user_id. */
+  def twap(s: SparkSession, d: String): DataFrame =
+    twapCore(Tables.events(s, d))
+
+  /** Segment weighting over any events relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the
+    * hold-until-next semantics by hand. */
+  def twapCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("dt_us", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dt_us")).as("span_us"),
+        round(sum(col("value") * col("dt_us")) /
+          sum(col("dt_us")).cast("double"), 4).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Consecutive-day activity streaks (E9, r4): the classic
+    * gaps-and-islands trick — within each user's sorted distinct
+    * active days, `day − row_number()` is constant exactly across a
+    * run of consecutive dates, so one grouped count per (user, island)
+    * yields run lengths with NO self-join and no iteration. Engagement
+    * metrics ("longest streak", "how fragmented is activity") at the
+    * cost of one distinct + one co-partitioned window + two aggs; the
+    * distinct collapses event volume to user-days before anything
+    * else runs. */
+  def streaks(s: SparkSession, d: String): DataFrame =
+    streaksCore(Tables.events(s, d))
+
+  /** Island detection over any events relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin run splitting
+    * across a gap by hand. */
+  def streaksCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Interval concurrency via temporal gridding (E10, r4): how many
+    * user sessions are simultaneously open at each hourly tick — the
+    * capacity-planning gauge. Sessions come from the same
+    * gaps-and-islands relation as ST3; each interval [start, end)
+    * then EXPLODES to exactly the hour ticks it covers (ceil(start)
+    * … largest tick < end) and one grouped count per tick does the
+    * rest. This is the shuffle-free rendering of a sweep line: the
+    * naive form (±1 deltas + one GLOBAL running sum) serializes all
+    * events through a single partition, and the containment join
+    * (spine ⋈ intervals on s ≤ h < e) has no equi key — gridding
+    * turns both into a narrow explode bounded by session-hours, so
+    * at 100 TB the cost scales with total session DURATION, not
+    * event volume. An empty `sequence` guard (`when(a ≤ b, …)`)
+    * drops sub-tick sessions instead of throwing — the chunker's
+    * empty-doc lesson. */
+  def concurrency(s: SparkSession, d: String): DataFrame =
+    concurrencyCore(Tables.events(s, d))
+
+  /** Gridding over any events relation — DataFrame-parameterized so
+    * AnalyticsSpec can pin tick coverage at the boundaries by hand. */
+  def concurrencyCore(ev: DataFrame): DataFrame = {
+    val hfloor = date_trunc("hour", col("s"))
+    val a = when(hfloor === col("s"), col("s"))
+      .otherwise(hfloor + expr("INTERVAL 1 HOUR"))
+    val b = date_trunc("hour", col("e") - expr("INTERVAL 1 MICROSECOND"))
+    Streaming.sessionize(ev)
+      .select(col("session_start").as("s"), col("session_end").as("e"))
+      .select(explode(when(a <= b, sequence(a, b, expr("INTERVAL 1 HOUR")))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("h"))
+  }
+
   /** Ordered-funnel attribution (event analytics): within each
     * (user, day), the first view, the first click strictly after it,
     * the first purchase strictly after that click — rolled up per
@@ -224,6 +382,11 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution"     -> attribution,
+    "q_scd2"            -> scd2,
+    "q_transitions"     -> transitions,
+    "q_twap"            -> twap,
+    "q_streaks"         -> streaks,
+    "q_concurrency"     -> concurrency,
     "q_funnel"          -> funnel,
     "q_retention"       -> retention,
     "q_stream_tumbling" -> streamTumbling,
@@ -256,6 +419,86 @@ object Events {
          SELECT click_id, user_id, count(*) AS n_purchases,
                 round(sum(credit), 4) AS attributed
          FROM w GROUP BY click_id, user_id ORDER BY click_id""",
+    // same lag/sum/lead pipeline; min(state) reads the run-constant type
+    "q_scd2" ->
+      """WITH m AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         r AS (
+           SELECT user_id, ts, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           FROM m),
+         iv AS (
+           SELECT user_id, min(event_type) AS state, min(ts) AS valid_from,
+                  count(*) AS n_events
+           FROM r GROUP BY user_id, run_id)
+         SELECT user_id, state, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+                n_events
+         FROM iv ORDER BY user_id, valid_from""",
+    "q_transitions" ->
+      """WITH b AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n
+               FROM b WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                round(CAST(n AS DOUBLE) /
+                      CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+         FROM c ORDER BY from_type, to_type""",
+    // integer-microsecond spans; last event per user carries no segment
+    "q_twap" ->
+      """WITH seg AS (
+           SELECT user_id, value,
+                  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                    - epoch_us(ts) AS dt_us
+           FROM events)
+         SELECT user_id, count(*) AS n_segments,
+                CAST(sum(dt_us) AS BIGINT) AS span_us,
+                round(sum(value * dt_us) / CAST(sum(dt_us) AS DOUBLE), 4) AS twap
+         FROM seg WHERE dt_us IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+    // day - row_number() is constant across a consecutive-date run
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         isl AS (
+           SELECT user_id,
+                  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS grp
+           FROM days),
+         runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+         FROM runs GROUP BY user_id ORDER BY user_id""",
+    // the ST3 session CTE, each interval unrolled to its hour ticks
+    "q_concurrency" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked),
+         agg AS (
+           SELECT min(ts) AS s, max(ts) + INTERVAL 30 MINUTE AS e
+           FROM sess GROUP BY user_id, sid),
+         ticks AS (
+           SELECT unnest(generate_series(
+             CASE WHEN date_trunc('hour', s) = s THEN s
+                  ELSE date_trunc('hour', s) + INTERVAL 1 HOUR END,
+             date_trunc('hour', e - INTERVAL 1 MICROSECOND),
+             INTERVAL 1 HOUR)) AS h
+           FROM agg)
+         SELECT h, count(*) AS n_sessions FROM ticks GROUP BY h ORDER BY h""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts FROM events),
          v AS (SELECT user_id, day, min(ts) AS t_view FROM e

@@ -63,6 +63,77 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map(1L -> ((2L, 25.0)), 2L -> ((1L, 15.0))), got.toString)
   }
 
+  test("scd2: consecutive same-state events collapse, current interval stays open") {
+    // user 1: a a b a → [09:00,11:00) a ×2, [11:00,12:00) b, [12:00,∅) a
+    val ev = Seq(
+      (1L, "a", "2024-01-01 09:00:00", 1L, 0.0),
+      (2L, "a", "2024-01-01 10:00:00", 1L, 0.0),
+      (3L, "b", "2024-01-01 11:00:00", 1L, 0.0),
+      (4L, "a", "2024-01-01 12:00:00", 1L, 0.0),
+    ).map { case (id, et, t, u, v) => (id, et, ts(t), u, v) }
+      .toDF("event_id", "event_type", "ts", "user_id", "value")
+    val got = ops.Events.scd2Core(ev).collect()
+      .map(r => (r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a", ts("2024-01-01 09:00:00"), Some(ts("2024-01-01 11:00:00")), 2L),
+      ("b", ts("2024-01-01 11:00:00"), Some(ts("2024-01-01 12:00:00")), 1L),
+      ("a", ts("2024-01-01 12:00:00"), None, 1L)), got.mkString(", "))
+  }
+
+  test("transitions: bigram counts row-normalize per from-state") {
+    // user 1: a→b, b→a, a→b ; user 2: a→b. From a: b 3/3; from b: a 1/1.
+    val ev = Seq(
+      (1L, "a", "2024-01-01 09:00:00", 1L), (2L, "b", "2024-01-01 09:10:00", 1L),
+      (3L, "a", "2024-01-01 09:20:00", 1L), (4L, "b", "2024-01-01 09:30:00", 1L),
+      (5L, "a", "2024-01-01 09:00:00", 2L), (6L, "b", "2024-01-01 09:10:00", 2L),
+    ).map { case (id, et, t, u) => (id, et, ts(t), u, 0.0) }
+      .toDF("event_id", "event_type", "ts", "user_id", "value")
+    val got = ops.Events.transitionsCore(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(("a", "b") -> ((3L, 1.0)), ("b", "a") -> ((1L, 1.0))),
+      got.toString)
+  }
+
+  test("twap: value held until the next event, last event weightless") {
+    // user 1: 10 held 1h, 20 held 2h, 30 held 0 → (10·1+20·2)/3 = 16.6667
+    val ev = Seq(
+      (1L, "2024-01-01 09:00:00", 10.0), (2L, "2024-01-01 10:00:00", 20.0),
+      (3L, "2024-01-01 12:00:00", 30.0),
+    ).map { case (id, t, v) => (id, "x", ts(t), 1L, v) }
+      .toDF("event_id", "event_type", "ts", "user_id", "value")
+    val r = ops.Events.twapCore(ev).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L * 3600L * 1000000L &&
+      r.getDouble(3) == 16.6667, r.toString)
+  }
+
+  test("streaks: a one-day gap splits the island") {
+    // user 1 active Jan 1,2,3 then 5,6 → streaks 3 and 2; duplicate
+    // events within a day collapse before islanding
+    val ev = Seq(
+      "2024-01-01 09:00:00", "2024-01-01 17:00:00", "2024-01-02 09:00:00",
+      "2024-01-03 09:00:00", "2024-01-05 09:00:00", "2024-01-06 09:00:00",
+    ).zipWithIndex.map { case (t, i) => (i.toLong, "x", ts(t), 1L, 0.0) }
+      .toDF("event_id", "event_type", "ts", "user_id", "value")
+    val r = ops.Events.streaksCore(ev).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 2L, 3L)), r.toString)
+  }
+
+  test("concurrency: sessions cover exactly the hour ticks inside [start, end)") {
+    // user 1: events 09:10, 09:50 → session [09:10, 10:20) covers tick 10:00
+    // user 2: event 09:00 → session [09:00, 09:30) covers tick 09:00 (start
+    // on the boundary is itself a tick; end 09:30 reaches no further tick)
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:10:00"), 1L), (2L, ts("2024-01-01 09:50:00"), 1L),
+      (3L, ts("2024-01-01 09:00:00"), 2L),
+    ).map { case (id, t, u) => (id, "x", t, u, 0.0) }
+      .toDF("event_id", "event_type", "ts", "user_id", "value")
+    val got = ops.Events.concurrencyCore(ev).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got == Map(ts("2024-01-01 09:00:00") -> 1L,
+      ts("2024-01-01 10:00:00") -> 1L), got.toString)
+  }
+
   test("funnel steps are strictly ordered within (user, day)") {
     // user 1: view 09:00 → click 09:30 → purchase 10:00  = full funnel
     // user 2: click 08:00 BEFORE first view 09:00; click 09:10 after →

@@ -159,6 +159,49 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** MERGE / upsert (E11, r4): a base snapshot (each user's latest
+    * state in the first half of the time range) merged with a delta
+    * changelog (the second half) — the lakehouse MERGE INTO shape:
+    * delta wins where both exist, base rows without delta carry
+    * forward, delta rows without base insert, and every output row
+    * says which case it was. The time split is the integer midpoint
+    * of the [min, max] event-time range in exact MICROSECONDS (a
+    * broadcast 1-row aggregate — both engines floor-divide the same
+    * longs, so the split is bit-identical and scale-free). Each side
+    * compacts via [[compactLatest]]'s combiner-friendly max(struct)
+    * BEFORE the full-outer join, so the join moves one row per
+    * (side, user) — at 100 TB the merge costs two compactions and
+    * one key-aligned shuffle, never a row-level diff. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame =
+    mergeUpsertCore(Tables.events(s, d))
+
+  /** Snapshot+delta merge over any events relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin all three merge
+    * cases by hand. */
+  def mergeUpsertCore(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid_us"))
+    val stamped = ev.crossJoin(broadcast(mid))
+    def latest(side: DataFrame, pre: String) = side
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("l"))
+      .select(col("user_id"), col("l.ts").as(s"${pre}_ts"),
+        col("l.event_type").as(s"${pre}_type"), col("l.value").as(s"${pre}_value"))
+    val base = latest(stamped.filter(col("us") <= col("mid_us")), "base")
+    val delta = latest(stamped.filter(col("us") > col("mid_us")), "delta")
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("delta_ts"), col("base_ts")).as("last_ts"),
+        coalesce(col("delta_type"), col("base_type")).as("last_type"),
+        coalesce(col("delta_value"), col("base_value")).as("last_value"),
+        when(col("delta_ts").isNotNull && col("base_ts").isNotNull, lit("upsert"))
+          .when(col("base_ts").isNull, lit("insert"))
+          .otherwise(lit("carry")).as("src"))
+      .orderBy(col("user_id"))
+  }
+
   /** SCD Type-2 state intervals (E6, r4): each user's event_type
     * stream compacted into validity intervals [valid_from, valid_to)
     * — consecutive same-state events collapse into one interval, the
@@ -382,6 +425,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution"     -> attribution,
+    "q_merge_upsert"    -> mergeUpsert,
     "q_scd2"            -> scd2,
     "q_transitions"     -> transitions,
     "q_twap"            -> twap,
@@ -419,6 +463,29 @@ object Events {
          SELECT click_id, user_id, count(*) AS n_purchases,
                 round(sum(credit), 4) AS attributed
          FROM w GROUP BY click_id, user_id ORDER BY click_id""",
+    // same integer-microsecond midpoint split; QUALIFY row_number is
+    // the oracle rendering of each side's max(struct) compaction
+    "q_merge_upsert" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type, value,
+                            epoch_us(ts) AS us FROM events),
+         m AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+         base AS (
+           SELECT user_id, ts AS base_ts, event_type AS base_type, value AS base_value
+           FROM ev CROSS JOIN m WHERE us <= mid_us
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         delta AS (
+           SELECT user_id, ts AS delta_ts, event_type AS delta_type, value AS delta_value
+           FROM ev CROSS JOIN m WHERE us > mid_us
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+         SELECT coalesce(base.user_id, delta.user_id) AS user_id,
+                coalesce(delta_ts, base_ts) AS last_ts,
+                coalesce(delta_type, base_type) AS last_type,
+                coalesce(delta_value, base_value) AS last_value,
+                CASE WHEN delta_ts IS NOT NULL AND base_ts IS NOT NULL THEN 'upsert'
+                     WHEN base_ts IS NULL THEN 'insert'
+                     ELSE 'carry' END AS src
+         FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id
+         ORDER BY user_id""",
     // same lag/sum/lead pipeline; min(state) reads the run-constant type
     "q_scd2" ->
       """WITH m AS (

@@ -332,6 +332,51 @@ object Relational {
         round(median(col("l_quantity")), 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** MAD robust outliers (A11, r4): per-group median absolute
+    * deviation — the outlier detector that survives the outliers it
+    * hunts (mean/stddev z-scores get dragged by the very tail they
+    * should flag; median/MAD don't). Both medians are DISCRETE
+    * rank-and-filter selections ([[aggApproxExact]]'s technique: the
+    * chosen value is a data value, immune to the cross-engine
+    * interpolation ULP that flipped a half-cent at sf0.001), each one
+    * window pass over the (event_type) partition. Flag threshold =
+    * 3·1.4826·MAD (1.4826 ≈ 1/Φ⁻¹(¾) scales MAD to σ under
+    * normality); |value−median| and the product are single IEEE ops
+    * both engines compute bit-identically, so the count needs no
+    * epsilon. Group count = 5, so the second window over (group) is
+    * as cheap as the first at any event volume. */
+  def madOutliers(s: SparkSession, d: String): DataFrame =
+    madOutliersCore(Tables.events(s, d))
+
+  /** MAD over any `(event_type, value)` relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the discrete
+    * medians and the flag threshold by hand. */
+  def madOutliersCore(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(col("event_type"))
+    val ev = events.select(col("event_type"), col("value"))
+    val med = ev
+      .withColumn("rn", row_number().over(grp.orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("med"))
+    val dev = ev.join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev
+      .withColumn("rn", row_number().over(grp.orderBy(col("adev"))))
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("adev"))).as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("med"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** UNPIVOT / melt (the inverse of [[pivot]], r4): three wide
     * measure columns become (measure, val) long format, then one
     * grouped aggregate per (flag, status, measure) — the
@@ -409,6 +454,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot"           -> unpivotMeasures,
+    "q_mad_outliers"      -> madOutliers,
     "q_regression"        -> regression,
     "q_agg_stats"         -> aggStats,
     "q_agg_collect"       -> aggCollect,
@@ -433,6 +479,32 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // same discrete rank-and-filter medians, same 3·1.4826 threshold
+    "q_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+         r1 AS (SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM ev),
+         med AS (SELECT event_type,
+                        max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS med
+                 FROM r1 GROUP BY event_type),
+         dev AS (SELECT ev.event_type, ev.value, med.med,
+                        abs(ev.value - med.med) AS adev
+                 FROM ev JOIN med USING (event_type)),
+         r2 AS (SELECT event_type, adev,
+                       row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dev),
+         mad AS (SELECT event_type,
+                        max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN adev END) AS mad
+                 FROM r2 GROUP BY event_type)
+         SELECT dev.event_type, count(*) AS n,
+                round(max(dev.med), 4) AS med, round(max(mad.mad), 4) AS mad,
+                CAST(sum(CASE WHEN dev.adev > 3.0 * 1.4826 * mad.mad
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev JOIN mad USING (event_type)
+         GROUP BY dev.event_type ORDER BY dev.event_type""",
     "q_unpivot" ->
       """WITH u AS (
            SELECT l_returnflag, l_linestatus, measure, val

@@ -655,6 +655,71 @@ object Text {
         length(col("text").substr(col("start").cast("int") + 1, lit(window))).as("chunk_chars"))
   }
 
+  /** PII redaction (T14, r4): scrub emails and long digit runs from
+    * a corpus before it can reach a training run — the compliance
+    * stage every real pretraining pipeline has, and one that must be
+    * narrow (pure per-row regex, no shuffle, codegen'd
+    * RegExpReplace/RegExpExtractAll) because it runs over EVERY byte
+    * of a 100 TB corpus. The harness text contains no PII, so both
+    * engines first inject the same deterministic contact line per
+    * doc (phone = 1000000 + 7·doc_id, email = u<doc_id>@ex<d>.org,
+    * an extra ref number on every third doc) and the redactor is
+    * verified on content that varies per row: counts come from the
+    * pre-redaction text, emails are replaced before digit runs so
+    * the two patterns can never race, and `[0-9]` spellings dodge
+    * the Java-vs-RE2 escaping split. */
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    piiRedactCore(Tables.documents(s, d))
+
+  /** Redaction over any `(doc_id, text)` relation —
+    * DataFrame-parameterized so TextSpec can pin counts and
+    * replacement output on hand-written PII. */
+  def piiRedactCore(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val longnum = "[0-9]{5,}"
+    val pii = concat(
+      lit("call "), (lit(1000000L) + col("doc_id") * 7).cast("string"),
+      lit(" or mail u"), col("doc_id").cast("string"),
+      lit("@ex"), pmod(col("doc_id"), lit(10)).cast("string"), lit(".org"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(" ref 99999999 ")).otherwise(lit(" ")),
+      col("text"))
+    docs
+      .select(col("doc_id"), pii.as("pii_text"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(longnum), lit(0))).as("n_longnums"),
+        regexp_replace(regexp_replace(col("pii_text"), email, "<EMAIL>"),
+          longnum, "<NUM>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram log-probability scoring (T15, r4): each document scored
+    * by the average ln p(token) under the corpus's OWN unigram
+    * distribution — the cheap perplexity proxy pipelines use to rank
+    * documents as "typical vs weird" before any neural scorer runs
+    * (low scores = rare-token-heavy docs). Token corpus counts ride
+    * as a window count over the token partition (one shuffle, no
+    * vocabulary join), the corpus total is a broadcast 1-row
+    * aggregate ([[tfidf]]'s N pattern), and the per-doc average is
+    * one grouped agg — the full score costs two shuffles at any
+    * corpus size. */
+  def unigramLogprob(s: SparkSession, d: String): DataFrame =
+    unigramLogprobCore(Tables.documents(s, d))
+
+  /** Scoring over any `(doc_id, text)` relation —
+    * DataFrame-parameterized so TextSpec can pin the ln p arithmetic
+    * on a counted-by-hand corpus. */
+  def unigramLogprobCore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("word"))))
+    val total = toks.agg(count(lit(1)).as("n_corpus"))
+    toks.crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt") / col("n_corpus").cast("double"))), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end training-data prep (the composed north-star pipeline):
     * exact-dedup survivors → quality gate → per-source corpus stats.
     * Each stage is one of the operators above; the composition is the
@@ -684,6 +749,8 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_prep" -> pipelinePrep,
+    "q_pii_redact"    -> piiRedact,
+    "q_unigram_logprob" -> unigramLogprob,
     "q_chunk_docs"    -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_wordcount"     -> wordcount,
     "q_tfidf"         -> tfidf,
@@ -852,6 +919,31 @@ object Text {
                 round(sum(ttr), 6) / count(*) AS avg_ttr
          FROM gated WHERE n_words >= 20 AND ttr >= 0.3
          GROUP BY source ORDER BY source""",
+    // same injected contact line, same email-before-digits order; 'g'
+    // matches Spark's replace-all default
+    "q_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  concat('call ', CAST(1000000 + doc_id * 7 AS VARCHAR),
+                         ' or mail u', CAST(doc_id AS VARCHAR),
+                         '@ex', CAST(doc_id % 10 AS VARCHAR), '.org',
+                         CASE WHEN doc_id % 3 = 0 THEN ' ref 99999999 ' ELSE ' ' END,
+                         text) AS pii_text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(pii_text, '[0-9]{5,}')) AS INT) AS n_longnums,
+                regexp_replace(regexp_replace(pii_text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{5,}', '<NUM>', 'g') AS redacted
+         FROM p ORDER BY doc_id""",
+    "q_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         c AS (SELECT doc_id, count(*) OVER (PARTITION BY word) AS cnt FROM t),
+         n AS (SELECT count(*) AS n_corpus FROM t)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(ln(cnt / CAST(n_corpus AS DOUBLE))), 4) AS avg_logp
+         FROM c CROSS JOIN n GROUP BY doc_id ORDER BY doc_id""",
     "q_wordcount" ->
       """SELECT w AS word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)

@@ -134,6 +134,36 @@ class AnalyticsSpec extends SparkSpec {
       ts("2024-01-01 10:00:00") -> 1L), got.toString)
   }
 
+  test("mad outliers: discrete medians, threshold flags only the planted spike") {
+    // values 1..6 and 100: median = 4th of 7 sorted = 4; |dev| sorted
+    // [0,1,1,2,2,3,96] → MAD = 2; threshold 3·1.4826·2 = 8.8956 → only
+    // the 96 deviation flags
+    val ev = (1 to 6).map(_.toDouble) :+ 100.0
+    val df = ev.zipWithIndex.map { case (v, i) =>
+      (i.toLong, "x", ts("2024-01-01 09:00:00"), 1L, v) }
+      .toDF("event_id", "event_type", "ts", "user_id", "value")
+    val r = ops.Relational.madOutliersCore(df).collect().head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)) ==
+      ((7L, 4.0, 2.0, 1L)), r.toString)
+  }
+
+  test("merge upsert: delta wins, base carries, new keys insert") {
+    // span 00:00→24:00, midpoint 12:00. user 1 in both halves →
+    // upsert with delta's latest; user 2 base-only → carry; user 3
+    // delta-only → insert.
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 2L, "a", 1.0),
+      (2L, "2024-01-01 01:00:00", 1L, "b", 2.0),
+      (3L, "2024-01-01 23:00:00", 1L, "c", 3.0),
+      (4L, "2024-01-02 00:00:00", 3L, "d", 4.0),
+    ).map { case (id, t, u, et, v) => (id, et, ts(t), u, v) }
+      .toDF("event_id", "event_type", "ts", "user_id", "value")
+    val got = ops.Events.mergeUpsertCore(ev).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getString(4))).toMap
+    assert(got == Map(1L -> (("c", "upsert")), 2L -> (("a", "carry")),
+      3L -> (("d", "insert"))), got.toString)
+  }
+
   test("funnel steps are strictly ordered within (user, day)") {
     // user 1: view 09:00 → click 09:30 → purchase 10:00  = full funnel
     // user 2: click 08:00 BEFORE first view 09:00; click 09:10 after →

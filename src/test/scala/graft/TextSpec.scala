@@ -156,4 +156,27 @@ class TextSpec extends SparkSpec {
     assert(out.filter(col("is_dup")).count() > 0)
     assert(out.count() == out.select("doc_id").distinct().count())
   }
+
+  test("pii redaction: counts both injected and in-text PII, replaces all of it") {
+    // doc_id 3 (divisible by 3): injection adds phone 1000021, email
+    // u3@ex3.org, and ref 99999999; the text itself carries one more
+    // of each. Emails go first, so u3@ex3.org's digits never count
+    // as a number run.
+    val docs = Seq((3L, "see 12345 and bob@x.co now")).toDF("doc_id", "text")
+    val r = Text.piiRedactCore(docs).collect().head
+    assert(r.getInt(1) == 2 && r.getInt(2) == 3, r.toString)
+    assert(r.getString(3) ==
+      "call <NUM> or mail <EMAIL> ref <NUM> see <NUM> and <EMAIL> now", r.toString)
+  }
+
+  test("unigram logprob averages ln p(token) under the corpus distribution") {
+    // corpus: a×3, b×1, c×1 over 5 tokens
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Text.unigramLogprobCore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, r4((2 * math.log(0.6) + math.log(0.2)) / 3))), got.toString)
+    assert(got(2L) == ((2L, r4((math.log(0.6) + math.log(0.2)) / 2))), got.toString)
+  }
 }

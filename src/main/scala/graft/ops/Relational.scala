@@ -332,6 +332,65 @@ object Relational {
         round(median(col("l_quantity")), 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Pareto skyline (A12, r4): per returnflag, the lineitems no other
+    * item dominates on (price, quantity) — the multi-objective
+    * frontier query ("nothing is both more expensive AND bigger").
+    * The classic rendering is a quadratic NOT EXISTS self-join; the
+    * scale rendering here is sort-free of it: collapse ties to one
+    * (price, max qty) point per price (bounded by price cardinality,
+    * not row count), then ONE descending-price window pass where a
+    * point survives iff its qty beats the running max over all
+    * strictly-higher prices. Domination is strict-on-price (a higher
+    * price with equal qty kills; equal price collapses to its best
+    * qty). One shuffle + one window sort per group — O(n log n)
+    * against the self-join's O(n²). */
+  def skyline(s: SparkSession, d: String): DataFrame =
+    skylineCore(Tables.lineitem(s, d))
+
+  /** Frontier over any `(l_returnflag, l_extendedprice, l_quantity)`
+    * relation — DataFrame-parameterized so RelationalSpec can pin the
+    * domination cases by hand. */
+  def skylineCore(items: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    items
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(max(col("l_quantity")).as("l_quantity"))
+      .withColumn("best", max(col("l_quantity")).over(w))
+      .filter(col("best").isNull || col("l_quantity") > col("best"))
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_returnflag"), col("l_extendedprice"))
+  }
+
+  /** Equi-depth histogram (A13, r4): lineitem prices cut into 10
+    * equal-population deciles per returnflag — the histogram an
+    * optimizer or data-profiler actually wants (equi-WIDTH buckets,
+    * T7's length_buckets, starve on skewed data; equi-depth adapts).
+    * ntile's assignment depends on row ORDER, so the window is
+    * tiebroken to a total order (price, orderkey, linenumber) — both
+    * engines then assign identical buckets by the shared ANSI rule
+    * (first `n mod 10` buckets one row bigger). Exact rendering: one
+    * partitioned window sort; at 100 TB the sketch tier's
+    * approx-percentile boundaries answer the same question with O(k)
+    * state, which is why both live in the engine. */
+  def equidepthHist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("l_returnflag"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"),
+        round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("l_returnflag"), col("decile"))
+  }
+
   /** MAD robust outliers (A11, r4): per-group median absolute
     * deviation — the outlier detector that survives the outliers it
     * hunts (mean/stddev z-scores get dragged by the very tail they
@@ -454,6 +513,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot"           -> unpivotMeasures,
+    "q_skyline"           -> skyline,
+    "q_equidepth_hist"    -> equidepthHist,
     "q_mad_outliers"      -> madOutliers,
     "q_regression"        -> regression,
     "q_agg_stats"         -> aggStats,
@@ -479,6 +540,32 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // same tie-collapse to (price, max qty), same strict running-max test
+    "q_skyline" ->
+      """WITH pts AS (
+           SELECT l_returnflag, l_extendedprice, max(l_quantity) AS l_quantity
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT l_returnflag, l_extendedprice, l_quantity,
+                  max(l_quantity) OVER (PARTITION BY l_returnflag
+                                        ORDER BY l_extendedprice DESC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+           FROM pts)
+         SELECT l_returnflag, l_extendedprice, l_quantity
+         FROM r WHERE best IS NULL OR l_quantity > best
+         ORDER BY l_returnflag, l_extendedprice""",
+    // identical total order → identical ANSI ntile assignment
+    "q_equidepth_hist" ->
+      """WITH t AS (
+           SELECT l_returnflag, l_extendedprice,
+                  CAST(ntile(10) OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT) AS decile
+           FROM lineitem)
+         SELECT l_returnflag, decile, count(*) AS n,
+                round(min(l_extendedprice), 2) AS lo,
+                round(max(l_extendedprice), 2) AS hi,
+                round(sum(l_extendedprice), 2) AS total
+         FROM t GROUP BY 1, 2 ORDER BY l_returnflag, decile""",
     // same discrete rank-and-filter medians, same 3·1.4826 threshold
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events),

@@ -123,9 +123,27 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** ORC round trip (S10, r4): the other columnar format large
+    * warehouses actually hold data in (Hive-era lakes are ORC, not
+    * parquet). Spark's native vectorized ORC source keeps the same
+    * pushdown/pruning contract as parquet — same `PushedFilters` /
+    * `ReadSchema` machinery, different footer format — so the engine
+    * claims it as a first-class source, proven by the same lossless
+    * round-trip oracle as CSV/JSONL: write `documents` as ORC, scan
+    * it back (schema from the ORC footer, no inference pass), and
+    * hash-match the plain table. */
+  def sourceOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("orc")
+    graft.Tables.documents(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_jsonl" -> sourceJsonlRoundtrip,
     "q_source_csv"   -> sourceCsvRoundtrip,
+    "q_source_orc"   -> sourceOrcRoundtrip,
     "q_layout_partitioned" -> layoutPartitioned,
   )
 
@@ -136,6 +154,8 @@ object Sources {
     "q_source_jsonl" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_source_csv" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "q_source_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_layout_partitioned" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",

@@ -66,6 +66,40 @@ object Windows {
       .orderBy(col("user_id"), col("es"), col("event_id"))
   }
 
+  /** first/last/nth navigation (W5, r4): each order alongside its
+    * customer's first, latest, and second-ever order price — the
+    * "compare to baseline" window family that completes the
+    * navigation surface (W2 covers the ±1 neighbors; these reach the
+    * partition EDGES). last_value needs the full-partition ROWS frame
+    * spelled out — the SQL default frame stops at CURRENT ROW, which
+    * silently turns last_value into "current value" (the classic
+    * window bug; both engines share the default, so the oracle would
+    * agree and hide it — the spelled-out frame is the fix, and the
+    * fixture in RelationalSpec pins it). Ordering is fully tiebroken
+    * by (o_orderdate, o_orderkey). */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame =
+    windowFirstLastCore(Tables.orders(s, d))
+
+  /** Navigation over any orders-shaped relation —
+    * DataFrame-parameterized so RelationalSpec can pin the
+    * full-partition frame (the last_value default-frame trap) by
+    * hand. */
+  def windowFirstLastCore(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("first_price", round(first(col("o_totalprice")).over(w), 2))
+      .withColumn("last_price", round(last(col("o_totalprice")).over(w), 2))
+      .withColumn("second_price", round(nth_value(col("o_totalprice"), 2).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("first_price"), col("last_price"), col("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** ROLLUP (A6): hierarchical subtotals over (returnflag, linestatus)
     * + grand total, disambiguated by grouping_id. One pass — Spark
     * expands grouping sets before the hash aggregate. */
@@ -110,6 +144,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_rank"       -> windowRank,
+    "q_window_first_last" -> windowFirstLast,
     "q_window_running"    -> windowRunning,
     "q_window_moving_avg" -> windowMovingAvg,
     "q_agg_rollup"        -> aggRollup,
@@ -118,6 +153,16 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same spelled-out full-partition frame for all three navigators
+    "q_window_first_last" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+                round(first_value(o_totalprice) OVER w, 2) AS first_price,
+                round(last_value(o_totalprice) OVER w, 2) AS last_price,
+                round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
     "q_window_rank" ->
       """SELECT * FROM (
            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,

@@ -56,6 +56,42 @@ class RelationalSpec extends SparkSpec {
     assert(frac > 0.05 && frac < 0.15, s"fraction $frac too far from 0.1")
   }
 
+  test("skyline keeps exactly the non-dominated points") {
+    import spark.implicits._
+    // flag A: (10,5) dominated by (20,5) [higher price, equal qty];
+    // (20,5) and (30,3) survive; (15,4) dominated by (20,5); ties at
+    // price 20 collapse to the best qty (20,2 folds into 20,5)
+    val items = Seq(
+      ("A", 10.0, 5.0), ("A", 15.0, 4.0), ("A", 20.0, 5.0),
+      ("A", 20.0, 2.0), ("A", 30.0, 3.0),
+      ("B", 1.0, 1.0),
+    ).toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val got = ops.Relational.skylineCore(items).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == Set(("A", 20.0, 5.0), ("A", 30.0, 3.0), ("B", 1.0, 1.0)),
+      got.toString)
+  }
+
+  test("first/last/nth window uses the full-partition frame, not the default") {
+    import spark.implicits._
+    // with the DEFAULT frame last_value would equal the current row's
+    // price; the spelled-out frame must see the partition's real end
+    val orders = Seq(
+      (1L, 101L, java.sql.Date.valueOf("2024-01-01"), 10.0),
+      (1L, 102L, java.sql.Date.valueOf("2024-01-02"), 20.0),
+      (1L, 103L, java.sql.Date.valueOf("2024-01-03"), 30.0),
+      (2L, 201L, java.sql.Date.valueOf("2024-02-01"), 7.0),
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = ops.Windows.windowFirstLastCore(orders).collect()
+      .map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), Option(r.get(5)))).toMap
+    assert(got(101L) == ((10.0, 30.0, Some(20.0))), got.toString)
+    assert(got(102L) == ((10.0, 30.0, Some(20.0))), got.toString)
+    assert(got(103L) == ((10.0, 30.0, Some(20.0))), got.toString)
+    // single-order customer: no second order → nth_value is NULL
+    assert(got(201L) == ((7.0, 7.0, None)), got.toString)
+  }
+
   test("pagerank text sink round-trips (reference saveAsTextFile, S5)") {
     val ranks = ops.PageRank.run(
       ops.PageRank.parseEdgeLines(

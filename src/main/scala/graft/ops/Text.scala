@@ -655,7 +655,7 @@ object Text {
         length(col("text").substr(col("start").cast("int") + 1, lit(window))).as("chunk_chars"))
   }
 
-  /** PII redaction (T14, r4): scrub emails and long digit runs from
+  /** PII redaction (T25, r4): scrub emails and long digit runs from
     * a corpus before it can reach a training run — the compliance
     * stage every real pretraining pipeline has, and one that must be
     * narrow (pure per-row regex, no shuffle, codegen'd
@@ -693,7 +693,7 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  /** Unigram log-probability scoring (T15, r4): each document scored
+  /** Unigram log-probability scoring (T26, r4): each document scored
     * by the average ln p(token) under the corpus's OWN unigram
     * distribution — the cheap perplexity proxy pipelines use to rank
     * documents as "typical vs weird" before any neural scorer runs

@@ -159,6 +159,42 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** Session path mining (E12, r4): the top event-type sequences
+    * users actually walk within a session — "view>click>purchase"
+    * style clickstream analysis. Sessions come from the same
+    * gaps-and-islands recurrence as ST3/ST6 (lag break-mark +
+    * running sum, both on the user partition); each session's first
+    * 5 event types (truncation bounds distinct-path cardinality —
+    * untruncated paths are unbounded-cardinality group keys at
+    * corpus scale) join into one path string via a deterministic
+    * struct sort on (ts, event_id), then one grouped count per path.
+    * Event volume crosses exactly two shuffles: the user-partition
+    * window and the path rollup. */
+  def pathMining(s: SparkSession, d: String): DataFrame =
+    pathMiningCore(Tables.events(s, d))
+
+  /** Path extraction over any events relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin session
+    * splitting, ordering, and truncation by hand. */
+  def pathMiningCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val sess = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("brk", when(gap.isNull || gap > 30L * 60L * 1000000L, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("session_len"),
+        array_join(
+          slice(transform(array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))), x => x.getField("event_type")), 1, 5), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("session_len")), 4).as("avg_len"))
+      .orderBy(col("path"))
+  }
+
   /** MERGE / upsert (E11, r4): a base snapshot (each user's latest
     * state in the first half of the time range) merged with a delta
     * changelog (the second half) — the lakehouse MERGE INTO shape:
@@ -425,6 +461,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_attribution"     -> attribution,
+    "q_path_mining"     -> pathMining,
     "q_merge_upsert"    -> mergeUpsert,
     "q_scd2"            -> scd2,
     "q_transitions"     -> transitions,
@@ -463,6 +500,32 @@ object Events {
          SELECT click_id, user_id, count(*) AS n_purchases,
                 round(sum(credit), 4) AS attributed
          FROM w GROUP BY click_id, user_id ORDER BY click_id""",
+    // the ST3 session CTE again; string_agg(ORDER BY) is the oracle
+    // rendering of the deterministic struct sort, rn <= 5 of slice
+    "q_path_mining" ->
+      """WITH m AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (
+           SELECT user_id, ts, event_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM m),
+         r AS (
+           SELECT user_id, sid, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+           FROM s),
+         p1 AS (
+           SELECT user_id, sid, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM r WHERE rn <= 5 GROUP BY 1, 2),
+         p2 AS (SELECT user_id, sid, count(*) AS session_len FROM s GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions, round(avg(session_len), 4) AS avg_len
+         FROM p1 JOIN p2 USING (user_id, sid)
+         GROUP BY path ORDER BY path""",
     // same integer-microsecond midpoint split; QUALIFY row_number is
     // the oracle rendering of each side's max(struct) compaction
     "q_merge_upsert" ->

@@ -332,6 +332,76 @@ object Relational {
         round(median(col("l_quantity")), 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** CUSUM changepoint detection (A14, r4): per event type, the hour
+    * where the cumulative sum of (hourly count − overall mean) peaks
+    * in magnitude — the classic "when did the level shift" detector
+    * over a metric series. The running CUSUM is an ORDERED window
+    * sum — both engines consume the same deltas in the same order,
+    * pinning any float noise to reduction-tree ULPs (~1e-12 against
+    * round(4)'s 5e-5 margin); the mean is an exact long/long
+    * division. Peak
+    * selection is a row_number over (|cusum| desc, hour) — ties
+    * break on the earlier hour. Everything partitions by event_type;
+    * the hourly rollup is the only pass that sees event volume. */
+  def cusum(s: SparkSession, d: String): DataFrame =
+    cusumCore(Tables.events(s, d))
+
+  /** CUSUM over any events relation — DataFrame-parameterized so
+    * AnalyticsSpec can pin the peak location on a planted level
+    * shift. */
+  def cusumCore(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(col("event_type"))
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .withColumn("mean_n",
+        sum(col("n")).over(grp) / count(lit(1)).over(grp).cast("double"))
+      .withColumn("cusum", sum(col("n") - col("mean_n"))
+        .over(grp.orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_hours", count(lit(1)).over(grp))
+      .withColumn("rn", row_number().over(grp.orderBy(abs(col("cusum")).desc, col("h"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_hours"),
+        col("h").as("peak_hour"),
+        round(col("cusum"), 4).as("peak_cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Gini coefficient (A15, r4): per-group inequality of the value
+    * distribution — the "how concentrated is spend" measure, from
+    * the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over values
+    * ranked ascending with a unique tiebreak. One per-group window
+    * pass for ranks, one aggregate for the moments; the Σ(i·xᵢ)
+    * double sum's summation-order noise is ~1e-13 relative against
+    * round(6). Non-negative values assumed (events.value is); the
+    * formula is undefined for Σx = 0 groups, which the guard turns
+    * into NULL rather than a cross-engine NaN/Inf mismatch. */
+  def gini(s: SparkSession, d: String): DataFrame =
+    giniCore(Tables.events(s, d))
+
+  /** Gini over any `(event_type, event_id, value)` relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the closed
+    * form on tiny distributions. */
+  def giniCore(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total"),
+        round(when(sum(col("value")) > 0,
+          lit(2.0) * sum(col("i") * col("value")) /
+            (count(lit(1)) * sum(col("value"))) -
+            (count(lit(1)) + lit(1)).cast("double") / count(lit(1))), 6).as("gini"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pareto skyline (A12, r4): per returnflag, the lineitems no other
     * item dominates on (price, quantity) — the multi-objective
     * frontier query ("nothing is both more expensive AND bigger").
@@ -513,6 +583,8 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot"           -> unpivotMeasures,
+    "q_cusum"             -> cusum,
+    "q_gini"              -> gini,
     "q_skyline"           -> skyline,
     "q_equidepth_hist"    -> equidepthHist,
     "q_mad_outliers"      -> madOutliers,
@@ -540,6 +612,42 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // same ordered running sum (bit-identical in window order), same
+    // (|cusum| desc, hour) peak tiebreak
+    "q_cusum" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         c AS (
+           SELECT event_type, h, n,
+                  CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY event_type) AS mean_n,
+                  count(*) OVER (PARTITION BY event_type) AS n_hours
+           FROM hourly),
+         cs AS (
+           SELECT event_type, h, n_hours,
+                  sum(n - mean_n) OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+           FROM c)
+         SELECT event_type, n_hours, h AS peak_hour, round(cusum, 4) AS peak_cusum
+         FROM cs
+         QUALIFY row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(cusum) DESC, h) = 1
+         ORDER BY event_type""",
+    // same rank formula, same (value, event_id) total order, same
+    // zero-total NULL guard
+    "q_gini" ->
+      """WITH r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS i
+           FROM events)
+         SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+                round(CASE WHEN sum(value) > 0 THEN
+                  2.0 * sum(i * value) / (count(*) * sum(value))
+                    - CAST(count(*) + 1 AS DOUBLE) / count(*)
+                END, 6) AS gini
+         FROM r GROUP BY event_type ORDER BY event_type""",
     // same tie-collapse to (price, max qty), same strict running-max test
     "q_skyline" ->
       """WITH pts AS (

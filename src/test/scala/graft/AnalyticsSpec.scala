@@ -164,6 +164,50 @@ class AnalyticsSpec extends SparkSpec {
       3L -> (("d", "insert"))), got.toString)
   }
 
+  test("path mining: sessions split on the gap, paths order and truncate") {
+    // user 1: events at 09:00..09:04 + one at 09:05 (6 events → path
+    // truncates to first 5), then a 31-min gap starts a new session
+    // "b". user 2: "a>b".
+    val u1 = (0 to 5).map(i => (i.toLong, if (i % 2 == 0) "a" else "b",
+      ts(f"2024-01-01 09:0$i%d:00"), 1L, 0.0))
+    val ev = (u1 ++ Seq(
+      (10L, "b", ts("2024-01-01 09:37:00"), 1L, 0.0),
+      (20L, "a", ts("2024-01-01 09:00:00"), 2L, 0.0),
+      (21L, "b", ts("2024-01-01 09:10:00"), 2L, 0.0),
+    )).toDF("event_id", "event_type", "ts", "user_id", "value")
+    val got = ops.Events.pathMiningCore(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      "a>b>a>b>a" -> ((1L, 6.0)), // truncated to 5, avg_len counts all 6
+      "b" -> ((1L, 1.0)),
+      "a>b" -> ((1L, 2.0))), got.toString)
+  }
+
+  test("cusum peaks at the planted level shift") {
+    // 6 hours of counts [1,1,1,5,5,5]: mean 3, cusum [-2,-4,-6,-4,-2,0]
+    // → |peak| at hour 3 (11:00) with cusum -6
+    val ev = (0 until 6).flatMap { h =>
+      (0 until (if (h < 3) 1 else 5)).map(i =>
+        ((h * 10 + i).toLong, "x", ts(f"2024-01-01 ${9 + h}%02d:00:00"), 1L, 0.0))
+    }.toDF("event_id", "event_type", "ts", "user_id", "value")
+    val r = ops.Relational.cusumCore(ev).collect().head
+    assert(r.getLong(1) == 6L && r.getTimestamp(2) == ts("2024-01-01 11:00:00") &&
+      r.getDouble(3) == -6.0, r.toString)
+  }
+
+  test("gini: uniform values score 0, total concentration approaches 1") {
+    // "eq": all equal → G = 0. "conc": one holder of everything over
+    // n=4 → G = 2·(4·10)/(4·10) − 5/4 = 0.75 (= (n−1)/n)
+    val ev = (
+      (1 to 4).map(i => (i.toLong, "eq", ts("2024-01-01 09:00:00"), 1L, 2.5)) ++
+      (1 to 4).map(i => (10L + i, "conc", ts("2024-01-01 09:00:00"), 1L,
+        if (i == 4) 10.0 else 0.0))
+    ).toDF("event_id", "event_type", "ts", "user_id", "value")
+    val got = ops.Relational.giniCore(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("eq") == 0.0 && got("conc") == 0.75, got.toString)
+  }
+
   test("funnel steps are strictly ordered within (user, day)") {
     // user 1: view 09:00 → click 09:30 → purchase 10:00  = full funnel
     // user 2: click 08:00 BEFORE first view 09:00; click 09:10 after →

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational core: scan → filter → project → join → aggregate → sort.
@@ -332,6 +332,56 @@ object Relational {
         round(median(col("l_quantity")), 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Data-quality audit (A16, r4): six declarative constraint checks
+    * rolled into one (rule, checked, violations, pass) report — the
+    * Deequ-style contract gate a warehouse runs before promoting a
+    * batch: primary-key uniqueness, two referential-integrity
+    * probes, a range rule, a derived-column consistency rule, and a
+    * completeness rule. Each check is one aggregate over its table
+    * (uniqueness = count − count distinct; orphans = LEFT ANTI join
+    * count — at scale the build sides are the key columns only);
+    * the six 1-row results union into the report, so the audit costs
+    * one pass per table regardless of how many rules share it. The
+    * harness data is clean by construction (all-zero violations);
+    * AnalyticsSpec plants one violation per rule and watches each
+    * flip red independently. */
+  def dqAudit(s: SparkSession, d: String): DataFrame =
+    dqAuditCore(Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.customer(s, d), Tables.events(s, d), Tables.documents(s, d))
+
+  /** Audit over any five harness-shaped relations —
+    * DataFrame-parameterized so AnalyticsSpec can plant violations. */
+  def dqAuditCore(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
+      events: DataFrame, documents: DataFrame): DataFrame = {
+    def report(rule: String, checked: Column, violations: Column, df: DataFrame) =
+      df.agg(checked.as("n_checked"), violations.as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    def fkReport(rule: String, probe: DataFrame, probeKey: String,
+        build: DataFrame, buildKey: String) = {
+      val orphans = probe.select(col(probeKey))
+        .join(build.select(col(buildKey)), col(probeKey) === col(buildKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      probe.agg(count(lit(1)).as("n_checked")).crossJoin(orphans)
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    }
+    val pk = report("orders_pk_unique",
+      count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")), orders)
+    val fkLine = fkReport("lineitem_fk_orders", lineitem, "l_orderkey", orders, "o_orderkey")
+    val fkOrd = fkReport("orders_fk_customer", orders, "o_custkey", customer, "c_custkey")
+    val range = report("events_value_nonneg",
+      count(lit(1)), sum(when(col("value") < 0, 1L).otherwise(0L)), events)
+    val consistent = report("documents_nchars_consistent",
+      count(lit(1)), sum(when(col("n_chars") =!= length(col("text")), 1L)
+        .otherwise(0L)), documents)
+    val complete = report("customer_segment_notnull",
+      count(lit(1)), sum(when(col("c_mktsegment").isNull, 1L).otherwise(0L)), customer)
+    pk.unionByName(fkLine).unionByName(fkOrd)
+      .unionByName(range).unionByName(consistent).unionByName(complete)
+      .orderBy(col("rule"))
+  }
+
   /** CUSUM changepoint detection (A14, r4): per event type, the hour
     * where the cumulative sum of (hourly count − overall mean) peaks
     * in magnitude — the classic "when did the level shift" detector
@@ -583,6 +633,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot"           -> unpivotMeasures,
+    "q_dq_audit"          -> dqAudit,
     "q_cusum"             -> cusum,
     "q_gini"              -> gini,
     "q_skyline"           -> skyline,
@@ -612,6 +663,43 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // six 1-row rule aggregates unioned; HUGEINT arithmetic cast back
+    "q_dq_audit" ->
+      """SELECT 'customer_segment_notnull' AS rule,
+                count(*) AS n_checked,
+                CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+         FROM customer
+         UNION ALL
+         SELECT 'documents_nchars_consistent', count(*),
+                CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT),
+                sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
+         FROM documents
+         UNION ALL
+         SELECT 'events_value_nonneg', count(*),
+                CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+                sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+         FROM events
+         UNION ALL
+         SELECT 'lineitem_fk_orders',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+                (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+         UNION ALL
+         SELECT 'orders_fk_customer',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM orders o LEFT JOIN customer c
+                  ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+                (SELECT count(*) FROM orders o LEFT JOIN customer c
+                  ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+         UNION ALL
+         SELECT 'orders_pk_unique', count(*),
+                count(*) - count(DISTINCT o_orderkey),
+                count(*) - count(DISTINCT o_orderkey) = 0
+         FROM orders
+         ORDER BY rule""",
     // same ordered running sum (bit-identical in window order), same
     // (|cusum| desc, hour) peak tiebreak
     "q_cusum" ->

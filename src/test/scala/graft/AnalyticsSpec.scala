@@ -208,6 +208,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("eq") == 0.0 && got("conc") == 0.75, got.toString)
   }
 
+  test("dq audit: every planted violation flips exactly its own rule") {
+    // dup orderkey 1; lineitem orphan 99; order 11 points at missing
+    // customer 5; one negative value; one n_chars lie; one null segment
+    val orders = Seq((1L, 1L), (1L, 2L), (11L, 5L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(1L, 99L).toDF("l_orderkey")
+    val customer = Seq((1L, Option("A")), (2L, None: Option[String]))
+      .toDF("c_custkey", "c_mktsegment")
+    val events = Seq(1.0, -2.0).toDF("value")
+    val documents = Seq(("ab", 2L), ("ab", 3L)).toDF("text", "n_chars")
+    val got = ops.Relational.dqAuditCore(orders, lineitem, customer, events, documents)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got == Map(
+      "orders_pk_unique" -> ((3L, 1L, false)),
+      "lineitem_fk_orders" -> ((2L, 1L, false)),
+      "orders_fk_customer" -> ((3L, 1L, false)),
+      "events_value_nonneg" -> ((2L, 1L, false)),
+      "documents_nchars_consistent" -> ((2L, 1L, false)),
+      "customer_segment_notnull" -> ((2L, 1L, false))), got.toString)
+  }
+
   test("funnel steps are strictly ordered within (user, day)") {
     // user 1: view 09:00 → click 09:30 → purchase 10:00  = full funnel
     // user 2: click 08:00 BEFORE first view 09:00; click 09:10 after →

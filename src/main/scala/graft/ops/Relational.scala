@@ -340,8 +340,11 @@ object Relational {
     * completeness rule. Each check is one aggregate over its table
     * (uniqueness = count − count distinct; orphans = LEFT ANTI join
     * count — at scale the build sides are the key columns only);
-    * the six 1-row results union into the report, so the audit costs
-    * one pass per table regardless of how many rules share it. The
+    * the six 1-row results union into the report. Every scan is
+    * column-pruned to just the rule's columns (PlanAudit: 1 shuffle
+    * total, FK probes broadcast at harness sizes); at 100 TB,
+    * same-table rules would fuse into one multi-measure aggregate —
+    * the report schema is what makes that refactor invisible. The
     * harness data is clean by construction (all-zero violations);
     * AnalyticsSpec plants one violation per rule and watches each
     * flip red independently. */

@@ -185,4 +185,24 @@ class PlanSpec extends SparkSpec {
     val scan = p.linesIterator.find(l => l.contains("lineitem.parquet")).get
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"), scan)
   }
+
+  test("pii redaction plans zero hash exchanges (pure per-row regex pass)") {
+    // the stage that touches every byte of a 100 TB corpus must stay
+    // narrow: only the presentation sort's range exchange is allowed
+    val p = planOf("q_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"redaction must not shuffle: $p")
+  }
+
+  test("scd2's three window passes reuse one (user_id) exchange") {
+    val p = planOf("q_scd2")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"the lag/run-sum/lead stack must share a single user_id shuffle: $p")
+  }
+
+  test("skyline is one tie-collapse aggregation plus one window sort, never a self-join") {
+    val p = planOf("q_skyline")
+    assert(!p.contains("Join"), s"skyline must not plan any join: $p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+  }
 }

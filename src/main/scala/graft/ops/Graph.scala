@@ -224,10 +224,52 @@ object Graph {
   def bfsQuery(s: SparkSession, d: String): DataFrame =
     bfs(coEdges(s, d), BfsSource)
 
+  /** Degree assortativity (r4 wave 6): Pearson correlation of
+    * endpoint degrees over the co-occurrence graph's edges — ONE
+    * number answering "do hubs connect to hubs?" (positive: social
+    * shape; negative: hub-and-spoke). Each undirected edge
+    * contributes both orientations, so x- and y-moments coincide and
+    * the closed form needs only (m, Σd, Σd², Σdᵤdᵥ) — INTEGER-exact
+    * longs. The ratio uses the MEAN form r = (E[xy] − E[x]²) /
+    * (E[x²] − E[x]²): the cross-moment form multiplies m·Σd², which
+    * overflows int64 on big graphs where Spark would wrap silently
+    * while DuckDB promotes to int128 — dividing the exact longs
+    * first keeps every op in IEEE doubles both engines execute
+    * identically. Degenerate regular graphs (zero degree variance)
+    * → NULL. Two shuffles past the edge build: the
+    * degree count and the 1-row moment aggregate; degrees join back
+    * by key. */
+  def assortativity(s: SparkSession, d: String): DataFrame =
+    assortativityCore(coEdges(s, d))
+
+  /** Assortativity over any `(u, v)` edge relation —
+    * DataFrame-parameterized so GraphSpec can pin the closed form on
+    * a hand-solved star (r = −1). */
+  def assortativityCore(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val pairs = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("du"), col("dv"))
+    val sym = pairs.unionByName(pairs.select(col("dv").as("du"), col("du").as("dv")))
+    val mx = col("sx").cast("double") / col("m2")
+    val num = col("sxy").cast("double") / col("m2") - mx * mx
+    val den = col("sxx").cast("double") / col("m2") - mx * mx
+    sym.agg(
+        count(lit(1)).as("m2"),
+        sum(col("du")).as("sx"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("du") * col("dv")).as("sxy"))
+      .select(col("m2").as("n_endpoints"),
+        round(when(den > 0, num / den), 6).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> triangles,
     "q_kcore"     -> kcore,
     "q_bfs"       -> bfsQuery,
+    "q_assortativity" -> assortativity,
   )
 
   /** Shared co-occurrence edge SQL (the q_triangles CTE's body). */
@@ -278,6 +320,29 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "q_bfs"   -> bfsOracle,
     "q_kcore" -> kcoreOracle,
+    // same integer moments divided FIRST (the mean form — the
+    // cross-moment form overflows int64 asymmetrically across engines)
+    "q_assortativity" ->
+      s"""WITH e AS MATERIALIZED ($coEdgesSql),
+         deg AS (SELECT n, count(*) AS deg FROM
+           (SELECT u AS n FROM e UNION ALL SELECT v FROM e) t GROUP BY n),
+         p AS (SELECT a.deg AS du, b.deg AS dv
+               FROM e JOIN deg a ON e.u = a.n JOIN deg b ON e.v = b.n),
+         s AS (SELECT du, dv FROM p UNION ALL SELECT dv, du FROM p),
+         agg AS (SELECT count(*) AS m2,
+                        CAST(sum(du) AS BIGINT) AS sx,
+                        CAST(sum(du * du) AS BIGINT) AS sxx,
+                        CAST(sum(du * dv) AS BIGINT) AS sxy
+                 FROM s),
+         mm AS (SELECT m2,
+                       CAST(sx AS DOUBLE) / m2 AS mx,
+                       CAST(sxy AS DOUBLE) / m2 AS mxy,
+                       CAST(sxx AS DOUBLE) / m2 AS mxx
+                FROM agg)
+         SELECT m2 AS n_endpoints,
+                round(CASE WHEN mxx - mx * mx > 0
+                  THEN (mxy - mx * mx) / (mxx - mx * mx) END, 6) AS assortativity
+         FROM mm""",
     "q_triangles" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
              FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),

@@ -332,6 +332,41 @@ object Relational {
         round(median(col("l_quantity")), 2).as("median_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Pairwise Welch t-tests (A17, r4): for every event-type pair, is
+    * the difference in mean value significant? — the experimentation
+    * primitive behind every A/B dashboard, with Welch's unequal-
+    * variance form (the pooled-variance Student's t silently assumes
+    * homoscedasticity). One map-side-combinable moment pass per type
+    * (n, mean, sample variance — 5 rows at any event volume), then a
+    * bounded 5×5 self-join builds the 10 pairs and the closed form
+    * (t, Welch–Satterthwaite df) is pure IEEE arithmetic on rounded
+    * moments ([[regression]]'s lockstep pattern). Event volume
+    * touches exactly one shuffle. */
+  def welch(s: SparkSession, d: String): DataFrame =
+    welchCore(Tables.events(s, d))
+
+  /** Welch over any `(event_type, value)` relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the closed form
+    * on hand-computed samples. */
+  def welchCore(events: DataFrame): DataFrame = {
+    val m = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("mean"),
+        round(var_samp(col("value")), 4).as("s2"))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("na"),
+      col("mean").as("ma"), col("s2").as("va"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("nb"),
+      col("mean").as("mb"), col("s2").as("vb"))
+    val sa = col("va") / col("na")
+    val sb = col("vb") / col("nb")
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        round((col("ma") - col("mb")) / sqrt(sa + sb), 4).as("t"),
+        round(pow(sa + sb, 2) / (
+          pow(sa, 2) / (col("na") - 1) + pow(sb, 2) / (col("nb") - 1)), 2).as("df"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Data-quality audit (A16, r4): six declarative constraint checks
     * rolled into one (rule, checked, violations, pass) report — the
     * Deequ-style contract gate a warehouse runs before promoting a
@@ -636,6 +671,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unpivot"           -> unpivotMeasures,
+    "q_welch"             -> welch,
     "q_dq_audit"          -> dqAudit,
     "q_cusum"             -> cusum,
     "q_gini"              -> gini,
@@ -666,6 +702,24 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // same rounded moments (the regression lockstep rule), same
+    // Welch closed form over the bounded pair grid
+    "q_welch" ->
+      """WITH m AS (
+           SELECT event_type, count(*) AS n,
+                  round(avg(value), 4) AS mean,
+                  round(var_samp(value), 4) AS s2
+           FROM events GROUP BY event_type)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+                a.n AS na, b.n AS nb,
+                round((a.mean - b.mean)
+                      / sqrt(a.s2 / a.n + b.s2 / b.n), 4) AS t,
+                round(pow(a.s2 / a.n + b.s2 / b.n, 2)
+                      / (pow(a.s2 / a.n, 2) / (a.n - 1)
+                         + pow(b.s2 / b.n, 2) / (b.n - 1)), 2) AS df
+         FROM m a CROSS JOIN m b
+         WHERE a.event_type < b.event_type
+         ORDER BY type_a, type_b""",
     // six 1-row rule aggregates unioned; HUGEINT arithmetic cast back
     "q_dq_audit" ->
       """SELECT 'customer_segment_notnull' AS rule,

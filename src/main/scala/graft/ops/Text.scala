@@ -720,6 +720,38 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Shannon entropy profile (T27, r4): per-source language-mix
+    * entropy — the corpus-composition diagnostic ("is this source
+    * monolingual or a grab bag?") that data recipes read before
+    * setting mixture weights. H = ln n − (Σ c·ln c)/n from INTEGER
+    * (source, lang) counts, so both engines feed identical longs
+    * into identical ln calls (the PMI precedent); normalized by the
+    * max-entropy ln(k) of the observed language count, NULL for
+    * single-language sources (0/0 is a semantics question, not a
+    * float accident). Two grouped counts — the first sees document
+    * volume, the second sees (source × lang) cardinality. */
+  def entropy(s: SparkSession, d: String): DataFrame =
+    entropyCore(Tables.documents(s, d))
+
+  /** Entropy over any `(source, lang)` relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin uniform → ln k
+    * and single-language → 0/NULL by hand. */
+  def entropyCore(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum(col("c") * log(col("c").cast("double"))) / sum(col("c")),
+          6).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_langs") > 1,
+          round(col("entropy") / log(col("n_langs").cast("double")), 6)))
+      .orderBy(col("source"))
+
   /** End-to-end training-data prep (the composed north-star pipeline):
     * exact-dedup survivors → quality gate → per-source corpus stats.
     * Each stage is one of the operators above; the composition is the
@@ -751,6 +783,7 @@ object Text {
     "q_pipeline_prep" -> pipelinePrep,
     "q_pii_redact"    -> piiRedact,
     "q_unigram_logprob" -> unigramLogprob,
+    "q_entropy"       -> entropy,
     "q_chunk_docs"    -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_wordcount"     -> wordcount,
     "q_tfidf"         -> tfidf,
@@ -937,6 +970,21 @@ object Text {
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '[0-9]{5,}', '<NUM>', 'g') AS redacted
          FROM p ORDER BY doc_id""",
+    // same integer counts into the same ln decomposition; norm divides
+    // the ALREADY-rounded entropy (mirrored) so both engines round twice
+    "q_entropy" ->
+      """WITH cl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+         e AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_langs,
+                  round(ln(CAST(sum(c) AS DOUBLE))
+                        - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+                        6) AS entropy
+           FROM cl GROUP BY source)
+         SELECT source, n_docs, n_langs, entropy,
+                CASE WHEN n_langs > 1
+                     THEN round(entropy / ln(CAST(n_langs AS DOUBLE)), 6)
+                END AS norm_entropy
+         FROM e ORDER BY source""",
     "q_unigram_logprob" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          c AS (SELECT doc_id, count(*) OVER (PARTITION BY word) AS cnt FROM t),

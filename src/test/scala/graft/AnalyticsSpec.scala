@@ -230,6 +230,31 @@ class AnalyticsSpec extends SparkSpec {
       "customer_segment_notnull" -> ((2L, 1L, false))), got.toString)
   }
 
+  test("entropy: uniform mix scores ln k with norm 1, monolingual scores 0 with NULL norm") {
+    val docs = Seq(
+      (1L, "A", "en"), (2L, "A", "fr"), (3L, "A", "en"), (4L, "A", "fr"),
+      (5L, "B", "en"), (6L, "B", "en"),
+    ).toDF("doc_id", "source", "lang")
+    val got = ops.Text.entropyCore(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)))).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("A") == ((4L, 2L, r6(math.log(2)), Some(1.0))), got.toString)
+    assert(got("B") == ((2L, 1L, 0.0, None)), got.toString)
+  }
+
+  test("welch t on hand samples matches the closed form") {
+    // x: 1,2,3 (n 3, mean 2, var 1); y: 4,6 (n 2, mean 5, var 2)
+    // t = −3/√(1/3 + 1) = −2.5981; df = (4/3)²/((1/9)/2 + 1) = 1.68
+    val ev = (Seq(1.0, 2.0, 3.0).map(v => ("x", v)) ++ Seq(4.0, 6.0).map(v => ("y", v)))
+      .zipWithIndex.map { case ((t, v), i) => (i.toLong, t, ts("2024-01-01 09:00:00"), 1L, v) }
+      .toDF("event_id", "event_type", "ts", "user_id", "value")
+    val r = ops.Relational.welchCore(ev).collect().head
+    assert((r.getLong(2), r.getLong(3)) == ((3L, 2L)), r.toString)
+    assert(r.getDouble(4) == -2.5981 && r.getDouble(5) == 1.68, r.toString)
+  }
+
   test("funnel steps are strictly ordered within (user, day)") {
     // user 1: view 09:00 → click 09:30 → purchase 10:00  = full funnel
     // user 2: click 08:00 BEFORE first view 09:00; click 09:10 after →

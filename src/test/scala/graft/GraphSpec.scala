@@ -114,4 +114,15 @@ class GraphSpec extends SparkSpec {
     val star = (2L to 8L).map(i => 1L -> i) :+ (2L -> 3L)
     assert(got(edges(star: _*)) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("assortativity: a star is perfectly disassortative, a clique degenerates to NULL") {
+    // star 1-{2,3,4}: every edge joins deg 3 to deg 1 → r = −1
+    val star = ops.Graph.assortativityCore(edges(1L -> 2L, 1L -> 3L, 1L -> 4L))
+      .collect().head
+    assert(star.getLong(0) == 6L && star.getDouble(1) == -1.0, star.toString)
+    // triangle: all degrees equal → zero variance → NULL, not NaN
+    val tri = ops.Graph.assortativityCore(edges(1L -> 2L, 2L -> 3L, 1L -> 3L))
+      .collect().head
+    assert(tri.isNullAt(1), tri.toString)
+  }
 }

@@ -342,7 +342,7 @@ object Graph {
          SELECT m2 AS n_endpoints,
                 round(CASE WHEN mxx - mx * mx > 0
                   THEN (mxy - mx * mx) / (mxx - mx * mx) END, 6) AS assortativity
-         FROM mm""",
+         FROM mm ORDER BY n_endpoints""",
     "q_triangles" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
              FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),

@@ -669,7 +669,143 @@ object Relational {
         max_by(col("s_name"), col("s_suppkey")).as("latest_supplier"))
       .orderBy(col("n_name"))
 
+  /** Lag-k autocorrelation (A16, r4): per event type, how correlated
+    * the hourly event-count series is with itself k hours back, for
+    * k = 1..3 — the seasonality/burstiness diagnostic run before any
+    * forecasting. Series = hourly rollup (the only pass that sees
+    * event volume); the mean is exact long/long division; numerator
+    * and denominator follow the [[regressionCore]] lockstep rule:
+    * each is a ROUNDED avg (6 dp, noise cushion ~500× at sf0.1), and
+    * r_k is then pure IEEE arithmetic both engines compute
+    * bit-identically. lag(k) over the hour-ordered window skips
+    * missing partners via null-propagating products (avg ignores
+    * nulls on both engines), matching the observed-series convention
+    * (gaps collapse, not zero-fill — [[densify]] is the zero-fill
+    * face). */
+  def autocorr(s: SparkSession, d: String): DataFrame =
+    autocorrCore(Tables.events(s, d))
+
+  /** Autocorrelation over any events relation — DataFrame-
+    * parameterized so AnalyticsSpec can pin r_k signs on a planted
+    * alternating series (r1 ≈ −1, r2 ≈ +1). */
+  def autocorrCore(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(col("event_type"))
+    val seq = grp.orderBy(col("h"))
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val staged = hourly
+      .withColumn("mean_x", sum(col("x")).over(grp) / count(lit(1)).over(grp))
+      .withColumn("d", col("x") - col("mean_x"))
+    val lagged = (1 to 3).foldLeft(staged) { (df, k) =>
+      df.withColumn(s"d$k", lag(col("d"), k).over(seq))
+    }
+    val moments = round(avg(col("d") * col("d")), 6).as("c0") +:
+      (1 to 3).map(k => round(avg(col("d") * col(s"d$k")), 6).as(s"c$k"))
+    val m = lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), moments: _*)
+    m.select(
+        col("event_type") +: col("n_hours") +:
+          (1 to 3).map(k =>
+            round(col(s"c$k") * (col("n_hours") - k) /
+              (col("c0") * col("n_hours")), 6).as(s"r$k")): _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** Chi-square independence test (A17, r4): is document language
+    * independent of document source? Observed counts from ONE
+    * grouped rollup (the only pass over the corpus); row/column/grand
+    * totals are window sums over the tiny contingency relation
+    * (cells ≤ |lang|·|source|), so the single-partition window is a
+    * few dozen rows regardless of corpus size. Expected counts are
+    * exact-integer products divided once (bit-identical across
+    * engines); per-cell contribution (O−E)²/E is pure IEEE; the χ²
+    * total sums ≤ dozens of identical doubles (ULP noise ~1e-12
+    * against round(4)'s 5e-5). Output is per-cell — the analyst sees
+    * WHICH cells drive the dependence — with the χ² total and
+    * (r−1)(c−1) dof carried on every row. */
+  def chisq(s: SparkSession, d: String): DataFrame =
+    chisqCore(Tables.documents(s, d).select(
+      col("lang").as("a"), col("source").as("b")))
+
+  /** Chi-square over any `(a, b)` categorical pair — DataFrame-
+    * parameterized so AnalyticsSpec can pin the independent case
+    * (χ² = 0 on a product distribution) and a hand-computed 2×2. */
+  def chisqCore(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    val obs = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    // densify: a zero-observed cell still contributes (0−E)²/E = E, so
+    // the grid is the distinct-a × distinct-b cross (bounded by level
+    // cardinalities, not data volume). All three obs references share
+    // one canonicalized rollup exchange → the corpus is scanned ONCE;
+    // the reduce-side re-reads are over the tiny shuffled cells.
+    val full = obs.select(col("a")).distinct()
+      .crossJoin(obs.select(col("b")).distinct())
+      .join(obs, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n"))
+    full
+      .withColumn("rt", sum(col("n")).over(Window.partitionBy(col("a"))))
+      .withColumn("ct", sum(col("n")).over(Window.partitionBy(col("b"))))
+      .withColumn("tot", sum(col("n")).over(all))
+      .withColumn("e", col("rt") * col("ct") / col("tot").cast("double"))
+      .withColumn("contrib",
+        (col("n") - col("e")) * (col("n") - col("e")) / col("e"))
+      .withColumn("chisq", round(sum(col("contrib")).over(all), 4))
+      .withColumn("dof",
+        ((size(collect_set(col("a")).over(all)) - 1) *
+          (size(collect_set(col("b")).over(all)) - 1)).cast("long"))
+      .select(col("a").as("lang"), col("b").as("source"), col("n"),
+        round(col("e"), 4).as("expected"),
+        round(col("contrib"), 6).as("contrib"),
+        col("chisq"), col("dof"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Winsorization (A18, r4): per returnflag, clamp prices into the
+    * discrete [p05, p95] band and report how the mean moves — the
+    * standard robust-mean preprocessing step. Both fences are
+    * rank-and-filter DISCRETE quantiles ([[aggApproxExact]]'s
+    * technique: the fence IS a data value, immune to cross-engine
+    * interpolation ULPs), so the clip comparisons are exact and the
+    * clip counts need no epsilon. Two window passes over the group
+    * partition + one join of a 3-row fence dim; means are rounded at
+    * 4 dp (noise cushion ~500× at sf0.1). */
+  def winsorize(s: SparkSession, d: String): DataFrame =
+    winsorizeCore(Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v")))
+
+  /** Winsorization over any `(grp, v)` relation — DataFrame-
+    * parameterized so AnalyticsSpec can pin fences and clip counts
+    * on a hand-ranked fixture. */
+  def winsorizeCore(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(col("grp"))
+    val fences = rows
+      .withColumn("rn", row_number().over(grp.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy(col("grp"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.05), col("v"))).as("p05"),
+        max(when(col("rn") === ceil(col("n") * 0.95), col("v"))).as("p95"))
+    rows.join(fences, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("p05")), 2).as("p05"),
+        round(max(col("p95")), 2).as("p95"),
+        sum(when(col("v") < col("p05"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("p95"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(avg(col("v")), 4).as("mean_raw"),
+        round(avg(least(greatest(col("v"), col("p05")), col("p95"))), 4)
+          .as("mean_wins"))
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_autocorr"          -> autocorr,
+    "q_chisq"             -> chisq,
+    "q_winsorize"         -> winsorize,
     "q_unpivot"           -> unpivotMeasures,
     "q_welch"             -> welch,
     "q_dq_audit"          -> dqAudit,
@@ -702,6 +838,86 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // same hourly rollup, same rounded-moment lockstep, same
+    // null-skipping lag partners
+    "q_autocorr" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  CAST(count(*) AS DOUBLE) AS x
+           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+         s AS (
+           SELECT event_type, h,
+                  x - sum(x) OVER (PARTITION BY event_type)
+                      / count(*) OVER (PARTITION BY event_type) AS d
+           FROM hourly),
+         l AS (
+           SELECT event_type, d,
+                  lag(d, 1) OVER (PARTITION BY event_type ORDER BY h) AS d1,
+                  lag(d, 2) OVER (PARTITION BY event_type ORDER BY h) AS d2,
+                  lag(d, 3) OVER (PARTITION BY event_type ORDER BY h) AS d3
+           FROM s),
+         m AS (
+           SELECT event_type, count(*) AS n_hours,
+                  round(avg(d * d), 6) AS c0, round(avg(d * d1), 6) AS c1,
+                  round(avg(d * d2), 6) AS c2, round(avg(d * d3), 6) AS c3
+           FROM l GROUP BY event_type)
+         SELECT event_type, n_hours,
+                round(c1 * (n_hours - 1) / (c0 * n_hours), 6) AS r1,
+                round(c2 * (n_hours - 2) / (c0 * n_hours), 6) AS r2,
+                round(c3 * (n_hours - 3) / (c0 * n_hours), 6) AS r3
+         FROM m ORDER BY event_type""",
+    // exact-integer expected products, same per-cell closed form;
+    // dof from scalar distinct counts
+    "q_chisq" ->
+      """WITH obs AS (
+           SELECT lang AS a, source AS b, count(*) AS n
+           FROM documents GROUP BY lang, source),
+         grid AS (
+           SELECT a, b FROM (SELECT DISTINCT a FROM obs)
+           CROSS JOIN (SELECT DISTINCT b FROM obs)),
+         dense AS (
+           SELECT grid.a, grid.b, coalesce(obs.n, 0) AS n
+           FROM grid LEFT JOIN obs USING (a, b)),
+         x AS (
+           SELECT a, b, n,
+                  CAST(sum(n) OVER (PARTITION BY a) AS DOUBLE) AS rt,
+                  CAST(sum(n) OVER (PARTITION BY b) AS DOUBLE) AS ct,
+                  CAST(sum(n) OVER () AS DOUBLE) AS tot
+           FROM dense),
+         c AS (
+           SELECT a, b, n, rt * ct / tot AS e,
+                  (n - rt * ct / tot) * (n - rt * ct / tot)
+                    / (rt * ct / tot) AS contrib
+           FROM x)
+         SELECT a AS lang, b AS source, n,
+                round(e, 4) AS expected, round(contrib, 6) AS contrib,
+                round(sum(contrib) OVER (), 4) AS chisq,
+                CAST(((SELECT count(DISTINCT lang) FROM documents) - 1)
+                   * ((SELECT count(DISTINCT source) FROM documents) - 1)
+                   AS BIGINT) AS dof
+         FROM c ORDER BY lang, source""",
+    // same rank-and-filter discrete fences, same clip comparisons
+    "q_winsorize" ->
+      """WITH r AS (
+           SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem),
+         k AS (
+           SELECT grp, v,
+                  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+                  count(*) OVER (PARTITION BY grp) AS n
+           FROM r),
+         f AS (
+           SELECT grp,
+                  max(CASE WHEN rn = ceil(n * 0.05) THEN v END) AS p05,
+                  max(CASE WHEN rn = ceil(n * 0.95) THEN v END) AS p95
+           FROM k GROUP BY grp)
+         SELECT r.grp, CAST(count(*) AS BIGINT) AS n,
+                round(max(f.p05), 2) AS p05, round(max(f.p95), 2) AS p95,
+                CAST(sum(CASE WHEN r.v < f.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+                CAST(sum(CASE WHEN r.v > f.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+                round(avg(r.v), 4) AS mean_raw,
+                round(avg(least(greatest(r.v, f.p05), f.p95)), 4) AS mean_wins
+         FROM r JOIN f ON r.grp = f.grp
+         GROUP BY r.grp ORDER BY r.grp""",
     // same rounded moments (the regression lockstep rule), same
     // Welch closed form over the bounded pair grid
     "q_welch" ->

@@ -208,6 +208,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("eq") == 0.0 && got("conc") == 0.75, got.toString)
   }
 
+  test("autocorr: alternating hourly counts give r1<0, r2>0 with exact ratios") {
+    // 8 hours alternating counts [3,1,3,1,...]: d alternates ±1, so
+    // c0 = 1, c1 = −1 (7 pairs), c2 = +1 (6), c3 = −1 (5) →
+    // r1 = −7/8, r2 = 6/8, r3 = −5/8
+    val ev = (0 until 8).flatMap { h =>
+      (0 until (if (h % 2 == 0) 3 else 1)).map(i =>
+        ((h * 10 + i).toLong, "alt", ts(f"2024-01-01 ${8 + h}%02d:00:00"), 1L, 0.0))
+    }.toDF("event_id", "event_type", "ts", "user_id", "value")
+    val r = ops.Relational.autocorrCore(ev).collect().head
+    assert(r.getLong(1) == 8L, r.toString)
+    assert(r.getDouble(2) == -0.875 && r.getDouble(3) == 0.75 &&
+      r.getDouble(4) == -0.625, r.toString)
+  }
+
+  test("chisq: product distribution scores 0; a zero cell still contributes E") {
+    // independent 2×2 with cell counts (1,2,2,4): every E equals O → χ²=0
+    val ind = (Seq.fill(1)(("x", "u")) ++ Seq.fill(2)(("x", "v")) ++
+      Seq.fill(2)(("y", "u")) ++ Seq.fill(4)(("y", "v"))).toDF("a", "b")
+    val indRows = ops.Relational.chisqCore(ind).collect()
+    assert(indRows.length == 4 && indRows.forall(_.getDouble(5) == 0.0),
+      indRows.mkString(";"))
+    assert(indRows.forall(_.getLong(6) == 1L))
+    // (y,u) never observed: the densified grid must emit it with n=0
+    // and contribution (0−E)²/E = E = 3·2/6 = 1
+    val zero = (Seq.fill(2)(("x", "u")) ++ Seq.fill(1)(("x", "v")) ++
+      Seq.fill(3)(("y", "v"))).toDF("a", "b")
+    val zRows = ops.Relational.chisqCore(zero).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(zRows(("y", "u")) == ((0L, 1.0)), zRows.toString)
+  }
+
+  test("winsorize: discrete fences clamp exactly one value each side") {
+    // values 10,20,…,190,1000 (n=20): IEEE 20·0.05 rounds to exactly
+    // 1.0 → lo fence is the rank-1 MIN (nothing clips low — the ANSI
+    // ceil-rank convention, identical in DuckDB); 20·0.95 rounds up to
+    // 19.0 → hi fence is the rank-19 value 190, clipping only the
+    // 1000 outlier; winsorized mean = (2900 − 810)/20 = 104.5
+    val rows = ((1 to 19).map(i => ("g", i * 10.0)) :+ (("g", 1000.0)))
+      .toDF("grp", "v")
+    val r = ops.Relational.winsorizeCore(rows).collect().head
+    assert(r.getLong(1) == 20L, r.toString)
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 190.0, r.toString)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 1L, r.toString)
+    assert(r.getDouble(6) == 145.0 && r.getDouble(7) == 104.5, r.toString)
+  }
+
   test("dq audit: every planted violation flips exactly its own rule") {
     // dup orderkey 1; lineitem orphan 99; order 11 points at missing
     // customer 5; one negative value; one n_chars lie; one null segment

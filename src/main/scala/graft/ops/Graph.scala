@@ -265,11 +265,49 @@ object Graph {
         round(when(den > 0, num / den), 6).as("assortativity"))
   }
 
+  /** Association rules (market-basket mining, r4): the top-20 part
+    * pairs by co-occurrence support, each scored with confidence
+    * P(v|u) and lift P(u,v)/(P(u)P(v)) — the A-Priori first pass that
+    * powers "bought together" (Agrawal & Srikant, VLDB 1994). The
+    * pair stream is the same basket self-join as [[coEdges]] (bounded
+    * by Σ C(basket,2), ~linear in lineitem for data-bounded baskets);
+    * top-k is a TakeOrderedAndProject (never a global sort); the
+    * item-support dim is bounded by part cardinality → broadcast
+    * joins; the basket count is a 1-row broadcast scalar. All
+    * integer products stay < 2^53, so both engines' double divisions
+    * see bit-identical operands. */
+  def assocRules(s: SparkSession, d: String): DataFrame =
+    assocRulesCore(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct(), topK = 20)
+
+  /** Rules over any distinct `(ok, item)` basket relation —
+    * DataFrame-parameterized so GraphSpec can pin confidence/lift on
+    * a hand-counted 4-basket fixture. */
+  def assocRulesCore(baskets: DataFrame, topK: Int): DataFrame = {
+    val nb = baskets.select(countDistinct(col("ok")).as("n_baskets"))
+    val supp = baskets.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairs = baskets.select(col("ok"), col("item").as("u"))
+      .join(baskets.select(col("ok"), col("item").as("v")), Seq("ok"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_ab"))
+    pairs.orderBy(col("n_ab").desc, col("u"), col("v")).limit(topK)
+      .join(broadcast(supp.select(col("item").as("u"), col("supp").as("supp_u"))), Seq("u"))
+      .join(broadcast(supp.select(col("item").as("v"), col("supp").as("supp_v"))), Seq("v"))
+      .crossJoin(nb)
+      .select(col("u"), col("v"), col("n_ab"), col("supp_u"), col("supp_v"),
+        round(col("n_ab") / col("supp_u").cast("double"), 6).as("confidence"),
+        round((col("n_ab") * col("n_baskets"))
+          / (col("supp_u") * col("supp_v")).cast("double"), 6).as("lift"))
+      .orderBy(col("u"), col("v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> triangles,
     "q_kcore"     -> kcore,
     "q_bfs"       -> bfsQuery,
     "q_assortativity" -> assortativity,
+    "q_assoc_rules"   -> assocRules,
   )
 
   /** Shared co-occurrence edge SQL (the q_triangles CTE's body). */
@@ -318,6 +356,28 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // same distinct-basket pair counts, same top-20 total-order cut,
+    // same single-division closed forms on exact-integer operands
+    "q_assoc_rules" ->
+      """WITH b AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+         supp AS (SELECT item, count(*) AS supp FROM b GROUP BY item),
+         nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+         p AS (SELECT a.item AS u, b2.item AS v, count(*) AS n_ab
+               FROM b a JOIN b b2 ON a.ok = b2.ok AND a.item < b2.item
+               GROUP BY a.item, b2.item),
+         top AS (SELECT * FROM p ORDER BY n_ab DESC, u, v LIMIT 20)
+         SELECT t.u, t.v, CAST(t.n_ab AS BIGINT) AS n_ab,
+                CAST(su.supp AS BIGINT) AS supp_u,
+                CAST(sv.supp AS BIGINT) AS supp_v,
+                round(t.n_ab * 1.0 / su.supp, 6) AS confidence,
+                round((t.n_ab * nb.n_baskets) * 1.0
+                      / (su.supp * sv.supp), 6) AS lift
+         FROM top t
+         JOIN supp su ON t.u = su.item
+         JOIN supp sv ON t.v = sv.item
+         CROSS JOIN nb
+         ORDER BY u, v""",
     "q_bfs"   -> bfsOracle,
     "q_kcore" -> kcoreOracle,
     // same integer moments divided FIRST (the mean form — the

@@ -196,6 +196,47 @@ object Text {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Sorted-neighborhood dedup blocking (T3 family, r4): sort each
+    * language block by text and compare every document only to its
+    * w = 2 sorted predecessors — the Hernández–Stolfo merge/purge
+    * method (SIGMOD 1995). O(n·w) comparisons instead of O(n²), with
+    * ZERO self-join: neighbors arrive via lag() over the
+    * (lang)-partitioned sort, the two candidates explode in place,
+    * and word-set Jaccard runs only on those. The deterministic
+    * complement to the LSH families — exact recall inside the
+    * neighborhood, blind across blocks by construction (production
+    * runs multiple passes with different block keys; this pass keys
+    * on lang + text order). At 100 TB the sort is a range-partitioned
+    * shuffle per block; nothing here is quadratic in anything. */
+  def dedupSorted(s: SparkSession, d: String): DataFrame =
+    dedupSortedCore(Tables.documents(s, d))
+
+  /** Neighborhood pass over any `(doc_id, lang, text)` relation —
+    * DataFrame-parameterized so TextSpec can pin pair emission,
+    * the w=2 horizon, and block isolation on a hand-sorted fixture. */
+  def dedupSortedCore(docs: DataFrame): DataFrame = {
+    val grp = Window.partitionBy(col("lang")).orderBy(col("text"), col("doc_id"))
+    val staged = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        array_distinct(split(col("text"), " ")).as("ws"))
+      .withColumn("p1_id", lag(col("doc_id"), 1).over(grp))
+      .withColumn("p1_ws", lag(col("ws"), 1).over(grp))
+      .withColumn("p2_id", lag(col("doc_id"), 2).over(grp))
+      .withColumn("p2_ws", lag(col("ws"), 2).over(grp))
+    staged
+      .select(col("lang"), col("doc_id"), col("ws"),
+        explode(array(
+          struct(col("p1_id").as("a_id"), col("p1_ws").as("a_ws")),
+          struct(col("p2_id").as("a_id"), col("p2_ws").as("a_ws")))).as("c"))
+      .filter(col("c.a_id").isNotNull)
+      .select(col("lang"), col("c.a_id").as("doc_a"), col("doc_id").as("doc_b"),
+        size(array_intersect(col("c.a_ws"), col("ws"))).cast("long").as("inter"),
+        size(array_union(col("c.a_ws"), col("ws"))).cast("long").as("uni"))
+      .withColumn("jac", round(col("inter") / col("uni").cast("double"), 6))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("lang"), col("doc_a"), col("doc_b"))
+  }
+
   /** PMI collocation mining (T22, r4): which word pairs co-occur in
     * documents more than independence predicts —
     * pmi(a,b) = ln(P(a,b) / (P(a)·P(b))) over document-level
@@ -792,6 +833,7 @@ object Text {
     "q_dedup_ngram_idf" -> dedupNgramIdf,
     "q_dedup_prefix"  -> dedupPrefix,
     "q_dedup_edit"    -> dedupEdit,
+    "q_dedup_sorted"  -> dedupSorted,
     "q_pmi"           -> pmi,
     "q_hash_embed"    -> hashEmbed,
     "q_doc_sim"       -> docSim,
@@ -1040,6 +1082,23 @@ object Text {
                       / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) AS edit_sim
          FROM jp JOIN documents a ON a.doc_id = da JOIN documents b ON b.doc_id = db
          ORDER BY da, db""",
+    // same (lang, text, doc_id) total sort, same w=2 horizon via the
+    // rank band-join (lag() and rn-distance see identical neighbors)
+    "q_dedup_sorted" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+                  list_distinct(string_split(text, ' ')) AS ws FROM documents),
+         r AS (SELECT doc_id, lang, text, ws,
+                 row_number() OVER (PARTITION BY lang ORDER BY text, doc_id) AS rn
+               FROM d),
+         p AS (SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS uni
+               FROM r a JOIN r b
+                 ON a.lang = b.lang AND b.rn - a.rn BETWEEN 1 AND 2)
+         SELECT lang, doc_a, doc_b, inter, uni,
+                round(inter * 1.0 / uni, 6) AS jac
+         FROM p WHERE round(inter * 1.0 / uni, 6) >= 0.5
+         ORDER BY lang, doc_a, doc_b""",
     "q_dedup_ngram" -> jaccardOracleSql("0.1"),
     // prefix filtering is lossless: same brute-force oracle at the
     // near-dup floor (4.0/5 parses to the identical double literal)

@@ -115,6 +115,28 @@ class GraphSpec extends SparkSpec {
     assert(got(edges(star: _*)) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("assoc rules: hand-counted supports, confidence asymmetric, lift 1 at independence") {
+    // baskets: {1,2,3} {1,2} {1,3} {1} → supp 1:4, 2:2, 3:2;
+    // pairs (1,2):2 (1,3):2 (2,3):1; n_baskets = 4
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L),
+      (13L, 1L),
+    ).toDF("ok", "item")
+    val rows = Graph.assocRulesCore(baskets, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    // conf(1→2) = 2/4 = 0.5 (antecedent is the ubiquitous item);
+    // lift = 2·4/(4·2) = 1.0 — independence with the always-bought item
+    assert(rows((1L, 2L)) == ((2L, 4L, 2L, 0.5, 1.0)), rows.toString)
+    assert(rows((1L, 3L)) == ((2L, 4L, 2L, 0.5, 1.0)), rows.toString)
+    // (2,3) co-occur once in 4 baskets: conf 0.5, lift 4/4 = 1.0
+    assert(rows((2L, 3L)) == ((1L, 2L, 2L, 0.5, 1.0)), rows.toString)
+    // topK = 2 must keep the two highest-support pairs only
+    assert(Graph.assocRulesCore(baskets, topK = 2).collect().length == 2)
+  }
+
   test("assortativity: a star is perfectly disassortative, a clique degenerates to NULL") {
     // star 1-{2,3,4}: every edge joins deg 3 to deg 1 → r = −1
     val star = ops.Graph.assortativityCore(edges(1L -> 2L, 1L -> 3L, 1L -> 4L))

@@ -169,6 +169,38 @@ class TextSpec extends SparkSpec {
       "call <NUM> or mail <EMAIL> ref <NUM> see <NUM> and <EMAIL> now", r.toString)
   }
 
+  test("sorted neighborhood: adjacent near-dups pair, far texts and other langs don't") {
+    // en block sorts: "alpha beta gamma" (1) < "alpha beta gamma delta" (2)
+    // < "zeta omega" (3). Pair (1,2): |∩|=3, |∪|=4 → jac 0.75 kept;
+    // (2,3) and the distance-2 (1,3) score 0. The identical text in de
+    // (4) must never pair across the block boundary.
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "alpha beta gamma delta"),
+      (3L, "en", "zeta omega"),
+      (4L, "de", "alpha beta gamma"),
+    ).toDF("doc_id", "lang", "text")
+    val rows = Text.dedupSortedCore(docs).collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    val r = rows.head
+    assert(r.getString(0) == "en" && r.getLong(1) == 1L && r.getLong(2) == 2L &&
+      r.getLong(3) == 3L && r.getLong(4) == 4L && r.getDouble(5) == 0.75, r.toString)
+  }
+
+  test("sorted neighborhood: the w=2 horizon reaches over one interloper") {
+    // text sort puts the dissimilar doc 2 BETWEEN the near-dups 1 and 3
+    // ("…cherry" < "…cherry cactus…" < "…cherry date"); only the
+    // distance-2 comparison can find (1,3): jac 3/4 = 0.75
+    val docs = Seq(
+      (1L, "en", "apple banana cherry"),
+      (2L, "en", "apple banana cherry cactus xylophone quartz umbrella vortex wigwam yonder zephyr nimbus"),
+      (3L, "en", "apple banana cherry date"),
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Text.dedupSortedCore(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 3L)), pairs.toString)
+  }
+
   test("unigram logprob averages ln p(token) under the corpus distribution") {
     // corpus: a×3, b×1, c×1 over 5 tokens
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")

@@ -322,7 +322,47 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Split-assignment hash constants: Knuth's 2^32/φ multiplier with
+    * a mod-prime mix BEFORE the mod-100 bucket — a bare affine
+    * (A·id + C) mod 100 is periodic in id mod 100, which ALIASES
+    * against any id-periodic attribute (this corpus assigns source =
+    * id mod 20, and the straight LCG put every source wholly inside
+    * one split — the exact leakage failure q_split's report exists to
+    * catch). Same % 1000003 discipline as [[sampleTemperature]]'s
+    * Bernoulli draw. doc_id·A stays under 2^63 up to ~3.4×10^9 docs;
+    * beyond that swap in a split-multiply 128-bit mix. */
+  private val SplitA = 2654435761L
+  private val SplitC = 12345L
+  private val SplitP = 1000003L
+
+  /** Deterministic train/val/test split (T21): bucket =
+    * ((doc_id·A + C) mod P) mod 100 → 80/10/10. The assignment is
+    * pure key arithmetic — a pushable scan predicate, no shuffle,
+    * reproducible across engines, runs, and cluster sizes (the
+    * property that makes a split auditable: any engine can re-derive
+    * membership from the key alone, no persisted assignment table
+    * needed). The report aggregates per (split, source) with each
+    * split's share of its source — the leakage check that catches a
+    * split correlated with a confound — plus a checksum over bucket
+    * values so the oracle compare pins the assignment itself, not
+    * just the counts. */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val bucket = ((col("doc_id") * SplitA + SplitC) % SplitP) % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise(lit("test"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"), bucket.as("bucket"),
+        split.as("split"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("bucket")).as("bucket_checksum"))
+      .withColumn("source_frac",
+        round(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy(col("source"))), 6))
+      .orderBy(col("split"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split" -> ((s: SparkSession, d: String) =>
+      splitAssign(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       packSequences(Tables.documents(s, d))),
     "q_dedup_incremental" -> ((s: SparkSession, d: String) =>
@@ -342,6 +382,19 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_split" ->
+      """WITH a AS (SELECT doc_id, source, n_chars,
+           ((doc_id * 2654435761 + 12345) % 1000003) % 100 AS bucket FROM documents),
+         s AS (SELECT doc_id, source, n_chars, bucket,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           FROM a),
+         g AS (SELECT split, source, CAST(count(*) AS INT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(bucket) AS BIGINT) AS bucket_checksum
+           FROM s GROUP BY split, source)
+         SELECT split, source, n_docs, sum_chars, bucket_checksum,
+           round(n_docs * 1.0 / sum(n_docs) OVER (PARTITION BY source), 6) AS source_frac
+         FROM g ORDER BY split, source""",
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),

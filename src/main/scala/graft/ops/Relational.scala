@@ -802,7 +802,48 @@ object Relational {
       .orderBy(col("grp"))
   }
 
+  /** Key-skew profile (A14, r4): the shuffle-planning diagnostic a
+    * 100 TB operator runs BEFORE picking a join strategy — per-key
+    * frequency of the prospective shuffle key, reported as the top-10
+    * heavy hitters with their share and cumulative share, each row
+    * carrying the global skew ratio (max key count ÷ mean key count;
+    * ≈1 → uniform, ≫1 → salt or AQE-skew-join territory). One
+    * shuffle builds the per-key counts; the global moments are a
+    * 1-row aggregate OF THE COUNTS (never a second pass over the
+    * fact table) riding along as a broadcast; top-10 is a
+    * TakeOrderedAndProject; the cumulative share window runs over 10
+    * rows. Counts and sums are integer-exact, so shares divide
+    * identical longs on both engines. */
+  def skewProfile(s: SparkSession, d: String): DataFrame =
+    skewProfileCore(Tables.lineitem(s, d).select(col("l_suppkey").as("k")))
+
+  /** Profile over any single-column `(k)` relation — DataFrame-
+    * parameterized so AnalyticsSpec can pin shares on a planted-skew
+    * fixture. */
+  def skewProfileCore(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = rows.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val glob = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("k")).limit(10)
+    top.crossJoin(broadcast(glob))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("k"))))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        Window.orderBy(col("cnt").desc, col("k"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("rk"), col("k"), col("cnt"),
+        round(col("cnt") / col("n_rows").cast("double"), 6).as("share"),
+        round(col("cum_cnt") / col("n_rows").cast("double"), 6).as("cum_share"),
+        col("n_keys"),
+        round(col("max_cnt") * col("n_keys") / col("n_rows").cast("double"), 6)
+          .as("skew_ratio"))
+      .orderBy(col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_profile"      -> skewProfile,
     "q_autocorr"          -> autocorr,
     "q_chisq"             -> chisq,
     "q_winsorize"         -> winsorize,
@@ -838,6 +879,21 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    "q_skew_profile" ->
+      """WITH counts AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+         g AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt FROM counts),
+         top AS (SELECT k, cnt FROM counts ORDER BY cnt DESC, k LIMIT 10),
+         w AS (SELECT k, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, k) AS INT) AS rk,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+           FROM top)
+         SELECT rk, k, cnt,
+           round(cnt / CAST(n_rows AS DOUBLE), 6) AS share,
+           round(cum_cnt / CAST(n_rows AS DOUBLE), 6) AS cum_share,
+           n_keys,
+           round(max_cnt * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_ratio
+         FROM w CROSS JOIN g ORDER BY rk""",
     // same hourly rollup, same rounded-moment lockstep, same
     // null-skipping lag partners
     "q_autocorr" ->

@@ -77,6 +77,65 @@ object Text {
       .orderBy(col("doc_id"), col("word"))
   }
 
+  /** BM25 query terms — fixed, like q_vector_topk's literal query
+    * vector: a search engine's per-request term set is never data. */
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 top-20 (T22): the Okapi ranking function (Robertson &
+    * Zaragoza 2009) — what a curation pipeline uses to mine
+    * query-relevant training documents at corpus scale. Doc length
+    * is `size(split(...))` — narrow arithmetic, no explode — so the
+    * only exploded relation is ALREADY filtered to the ≤3 query
+    * terms (`array_contains` pushes the filter inside the scan
+    * projection; the corpus-wide token stream never shuffles). Term
+    * df and the (N, avgdl) corpus stats are tiny aggregates →
+    * broadcast. Per-doc term scores land in fixed columns via
+    * singleton max-pivot, so the ≤3-term sum happens in ONE
+    * deterministic expression order on both engines — a groupBy
+    * sum over doubles would fold in partition order and could differ
+    * in the last ulp. Top-k = TakeOrderedAndProject on the rounded
+    * score, never a global sort. */
+  def bm25(s: SparkSession, d: String): DataFrame =
+    bm25Core(Tables.documents(s, d))
+
+  /** BM25 over any `(doc_id, text)` relation — DataFrame-
+    * parameterized so TextSpec can pin the Okapi closed form on a
+    * hand-scored 3-doc fixture. */
+  def bm25Core(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val hits = docs
+      .select(col("doc_id"), col("dl"), explode(
+        filter(col("ws"), w => w.isInCollection(Bm25Terms))).as("word"))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = hits.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = hits
+      .join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("word"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("ts"))
+    val perTerm = Bm25Terms.map(t =>
+      max(when(col("word") === t, col("ts"))).as(s"s_$t"))
+    val pivoted = scored.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+    pivoted
+      .select(col("doc_id"),
+        round(Bm25Terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _), 6)
+          .as("bm25"),
+        Bm25Terms.map(t => col(s"s_$t").isNotNull.cast("int")).reduce(_ + _)
+          .as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
   /** Exact dedup (T3): content-hash grouping; survivor = min doc_id.
     * sha2-256 matches DuckDB's sha256 hex. One shuffle on the hash. */
   def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -828,6 +887,7 @@ object Text {
     "q_chunk_docs"    -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_wordcount"     -> wordcount,
     "q_tfidf"         -> tfidf,
+    "q_bm25"          -> bm25,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_ngram_idf" -> dedupNgramIdf,
@@ -1038,6 +1098,33 @@ object Text {
       """SELECT w AS word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          GROUP BY w ORDER BY w""",
+    // The (1.2 + 1) and term-pivot shapes are written to force the
+    // SAME IEEE operation order as the Spark expression — see bm25's
+    // scaladoc on ulp-determinism of the ≤3-term sum.
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         dl AS (SELECT doc_id, ws, len(ws) AS dl FROM d),
+         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         hits AS (SELECT doc_id, dl, w AS word, count(*) AS tf
+           FROM (SELECT doc_id, dl,
+                   unnest(list_filter(ws, x -> x IN ('spark', 'join', 'window'))) AS w
+                 FROM dl) t
+           GROUP BY doc_id, dl, w),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM hits GROUP BY word),
+         scored AS (SELECT doc_id, word,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS ts
+           FROM hits JOIN df USING (word) CROSS JOIN stats),
+         p AS (SELECT doc_id,
+             max(CASE WHEN word = 'spark' THEN ts END) AS s_spark,
+             max(CASE WHEN word = 'join' THEN ts END) AS s_join,
+             max(CASE WHEN word = 'window' THEN ts END) AS s_window
+           FROM scored GROUP BY doc_id)
+         SELECT doc_id,
+           round(coalesce(s_spark, 0.0) + coalesce(s_join, 0.0) + coalesce(s_window, 0.0), 6) AS bm25,
+           CAST(s_spark IS NOT NULL AS INT) + CAST(s_join IS NOT NULL AS INT)
+             + CAST(s_window IS NOT NULL AS INT) AS n_terms_hit
+         FROM p ORDER BY bm25 DESC, doc_id LIMIT 20""",
     "q_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          tf AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word),

@@ -395,4 +395,21 @@ class AnalyticsSpec extends SparkSpec {
     // 10: deg 3; 20: deg 2 (two parallels back); 30: deg 1
     assert(hist == Set((3L, 1L), (2L, 1L), (1L, 1L)))
   }
+
+  test("skew profile: planted hot key tops the list with the hand-derived ratio") {
+    // key 1 × 6, key 2 × 2, keys 3..6 × 1 → 12 rows, 6 keys,
+    // mean 2, skew_ratio = 6/2 = 3, shares 0.5 / 2⁄12 / 1⁄12
+    val rows = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L, 5L, 6L)).toDF("k")
+    val got = ops.Relational.skewProfileCore(rows).collect()
+    assert(got.length == 6)
+    val top = got.head
+    assert(top.getInt(0) == 1 && top.getLong(1) == 1L && top.getLong(2) == 6L)
+    assert(top.getDouble(3) == 0.5 && top.getDouble(4) == 0.5)
+    assert(top.getDouble(6) == 3.0, s"skew ratio ${top.getDouble(6)}")
+    val second = got(1)
+    assert(second.getLong(1) == 2L && second.getDouble(3) == 0.166667
+      && second.getDouble(4) == 0.666667)
+    // cumulative share reaches 1 on the last ranked key
+    assert(got.last.getDouble(4) == 1.0)
+  }
 }

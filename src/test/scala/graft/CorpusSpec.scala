@@ -166,6 +166,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("split: fractions sum to 1 per source, buckets re-derive, no split is empty") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Corpus.splitAssign(docs).collect()
+    assert(rows.map(_.getString(0)).distinct.sorted.sameElements(Array("test", "train", "val")),
+      "the mod-prime mix must land every source across all three splits " +
+        "(a straight LCG mod 100 aliases against source = doc_id mod 20)")
+    // per-source fractions sum to 1 (within the 1e-6 rounding grain)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val tot = rs.map(_.getDouble(5)).sum
+      assert(math.abs(tot - 1.0) < 3e-6, s"$src fractions sum to $tot")
+    }
+    // the checksum column re-derives from membership alone: recompute
+    // the train checksum for one source by hand from the raw table
+    val ids = docs.select("doc_id", "source").collect()
+      .filter(_.getString(1) == "src0").map(_.getLong(0))
+    val buckets = ids.map(id => ((id * 2654435761L + 12345L) % 1000003L) % 100)
+    val want = buckets.filter(_ < 80).sum
+    val got = rows.find(r => r.getString(0) == "train" && r.getString(1) == "src0")
+      .get.getLong(4)
+    assert(got == want, s"train/src0 checksum $got != re-derived $want")
+  }
+
   test("inverted index agrees with wordcount and its own postings") {
     val idx = Corpus.invertedIndex(Tables.documents(spark, sf0001)).collect()
     val wc = Text.wordcount(spark, sf0001)

@@ -211,4 +211,21 @@ class TextSpec extends SparkSpec {
     assert(got(1L) == ((3L, r4((2 * math.log(0.6) + math.log(0.2)) / 3))), got.toString)
     assert(got(2L) == ((2L, r4((math.log(0.6) + math.log(0.2)) / 2))), got.toString)
   }
+
+  test("bm25 matches the hand-applied Okapi closed form, no-hit docs absent") {
+    // N=3, avgdl=2; df(spark)=df(join)=df(window)=1 → shared idf
+    val docs = Seq(
+      (1L, "spark join spark"), (2L, "window"), (3L, "filter scan"),
+    ).toDF("doc_id", "text")
+    val got = Text.bm25Core(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    val idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    def sc(tf: Long, dl: Long): Double =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+    val d1 = sc(2, 3) + sc(1, 3) // spark tf=2 + join tf=1 at dl=3
+    val d2 = sc(1, 1)            // window tf=1 at dl=1
+    assert(got.keySet == Set(1L, 2L), s"no-hit doc 3 must be absent: $got")
+    assert(math.abs(got(1L)._1 - d1) < 1e-6 && got(1L)._2 == 2, got.toString)
+    assert(math.abs(got(2L)._1 - d2) < 1e-6 && got(2L)._2 == 1, got.toString)
+  }
 }

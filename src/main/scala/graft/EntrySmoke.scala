@@ -4,10 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Entry smoke under a FRESH, deliberately unconfigured session (the
   * verify recipe's step 3): `SparkEntry.entry` must work without the
-  * harness confs — in particular `Tables.events` must self-set the
-  * nanos-timestamp legacy flag — and a session that explicitly
-  * disables the flag must get the loud failure, not a silent
-  * override. Prints ENTRY_ROWS=n and GUARD=LOUD on success. */
+  * harness confs, and `Tables.events` must hand back a session-tz
+  * TIMESTAMP `ts` on such a session whatever parquet vintage is on
+  * disk (it self-sets the nanos legacy flag when the footer needs
+  * it). Prints ENTRY_ROWS=n and EVENTS_TS=timestamp on success. */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -17,12 +17,11 @@ object EntrySmoke {
     spark.sparkContext.setLogLevel("ERROR")
     val n = SparkEntry.entry(spark).count()
     println(s"ENTRY_ROWS=$n")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    val guard =
-      try { Tables.events(spark, "/root/testdata/sf0.001"); "NOT_LOUD" }
-      catch { case _: IllegalStateException => "LOUD" }
-    println(s"GUARD=$guard")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val tsType = ev.schema("ts").dataType.typeName
+    val evRows = ev.count()
+    println(s"EVENTS_TS=$tsType")
     spark.stop()
-    if (n <= 0 || guard != "LOUD") sys.exit(1)
+    if (n <= 0 || evRows <= 0 || tsType != "timestamp") sys.exit(1)
   }
 }

@@ -42,18 +42,16 @@ object StreamSmoke {
     val expected = streaming.Streaming.tumblingClosed(Tables.events(spark, sfDir))
       .collect().map(_.toSeq).toSet
 
-    // raw schema: ts is TIMESTAMP(NANOS) parquet read as BIGINT nanos
-    // under the legacy flag, converted to micros exactly as
-    // Tables.events does
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1") // one file per micro-batch:
-      // the nudge file must be a SECOND batch or there is no
-      // watermark advance to flush the first
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // readStream needs an explicit schema; take the file's own resolved
+    // schema from a batch read (whatever ts vintage is on disk) and
+    // normalize exactly as Tables.events does
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch:
+        // the nudge file must be a SECOND batch or there is no
+        // watermark advance to flush the first
+        .parquet(dir.toString))
       .withWatermark("ts", "10 minutes")
     val q = streaming.Streaming.tumblingCounts(stream)
       .writeStream.outputMode("append").format("memory").queryName("smoke").start()

@@ -22,33 +22,44 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects outright. Read it as raw nanos and truncate to
-    * micros — the same ns→us truncation DuckDB applies, keeping oracle
-    * timestamps bit-identical.
+  /** `events.ts` has shipped under two physical parquet types across
+    * harness rounds: TIMESTAMP(NANOS) (rounds 1–3; Spark's vectorized
+    * reader rejects it unless `spark.sql.legacy.parquet.nanosAsLong`
+    * makes it a raw BIGINT) and TIMESTAMP(MICROS, isAdjustedToUTC=
+    * false) (round 4+; Spark 4 resolves it as TIMESTAMP_NTZ). Both
+    * normalize to the same session-tz TIMESTAMP micros — under the
+    * UTC sessions every harness entrypoint builds, the wall-clock
+    * values are bit-identical to what DuckDB reads from the same file,
+    * so oracles keep hash-matching whichever vintage is on disk.
     *
-    * SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong` on the
-    * session if unset (needed because the harness may hand us a fresh
-    * unconfigured session); any nanos-timestamp parquet read later in
-    * the same session will also arrive as raw longs. Sessions built by
-    * [[Verify]]/[[Bench]]/the test harness set it at construction, so
-    * for them this is a no-op. */
+    * SIDE EFFECT (nanos vintage only): sets the legacy flag on the
+    * session if unset, because a fresh unconfigured session cannot
+    * even resolve a NANOS footer without it. A session that explicitly
+    * sets it false fails loudly inside Spark's own schema converter
+    * ("Illegal Parquet type") — the read genuinely requires the flag. */
   def events(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    // getOption can't distinguish "unset" from the registered default
-    // (false), so ask session state whether the key was EXPLICITLY set:
-    // unset → self-configure (fresh harness sessions); explicitly true
-    // → fine; explicitly false → fail loudly rather than silently
-    // clobbering a user's choice (the read genuinely requires it)
     if (!org.apache.spark.sql.GraftColumnBridge.isConfExplicitlySet(s, key))
       s.conf.set(key, "true")
-    else if (s.conf.get(key) != "true")
-      throw new IllegalStateException(
-        s"events() requires $key=true to read TIMESTAMP(NANOS) parquet, " +
-          s"but the session explicitly sets it to '${s.conf.get(key)}'")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(read(s, d, "events"))
+  }
+
+  /** Normalize an events-shaped relation's `ts` column to session-tz
+    * TIMESTAMP micros whatever the physical source type was — the
+    * single place both vintages (see [[events]]) converge. Pure column
+    * arithmetic: stays inside the scan projection, no shuffle. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // raw nanos under the legacy flag → truncate like DuckDB
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // micros wall-clock → same instant under UTC sessions
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"unsupported events.ts physical type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

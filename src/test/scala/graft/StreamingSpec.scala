@@ -156,21 +156,17 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("file-source streaming over the real events parquet matches batch") {
-    // readStream needs an explicit schema; ts arrives as raw nanos
-    // (TIMESTAMP(NANOS) parquet) exactly as in Tables.events
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-        "value DOUBLE, props STRING")
+    // readStream needs an explicit schema; take the file's own resolved
+    // schema (whatever ts vintage is on disk) and normalize exactly as
+    // Tables.events does
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
     // the file stream source wants a directory to watch
     val dir = java.nio.file.Files.createTempDirectory("evstream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = Streaming.tumblingCounts(stream)
       .writeStream.outputMode("complete").format("memory").queryName("filesrc").start()
     try {

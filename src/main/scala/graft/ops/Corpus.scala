@@ -335,7 +335,7 @@ object Corpus {
   private val SplitC = 12345L
   private val SplitP = 1000003L
 
-  /** Deterministic train/val/test split (T21): bucket =
+  /** Deterministic train/val/test split (T29, r4): bucket =
     * ((doc_id·A + C) mod P) mod 100 → 80/10/10. The assignment is
     * pure key arithmetic — a pushable scan predicate, no shuffle,
     * reproducible across engines, runs, and cluster sizes (the

@@ -669,7 +669,7 @@ object Relational {
         max_by(col("s_name"), col("s_suppkey")).as("latest_supplier"))
       .orderBy(col("n_name"))
 
-  /** Lag-k autocorrelation (A16, r4): per event type, how correlated
+  /** Lag-k autocorrelation (A18, r4): per event type, how correlated
     * the hourly event-count series is with itself k hours back, for
     * k = 1..3 — the seasonality/burstiness diagnostic run before any
     * forecasting. Series = hourly rollup (the only pass that sees
@@ -713,7 +713,7 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
-  /** Chi-square independence test (A17, r4): is document language
+  /** Chi-square independence test (A19, r4): is document language
     * independent of document source? Observed counts from ONE
     * grouped rollup (the only pass over the corpus); row/column/grand
     * totals are window sums over the tiny contingency relation
@@ -763,7 +763,7 @@ object Relational {
       .orderBy(col("lang"), col("source"))
   }
 
-  /** Winsorization (A18, r4): per returnflag, clamp prices into the
+  /** Winsorization (A20, r4): per returnflag, clamp prices into the
     * discrete [p05, p95] band and report how the mean moves — the
     * standard robust-mean preprocessing step. Both fences are
     * rank-and-filter DISCRETE quantiles ([[aggApproxExact]]'s
@@ -802,7 +802,7 @@ object Relational {
       .orderBy(col("grp"))
   }
 
-  /** Key-skew profile (A14, r4): the shuffle-planning diagnostic a
+  /** Key-skew profile (A21, r4): the shuffle-planning diagnostic a
     * 100 TB operator runs BEFORE picking a join strategy — per-key
     * frequency of the prospective shuffle key, reported as the top-10
     * heavy hitters with their share and cumulative share, each row

@@ -83,7 +83,7 @@ object Text {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
-  /** BM25 top-20 (T22): the Okapi ranking function (Robertson &
+  /** BM25 top-20 (T28, r4): the Okapi ranking function (Robertson &
     * Zaragoza 2009) — what a curation pipeline uses to mine
     * query-relevant training documents at corpus scale. Doc length
     * is `size(split(...))` — narrow arithmetic, no explode — so the

@@ -842,7 +842,114 @@ object Relational {
       .orderBy(col("rk"))
   }
 
+  /** PSI distribution drift (A22, r4): the Population Stability Index
+    * between the first and second time-half of each event type's
+    * value distribution — the drift gate an ML-monitoring pipeline
+    * runs before trusting a feature ("did this input move since the
+    * reference window?"; PSI < 0.1 stable, > 0.25 investigate). Bins
+    * are the REFERENCE half's discrete deciles ([[winsorize]]'s
+    * rank-and-filter fences: each fence IS a data value, so bin
+    * assignment is exact comparisons, no interpolation ULPs);
+    * both halves bin against the same 9 fences (a 1-row-per-type
+    * broadcast dim), counts are integers, and Laplace +1 smoothing
+    * over the fixed 10-bin spine keeps every share positive without
+    * an epsilon convention. (p−q)·ln(p/q) is pure IEEE on identical
+    * operands; the per-type total sums 10 identical doubles (ULP
+    * noise ~1e-16 vs round(6)'s 5e-7 — the chisq precedent). The
+    * time split is [[graft.ops.Events.mergeUpsertCore]]'s integer-
+    * microsecond midpoint from a 1-row broadcast agg. Event volume
+    * crosses exactly two shuffles (fence ranking, cell counts);
+    * everything after is dozens of rows. */
+  def psiDrift(s: SparkSession, d: String): DataFrame =
+    psiDriftCore(Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value")))
+
+  /** PSI over any `(event_type, us, value)` relation — DataFrame-
+    * parameterized so AnalyticsSpec can pin the hand-computed
+    * two-cell drift and the zero-drift identity case. */
+  def psiDriftCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mid = ev.agg(((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid_us"))
+    val stamped = ev.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("us") <= col("mid_us"), lit("ref")).otherwise(lit("cur")))
+    val w = Window.partitionBy(col("event_type"))
+    val fenceCols = (1 to 9).map(j =>
+      max(when(col("rn") === ceil(col("n") * j / lit(10.0)), col("value"))).as(s"f$j"))
+    val fences = stamped.filter(col("half") === "ref")
+      .withColumn("rn", row_number().over(w.orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy(col("event_type"))
+      .agg(fenceCols.head, fenceCols.tail: _*)
+    val binned = stamped.join(broadcast(fences), Seq("event_type"))
+      .withColumn("bin", (1 to 9).map(j =>
+        when(col("value") > col(s"f$j"), 1).otherwise(0)).reduce(_ + _) + lit(1))
+    val counts = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    // fixed 10-bin spine per type: an empty bin on either side is a
+    // drift FACT (maximum-signal cell), not an absent row
+    val spine = counts.select(col("event_type")).distinct()
+      .withColumn("bin", explode(sequence(lit(1), lit(10))))
+    val cells = spine.join(counts, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    cells
+      .withColumn("t_ref", sum(col("n_ref")).over(w))
+      .withColumn("t_cur", sum(col("n_cur")).over(w))
+      .withColumn("p_ref", (col("n_ref") + 1) / (col("t_ref") + 10).cast("double"))
+      .withColumn("p_cur", (col("n_cur") + 1) / (col("t_cur") + 10).cast("double"))
+      .withColumn("cell", (col("p_ref") - col("p_cur")) * log(col("p_ref") / col("p_cur")))
+      .select(col("event_type"), col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_cur"), 6).as("p_cur"),
+        round(col("cell"), 6).as("psi_cell"),
+        round(sum(col("cell")).over(w), 6).as("psi_total"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** EWMA trailing smoothing (A23, r4): per event type, the
+    * exponentially weighted moving average of the hourly event count
+    * over a trailing 24-hour horizon with half-life-1h decay — the
+    * burst-smoothing view an alerting pipeline reads instead of raw
+    * counts. The decay is 0.5^Δh, deliberately DYADIC: every weight,
+    * every product (count < 2^13 times 2^-k), and every partial sum
+    * (scales span 36 < 53 mantissa bits) is an EXACTLY representable
+    * double, so the whole aggregation is order-independent and
+    * bit-identical cross-engine with no rounding contract needed —
+    * only the final division rounds, identically on both. Shape: the
+    * hourly rollup is the ONLY pass that sees event volume; the
+    * trailing window is a band self-join of that tiny series with
+    * itself ([[graft.ops.Joins]]' range shape on a span×types
+    * relation), so at 100 TB the analytic join costs nothing. Gaps
+    * collapse (observed-series convention, like [[autocorrCore]]):
+    * missing hours contribute no weight rather than a zero sample. */
+  def ewma(s: SparkSession, d: String): DataFrame =
+    ewmaCore(Tables.events(s, d).select(col("event_type"), col("ts")))
+
+  /** EWMA over any `(event_type, ts)` relation — DataFrame-
+    * parameterized so AnalyticsSpec can pin the dyadic arithmetic and
+    * the 24-hour horizon cutoff by hand. */
+  def ewmaCore(ev: DataFrame): DataFrame = {
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hr", (unix_micros(col("h")) / lit(3600000000L)).cast("long"))
+    val t = hourly.select(col("event_type"), col("h"), col("hr"), col("n"))
+    val past = hourly.select(col("event_type").as("s_type"),
+      col("hr").as("s_hr"), col("n").as("s_n"))
+    t.join(past,
+        col("event_type") === col("s_type") &&
+          col("s_hr") <= col("hr") && col("s_hr") >= col("hr") - 23)
+      .groupBy(col("event_type"), col("h"), col("n"))
+      .agg((sum(col("s_n") * pow(lit(0.5), col("hr") - col("s_hr"))) /
+        sum(pow(lit(0.5), col("hr") - col("s_hr")))).as("ewma_raw"))
+      .select(col("event_type"), col("h"), col("n"),
+        round(col("ewma_raw"), 6).as("ewma"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift"         -> psiDrift,
+    "q_ewma"              -> ewma,
     "q_skew_profile"      -> skewProfile,
     "q_autocorr"          -> autocorr,
     "q_chisq"             -> chisq,
@@ -879,6 +986,71 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // same midpoint split, same rank-and-filter decile fences, same
+    // Laplace-smoothed shares over the fixed 10-bin spine
+    "q_psi_drift" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+         m AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev),
+         st AS (SELECT event_type, value,
+             CASE WHEN us <= mid_us THEN 'ref' ELSE 'cur' END AS half
+           FROM ev CROSS JOIN m),
+         rk AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM st WHERE half = 'ref'),
+         f AS (SELECT event_type,
+             max(CASE WHEN rn = ceil(n * 1 / 10.0) THEN value END) AS f1,
+             max(CASE WHEN rn = ceil(n * 2 / 10.0) THEN value END) AS f2,
+             max(CASE WHEN rn = ceil(n * 3 / 10.0) THEN value END) AS f3,
+             max(CASE WHEN rn = ceil(n * 4 / 10.0) THEN value END) AS f4,
+             max(CASE WHEN rn = ceil(n * 5 / 10.0) THEN value END) AS f5,
+             max(CASE WHEN rn = ceil(n * 6 / 10.0) THEN value END) AS f6,
+             max(CASE WHEN rn = ceil(n * 7 / 10.0) THEN value END) AS f7,
+             max(CASE WHEN rn = ceil(n * 8 / 10.0) THEN value END) AS f8,
+             max(CASE WHEN rn = ceil(n * 9 / 10.0) THEN value END) AS f9
+           FROM rk GROUP BY event_type),
+         b AS (SELECT st.event_type,
+             CASE WHEN value > f1 THEN 1 ELSE 0 END + CASE WHEN value > f2 THEN 1 ELSE 0 END +
+             CASE WHEN value > f3 THEN 1 ELSE 0 END + CASE WHEN value > f4 THEN 1 ELSE 0 END +
+             CASE WHEN value > f5 THEN 1 ELSE 0 END + CASE WHEN value > f6 THEN 1 ELSE 0 END +
+             CASE WHEN value > f7 THEN 1 ELSE 0 END + CASE WHEN value > f8 THEN 1 ELSE 0 END +
+             CASE WHEN value > f9 THEN 1 ELSE 0 END + 1 AS bin, half
+           FROM st JOIN f ON st.event_type = f.event_type),
+         c AS (SELECT event_type, bin,
+             CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+           FROM b GROUP BY event_type, bin),
+         spine AS (SELECT event_type, CAST(unnest(generate_series(1, 10)) AS INT) AS bin
+           FROM (SELECT DISTINCT event_type FROM c)),
+         cells AS (SELECT spine.event_type, spine.bin,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+           FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.bin = c.bin),
+         t AS (SELECT event_type, bin, n_ref, n_cur,
+             sum(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+             sum(n_cur) OVER (PARTITION BY event_type) AS t_cur
+           FROM cells),
+         p AS (SELECT event_type, bin, n_ref, n_cur,
+             (n_ref + 1) / CAST(t_ref + 10 AS DOUBLE) AS p_ref,
+             (n_cur + 1) / CAST(t_cur + 10 AS DOUBLE) AS p_cur
+           FROM t)
+         SELECT event_type, bin, n_ref, n_cur,
+           round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           round((p_ref - p_cur) * ln(p_ref / p_cur), 6) AS psi_cell,
+           round(sum((p_ref - p_cur) * ln(p_ref / p_cur))
+             OVER (PARTITION BY event_type), 6) AS psi_total
+         FROM p ORDER BY event_type, bin""",
+    // same hourly rollup, same dyadic 0.5^Δh weights over the same
+    // 24-hour band self-join
+    "q_ewma" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         hr AS (SELECT event_type, h, n, epoch_us(h) // 3600000000 AS hr FROM hourly)
+         SELECT t.event_type, t.h, t.n,
+           round(sum(s.n * pow(0.5, t.hr - s.hr)) / sum(pow(0.5, t.hr - s.hr)), 6) AS ewma
+         FROM hr t JOIN hr s
+           ON s.event_type = t.event_type AND s.hr <= t.hr AND s.hr >= t.hr - 23
+         GROUP BY t.event_type, t.h, t.n
+         ORDER BY t.event_type, t.h""",
     "q_skew_profile" ->
       """WITH counts AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
          g AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt FROM counts),

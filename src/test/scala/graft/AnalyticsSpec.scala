@@ -11,6 +11,56 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("psi drift: empty-bin and surplus-bin cells carry all the signal") {
+    // ref half (us 0..9): values 10..100 → fences 10..90, one value
+    // per decile bin; cur half (us 91..100): values 15..105 — every
+    // interior bin keeps one value, bin 1 empties, bin 10 doubles.
+    // With Laplace +1 over n=10, denom=20: interior cells cancel to
+    // 0, bin1 = (2/20 − 1/20)·ln 2, bin10 = (2/20 − 3/20)·ln(2/3).
+    val rows = ((0 to 9).map(i => ("a", i.toLong, (i + 1) * 10.0)) ++
+      (0 to 9).map(i => ("a", 91L + i, (i + 1) * 10.0 + 5.0)))
+      .toDF("event_type", "us", "value")
+    val r = ops.Relational.psiDriftCore(rows).collect()
+    assert(r.length == 10, r.mkString(";"))
+    def cell(bin: Int) = r.find(_.getInt(1) == bin).get
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(cell(1).getLong(2) == 1L && cell(1).getLong(3) == 0L)
+    assert(cell(1).getDouble(6) == rd(0.05 * math.log(2.0)), cell(1).toString)
+    assert(cell(10).getLong(3) == 2L)
+    assert(cell(10).getDouble(6) == rd(-0.05 * math.log(2.0 / 3.0)), cell(10).toString)
+    (2 to 9).foreach(b => assert(cell(b).getDouble(6) == 0.0, cell(b).toString))
+    assert(cell(1).getDouble(7) ==
+      rd(0.05 * math.log(2.0) - 0.05 * math.log(2.0 / 3.0)), "psi_total")
+  }
+
+  test("psi drift: identical halves score exactly zero") {
+    val rows = ((0 to 9).map(i => ("a", i.toLong, (i + 1) * 1.0)) ++
+      (0 to 9).map(i => ("a", 91L + i, (i + 1) * 1.0)))
+      .toDF("event_type", "us", "value")
+    val r = ops.Relational.psiDriftCore(rows).collect()
+    assert(r.forall(_.getDouble(7) == 0.0), r.mkString(";"))
+  }
+
+  test("ewma: dyadic half-life decay, 24-hour horizon, type isolation") {
+    // type a hours 0,1,2 with counts 4,2,1:
+    //   h0 = 4; h1 = (2 + 4·.5)/1.5 = 8/3; h2 = (1 + 2·.5 + 4·.25)/1.75 = 12/7
+    // type b hours 0 and 25: Δ = 25 > 23 → h25 sees only itself
+    val ev = (
+      Seq.fill(4)(("a", ts("2024-01-01 00:10:00"))) ++
+      Seq.fill(2)(("a", ts("2024-01-01 01:20:00"))) ++
+      Seq(("a", ts("2024-01-01 02:30:00")),
+          ("b", ts("2024-01-01 00:05:00")), ("b", ts("2024-01-02 01:05:00")))
+    ).toDF("event_type", "ts")
+    val got = ops.Relational.ewmaCore(ev).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) -> r.getDouble(3)).toMap
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(("a", "2024-01-01 00:00:00.0")) == 4.0, got.toString)
+    assert(got(("a", "2024-01-01 01:00:00.0")) == rd(8.0 / 3.0), got.toString)
+    assert(got(("a", "2024-01-01 02:00:00.0")) == rd(12.0 / 7.0), got.toString)
+    assert(got(("b", "2024-01-01 00:00:00.0")) == 1.0, got.toString)
+    assert(got(("b", "2024-01-02 01:00:00.0")) == 1.0, "past the 24h horizon")
+  }
+
   test("closed-form OLS recovers a hand-built line exactly") {
     // group "lin": y = 2x + 1 exactly → slope 2, intercept 1, r² = 1
     // group "flat": y constant → slope 0, intercept = the constant

@@ -459,7 +459,45 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** CEP-style sequence match (E13, r4): for every view, did the same
+    * user click within the following hour? — the A-followed-by-B-
+    * within-Δt existence pattern that SQL MATCH_RECOGNIZE / CEP
+    * engines sell, rendered as the house band shape ([[attribution]],
+    * J6 as-of): user-equi anchor + (0, 1h] residual, candidates
+    * bounded by per-user activity, never event². Per-view existence
+    * folds in the first aggregate (LEFT join keeps unmatched views;
+    * `max(candidate IS NOT NULL)` is order-free), the per-user rollup
+    * divides exact integers. Both aggregates partition by user-
+    * prefixed keys, so the exchange is planned once. */
+  def seqMatch(s: SparkSession, d: String): DataFrame =
+    seqMatchCore(Tables.events(s, d))
+
+  /** Sequence match over any events relation — DataFrame-
+    * parameterized so AnalyticsSpec can pin the strict (0, 1h]
+    * window and the unmatched-view denominators by hand. */
+  def seqMatchCore(ev: DataFrame): DataFrame = {
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    views
+      .join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") > col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOURS"),
+        "left_outer")
+      .groupBy(col("user_id"), col("view_id"))
+      .agg(max(when(col("click_ts").isNotNull, 1).otherwise(0)).as("matched"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(col("matched")).cast("long").as("n_matched"))
+      .withColumn("match_rate",
+        round(col("n_matched") / col("n_views").cast("double"), 6))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_match"       -> seqMatch,
     "q_attribution"     -> attribution,
     "q_path_mining"     -> pathMining,
     "q_merge_upsert"    -> mergeUpsert,
@@ -483,6 +521,23 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // same band join, same per-view existence fold, same exact-integer
+    // rate division
+    "q_seq_match" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id AS c_user, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+         m AS (SELECT v.user_id, v.view_id,
+             max(CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END) AS matched
+           FROM v LEFT JOIN c ON c.c_user = v.user_id
+             AND c.click_ts > v.view_ts
+             AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+           GROUP BY v.user_id, v.view_id)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+           CAST(sum(matched) AS BIGINT) AS n_matched,
+           round(sum(matched) / CAST(count(*) AS DOUBLE), 6) AS match_rate
+         FROM m GROUP BY user_id ORDER BY user_id""",
     // same three strictly-ordered steps; left joins keep months whose
     // later steps are empty, rates guarded the same way
     "q_attribution" ->

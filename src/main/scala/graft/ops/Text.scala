@@ -879,7 +879,81 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Pairwise source vocabulary overlap (T31, r4): Jaccard similarity
+    * of the distinct-word sets of every source pair — the corpus-diff
+    * diagnostic read before mixing corpora ("are these two sources
+    * the same text wearing different labels?"). The candidate stream
+    * is the word-keyed self-join of the DISTINCT (source, word)
+    * relation, bounded per word by sources-per-word ≤ |sources| (a
+    * few dozen pairs per word at ANY corpus size — the bounded-
+    * universe cousin of the n-gram dedup join, never doc²); the size
+    * dim is |sources| rows → broadcast joins. Intersections and
+    * sizes are exact integers, so J divides identical longs. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlapCore(Tables.documents(s, d))
+
+  /** Overlap over any `(source, text)` relation — DataFrame-
+    * parameterized so TextSpec can pin J on hand-built vocabularies
+    * (identical → 1, disjoint absent, half-overlap → 1/3). */
+  def sourceOverlapCore(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(col("source"), explode(words(col("text"))).as("w")).distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = vocab.select(col("source").as("src_a"), col("w"))
+      .join(vocab.select(col("source").as("src_b"), col("w")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Bigram log-probability scoring (T32, r4): per-doc avg
+    * ln p(wᵢ | wᵢ₋₁) with add-1 smoothing under the corpus's own
+    * bigram model — the next step up from [[unigramLogprob]]'s
+    * perplexity proxy (a doc of common words in a WEIRD ORDER now
+    * scores low). Bigrams come from a narrow `zip_with` of the token
+    * array against its own 1-shift — no window, no shuffle to build
+    * them; corpus counts ride as window counts over the (prev, cur)
+    * and (prev) partitions (the unigram trick — no vocabulary join),
+    * and V is a 1-row broadcast. Σ_cur c(prev,cur) = c(prev) by
+    * construction, so the conditional is proper. */
+  def bigramLogprob(s: SparkSession, d: String): DataFrame =
+    bigramLogprobCore(Tables.documents(s, d))
+
+  /** Scoring over any `(doc_id, text)` relation — DataFrame-
+    * parameterized so TextSpec can pin the smoothed ln arithmetic on
+    * a counted-by-hand corpus. */
+  def bigramLogprobCore(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val bi = ws.select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val vocab = ws.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("vsz"))
+    bi
+      .withColumn("c_bi",
+        count(lit(1)).over(Window.partitionBy(col("prev"), col("cur"))))
+      .withColumn("c_ctx", count(lit(1)).over(Window.partitionBy(col("prev"))))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c_bi") + 1) / (col("c_ctx") + col("vsz")).cast("double"))), 4)
+          .as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> sourceOverlap,
+    "q_bigram_logprob" -> bigramLogprob,
     "q_pipeline_prep" -> pipelinePrep,
     "q_pii_redact"    -> piiRedact,
     "q_unigram_logprob" -> unigramLogprob,
@@ -1026,6 +1100,36 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // same distinct (source, word) relation, same word-keyed pair
+    // stream, same exact-integer Jaccard
+    "q_source_overlap" ->
+      """WITH v AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+         i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+           FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+         FROM i JOIN sz sa ON sa.source = i.src_a
+                JOIN sz sb ON sb.source = i.src_b
+         ORDER BY src_a, src_b""",
+    // same 1-shift bigram stream, same window-count model, same add-1
+    // smoothing over the same V
+    "q_bigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         t AS (SELECT doc_id, ws[pos - 1] AS prev, ws[pos] AS cur
+           FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM d) x
+           WHERE pos >= 2),
+         v AS (SELECT count(DISTINCT w) AS vsz
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+         c AS (SELECT doc_id,
+             count(*) OVER (PARTITION BY prev, cur) AS c_bi,
+             count(*) OVER (PARTITION BY prev) AS c_ctx
+           FROM t)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c_bi + 1) / CAST(c_ctx + vsz AS DOUBLE))), 4) AS avg_logp
+         FROM c CROSS JOIN v GROUP BY doc_id ORDER BY doc_id""",
     // same windows verbatim: range() mirrors sequence() (both emit
     // starts < n_chars at stride 192), substr is 1-based in both
     "q_chunk_docs" ->

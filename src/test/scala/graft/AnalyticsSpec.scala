@@ -61,6 +61,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("b", "2024-01-02 01:00:00.0")) == 1.0, "past the 24h horizon")
   }
 
+  test("seq match: strict (0, 1h] window, unmatched views keep their denominator") {
+    // user 1: click at +30min matches; click at exactly +1h matches;
+    // click at the same instant does NOT (strict >); user 2 never
+    // clicks → rate 0; user 3 only clicks → no row
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "click"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "view"),
+      (4L, ts("2024-01-01 13:00:00"), 1L, "click"),
+      (5L, ts("2024-01-01 14:00:00"), 1L, "view"),
+      (6L, ts("2024-01-01 14:00:00"), 1L, "click"),
+      (7L, ts("2024-01-01 10:00:00"), 2L, "view"),
+      (8L, ts("2024-01-01 10:10:00"), 3L, "click"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = ops.Events.seqMatchCore(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((3L, 2L, rd(2.0 / 3.0))), got.toString)
+    assert(got(2L) == ((1L, 0L, 0.0)), got.toString)
+    assert(!got.contains(3L), "click-only users have no views to report")
+  }
+
   test("closed-form OLS recovers a hand-built line exactly") {
     // group "lin": y = 2x + 1 exactly → slope 2, intercept 1, r² = 1
     // group "flat": y constant → slope 0, intercept = the constant

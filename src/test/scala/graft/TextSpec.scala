@@ -11,6 +11,34 @@ class TextSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 
+  test("source overlap: identical vocabularies score 1, disjoint pairs absent") {
+    val docs = Seq(
+      ("w", "a b c d"), ("x", "a b c d"), ("y", "a b"), ("y", "e f"),
+      ("z", "p q"),
+    ).toDF("source", "text")
+    val got = Text.sourceOverlapCore(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(("w", "x")) == 1.0, got.toString)
+    // {a,b,c,d} vs {a,b,e,f}: 2 common / 6 union
+    assert(got(("w", "y")) == rd(1.0 / 3.0) && got(("x", "y")) == rd(1.0 / 3.0))
+    assert(!got.keySet.exists(p => p._1 == "z" || p._2 == "z"),
+      "disjoint vocabulary pairs carry no row")
+  }
+
+  test("bigram logprob: add-1 smoothing over the full vocabulary, 1-token docs drop") {
+    // corpus: "a b", "a b a", "z" → bigrams (a,b)×2, (b,a)×1; V = 3
+    // doc1 = ln(3/5); doc2 = (ln(3/5) + ln(2/4)) / 2; doc3 absent
+    val docs = Seq((1L, "a b"), (2L, "a b a"), (3L, "z")).toDF("doc_id", "text")
+    val got = Text.bigramLogprobCore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def rd(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got(1L) == ((1L, rd(math.log(3.0 / 5.0)))), got.toString)
+    assert(got(2L) ==
+      ((2L, rd((math.log(3.0 / 5.0) + math.log(2.0 / 4.0)) / 2.0))), got.toString)
+    assert(!got.contains(3L), "a 1-token doc has no bigrams")
+  }
+
   test("chunking: overlap covers every char, short docs yield one chunk") {
     val out = Text.chunkDocs(spark, sf0001).collect()
     val byDoc = out.groupBy(_.getLong(0))

@@ -951,7 +951,46 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment dedup (T33, r4): asymmetric set containment
+    * C(A→B) = |A∩B| / |A| over the capped shingle universe — the
+    * doc-in-doc detector symmetric Jaccard structurally misses: a
+    * 100-shingle document quoted whole inside a 1000-shingle one has
+    * J ≈ 0.1 (invisible at any sane Jaccard threshold) but
+    * containment 1.0. This is how pretraining dedup catches
+    * boilerplate wrappers, quote-heavy aggregators, and prefix
+    * crawls. Candidates come from the same df-capped shared-shingle
+    * stream as [[dedupNgramIdf]] (the declared at-scale universe);
+    * per-doc sizes ride as window counts (no sizes join); the 0.8
+    * threshold compares the ROUNDED ratio so an engine ULP cannot
+    * split the boundary. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    dedupContainmentCore(Tables.documents(s, d))
+
+  /** Containment over any `(doc_id, text)` relation — DataFrame-
+    * parameterized so TextSpec can pin the asymmetric scores on a
+    * planted quote-inside-wrapper fixture. */
+  def dedupContainmentCore(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= NgramMaxDf)
+      .select(col("doc_id"), col("g"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    sh.select(col("doc_id").as("da"), col("g"), col("n").as("na"))
+      .join(sh.select(col("doc_id").as("db"), col("g"), col("n").as("nb")), Seq("g"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        count(lit(1)).as("inter"))
+      .withColumn("cont_a", round(col("inter") / col("na").cast("double"), 6))
+      .withColumn("cont_b", round(col("inter") / col("nb").cast("double"), 6))
+      .filter(col("cont_a") >= 0.8 || col("cont_b") >= 0.8)
+      .select(col("da"), col("db"), col("na"), col("nb"), col("inter"),
+        col("cont_a"), col("cont_b"))
+      .orderBy(col("da"), col("db"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_containment" -> dedupContainment,
     "q_source_overlap" -> sourceOverlap,
     "q_bigram_logprob" -> bigramLogprob,
     "q_pipeline_prep" -> pipelinePrep,
@@ -1100,6 +1139,25 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // same capped shingle universe, same window-count sizes, same
+    // rounded-threshold comparison
+    "q_dedup_containment" ->
+      s"""WITH $shinglesCte,
+         rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY g)
+                  WHERE df <= $NgramMaxDf),
+         fsh AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+         sized AS (SELECT doc_id, g,
+             count(*) OVER (PARTITION BY doc_id) AS n FROM fsh),
+         pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+             max(a.n) AS na, max(b.n) AS nb, count(*) AS inter
+           FROM sized a JOIN sized b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         c AS (SELECT da, db, na, nb, inter,
+             round(inter / CAST(na AS DOUBLE), 6) AS cont_a,
+             round(inter / CAST(nb AS DOUBLE), 6) AS cont_b
+           FROM pairs)
+         SELECT da, db, na, nb, inter, cont_a, cont_b FROM c
+         WHERE cont_a >= 0.8 OR cont_b >= 0.8 ORDER BY da, db""",
     // same distinct (source, word) relation, same word-keyed pair
     // stream, same exact-integer Jaccard
     "q_source_overlap" ->

@@ -142,7 +142,35 @@ object Windows {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Rolling discrete median (W6, r4): per user, the lower-median of
+    * the trailing-5 values over the fully tiebroken (ts, event_id)
+    * ordering — the robust moving baseline (one spike can drag
+    * [[windowMovingAvg]]'s mean arbitrarily; it cannot move this).
+    * Spark has no native median window; rendered as a sort of the
+    * COLLECTED bounded frame — w = 5, so the per-row sort is O(w log
+    * w) on a constant, and the only exchange is the user partition
+    * (the unpartitioned variant would be the single-task trap). Both
+    * engines build the same ≤5-element list, sort it, and index
+    * `(n+1) div 2` — the median IS a data value (the discrete-
+    * quantile class: no interpolation, no epsilon). */
+  def windowRollingMedian(s: SparkSession, d: String): DataFrame =
+    windowRollingMedianCore(Tables.events(s, d))
+
+  /** Rolling median over any events relation — DataFrame-
+    * parameterized so AnalyticsSpec can pin the lower-median index
+    * and the frame warm-up by hand. */
+  def windowRollingMedianCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-4, 0)
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("vals", collect_list(col("value")).over(w))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        expr("element_at(array_sort(vals), cast((size(vals) + 1) div 2 as int))").as("med5"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_median"     -> windowRollingMedian,
     "q_window_rank"       -> windowRank,
     "q_window_first_last" -> windowFirstLast,
     "q_window_running"    -> windowRunning,
@@ -153,6 +181,15 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same collected ≤5-element frame, same sort, same (n+1)//2 index
+    "q_window_median" ->
+      """SELECT user_id, ts, event_id, value,
+           list_sort(l)[(len(l) + 1) // 2] AS med5
+         FROM (SELECT user_id, ts, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
+           FROM events)
+         ORDER BY user_id, ts, event_id""",
     // same spelled-out full-partition frame for all three navigators
     "q_window_first_last" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,

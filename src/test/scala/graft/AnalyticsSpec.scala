@@ -61,6 +61,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("b", "2024-01-02 01:00:00.0")) == 1.0, "past the 24h horizon")
   }
 
+  test("rolling median: lower-median index, frame warm-up, spike immunity") {
+    // user 1 values 1,100,2,3,4: frames [1],[1,100],[1,2,100],
+    // [1,2,3,100],[1,2,3,4,100] → medians 1,1,2,2,3 — the 100 spike
+    // never surfaces (it would drag every mean)
+    val ev = Seq(1.0, 100.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      (1L, ts(s"2024-01-01 10:0$i:00"), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = ops.Windows.windowRollingMedianCore(ev).collect().map(_.getDouble(4))
+    assert(got.toSeq == Seq(1.0, 1.0, 2.0, 2.0, 3.0), got.mkString(","))
+  }
+
   test("seq match: strict (0, 1h] window, unmatched views keep their denominator") {
     // user 1: click at +30min matches; click at exactly +1h matches;
     // click at the same instant does NOT (strict >); user 2 never

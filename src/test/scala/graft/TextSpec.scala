@@ -11,6 +11,23 @@ class TextSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 
+  test("containment: a fully-quoted small doc scores 1.0 where Jaccard sees 0.4") {
+    // doc 1 ("p q r s" → 2 shingles) is contained whole in doc 2
+    // (5 shingles): cont_a = 1.0, cont_b = 0.4, Jaccard only 2/5 —
+    // the asymmetric detector fires where the symmetric one cannot.
+    // docs 4/5 share 1 of 2 shingles (cont 0.5 both ways) → filtered.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "p q r s"), (2L, "x y z p q r s"), (3L, "a b c d"),
+      (4L, "m n o t"), (5L, "m n o u"),
+    )).toDF("doc_id", "text")
+    val out = Text.dedupContainmentCore(docs).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)), r.toString)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 5L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 0.4, r.toString)
+  }
+
   test("source overlap: identical vocabularies score 1, disjoint pairs absent") {
     val docs = Seq(
       ("w", "a b c d"), ("x", "a b c d"), ("y", "a b"), ("y", "e f"),

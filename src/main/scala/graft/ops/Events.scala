@@ -496,7 +496,39 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Maximum drawdown (E14, r4): per user, the deepest gap between
+    * the running peak of `value` and the value itself over the
+    * (ts, event_id)-ordered stream, with the trough row that realized
+    * it — the risk metric behind "how far under the high-water mark
+    * did this series fall". Running max, the subtraction, and the
+    * (dd desc, ts desc, event_id desc) pick all operate on EXACT raw
+    * doubles (no sums anywhere), so both engines rank identical
+    * numbers and rounding appears only in the output rendering. One
+    * user-partition window stack, exchange planned once. */
+  def drawdown(s: SparkSession, d: String): DataFrame =
+    drawdownCore(Tables.events(s, d))
+
+  /** Drawdown over any events relation — DataFrame-parameterized so
+    * AnalyticsSpec can pin peak tracking and the trough tiebreak by
+    * hand. */
+  def drawdownCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dd = ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("peak", max(col("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd", col("peak") - col("value"))
+    dd.withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("dd").desc, col("ts").desc, col("event_id").desc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), round(col("dd"), 4).as("max_drawdown"),
+        col("ts").as("trough_ts"), col("event_id").as("trough_event"),
+        round(col("peak"), 4).as("peak_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drawdown"        -> drawdown,
     "q_seq_match"       -> seqMatch,
     "q_attribution"     -> attribution,
     "q_path_mining"     -> pathMining,
@@ -521,6 +553,19 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // same running peak on raw doubles, same trough tiebreak
+    "q_drawdown" ->
+      """WITH dd AS (SELECT user_id, ts, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+           FROM events),
+         x AS (SELECT user_id, ts, event_id, peak, peak - value AS d,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY peak - value DESC, ts DESC, event_id DESC) AS rk
+           FROM dd)
+         SELECT user_id, round(d, 4) AS max_drawdown, ts AS trough_ts,
+           event_id AS trough_event, round(peak, 4) AS peak_value
+         FROM x WHERE rk = 1 ORDER BY user_id""",
     // same band join, same per-view existence fold, same exact-integer
     // rate division
     "q_seq_match" ->

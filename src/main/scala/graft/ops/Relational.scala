@@ -947,7 +947,43 @@ object Relational {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** Quantile normalization (A24, r4): map every event type's value
+    * distribution onto the 'view' type's distribution by rank — the
+    * feature-preprocessing step that makes heterogeneous sources
+    * comparable (microarray normalization's trick, standard in
+    * feature stores). Each row's rank in its own type (total order
+    * via (value, event_id)) maps to the reference value at the
+    * ceiling-scaled rank `(rn·n_ref + n − 1) div n` — ALL-INTEGER
+    * arithmetic (products < 2^53 up to ~10^8-row types; past that,
+    * swap in a 128-bit mul), so the mapping is bit-identical
+    * cross-engine and the mapped value IS a reference data value.
+    * The reference type maps to itself identically (spec-pinned).
+    * Two rank windows + one join keyed on the target index. */
+  def quantileNorm(s: SparkSession, d: String): DataFrame =
+    quantileNormCore(Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value")))
+
+  /** Normalization over any `(event_type, event_id, value)` relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the ceiling-rank
+    * mapping and the reference identity by hand. */
+  def quantileNormCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val view = ranked.filter(col("event_type") === "view")
+    val ref = view.select(col("rn").as("ref_rn"), col("value").as("mapped"))
+    val nref = view.agg(max(col("n")).as("n_ref"))
+    ranked.crossJoin(broadcast(nref))
+      .join(ref, expr("(rn * n_ref + n - 1) div n") === col("ref_rn"))
+      .select(col("event_type"), col("event_id"), col("value"), col("mapped"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_norm"     -> quantileNorm,
     "q_psi_drift"         -> psiDrift,
     "q_ewma"              -> ewma,
     "q_skew_profile"      -> skewProfile,
@@ -986,6 +1022,20 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // same (value, event_id) total order, same all-integer ceiling
+    // rank scaling, same reference join
+    "q_quantile_norm" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS BIGINT) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         nr AS (SELECT count(*) AS n_ref FROM events WHERE event_type = 'view'),
+         ref AS (SELECT rn AS ref_rn, value AS mapped FROM r WHERE event_type = 'view')
+         SELECT event_type, event_id, r.value, ref.mapped
+         FROM r CROSS JOIN nr
+         JOIN ref ON (r.rn * nr.n_ref + r.n - 1) // r.n = ref.ref_rn
+         ORDER BY event_type, event_id""",
     // same midpoint split, same rank-and-filter decile fences, same
     // Laplace-smoothed shares over the fixed 10-bin spine
     "q_psi_drift" ->

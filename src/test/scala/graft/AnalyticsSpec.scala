@@ -61,6 +61,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("b", "2024-01-02 01:00:00.0")) == 1.0, "past the 24h horizon")
   }
 
+  test("quantile norm: ceiling-rank mapping, reference maps to itself") {
+    // ref 'view' values 10,20,30,40 (n_ref=4); type b values 1,2
+    // (n=2): rank 1 → target (1·4+1)÷2 = 2 → 20; rank 2 → 4 → 40
+    val ev = Seq(
+      ("view", 1L, 10.0), ("view", 2L, 20.0), ("view", 3L, 30.0), ("view", 4L, 40.0),
+      ("b", 5L, 1.0), ("b", 6L, 2.0),
+    ).toDF("event_type", "event_id", "value")
+    val got = ops.Relational.quantileNormCore(ev).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got(5L) == 20.0 && got(6L) == 40.0, got.toString)
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(got(id) == id * 10.0, s"reference row $id must map to itself"))
+  }
+
+  test("drawdown: peak tracking and the latest-trough tiebreak") {
+    // user 1: 5, 3, 8, 2 → peaks 5,5,8,8 → dds 0,2,0,6 → max 6 at id 4
+    // user 2: monotone rise → max drawdown 0, trough = last row
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 5.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, 3.0),
+      (3L, ts("2024-01-01 12:00:00"), 1L, 8.0),
+      (4L, ts("2024-01-01 13:00:00"), 1L, 2.0),
+      (5L, ts("2024-01-01 10:00:00"), 2L, 1.0),
+      (6L, ts("2024-01-01 11:00:00"), 2L, 2.0),
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = ops.Events.drawdownCore(ev).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((6.0, 4L, 8.0)), got.toString)
+    assert(got(2L) == ((0.0, 6L, 2.0)), got.toString)
+  }
+
   test("rolling median: lower-median index, frame warm-up, spike immunity") {
     // user 1 values 1,100,2,3,4: frames [1],[1,100],[1,2,100],
     // [1,2,3,100],[1,2,3,4,100] → medians 1,1,2,2,3 — the 100 spike

@@ -527,7 +527,42 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Incremental aggregate maintenance (E15, r4): the materialized-
+    * view maintenance contract — agg(base) ⊕ agg(delta) must equal
+    * agg(base ∪ delta). The engine path maintains per-(type, hour)
+    * counts incrementally: base snapshot and delta changelog ([[
+    * mergeUpsertCore]]'s integer-microsecond midpoint split) aggregate
+    * SEPARATELY and merge by full-outer coalesce-sum — at 100 TB the
+    * base aggregate is a stored table and only the delta touches new
+    * data, which is the entire point of view maintenance. The ORACLE
+    * deliberately computes the DIRECT aggregation over the union —
+    * a different plan proving the same numbers, so the hash compare
+    * checks the maintenance algebra itself, not a shared rendering. */
+  def incrAgg(s: SparkSession, d: String): DataFrame =
+    incrAggCore(Tables.events(s, d))
+
+  /** Maintenance over any events relation — DataFrame-parameterized
+    * so AnalyticsSpec can pin the three merge cases (base-only hour,
+    * delta-only hour, straddling hour) by hand. */
+  def incrAggCore(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("h"), unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid_us"))
+    val st = ev.crossJoin(broadcast(mid))
+    def counts(side: DataFrame, name: String) =
+      side.groupBy(col("event_type"), col("h")).agg(count(lit(1)).as(name))
+    counts(st.filter(col("us") <= col("mid_us")), "n_base")
+      .join(counts(st.filter(col("us") > col("mid_us")), "n_delta"),
+        Seq("event_type", "h"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_delta"))
+      .select(col("event_type"), col("h"),
+        (col("n_base") + col("n_delta")).as("n_total"),
+        col("n_base"), col("n_delta"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_agg"        -> incrAgg,
     "q_drawdown"        -> drawdown,
     "q_seq_match"       -> seqMatch,
     "q_attribution"     -> attribution,
@@ -553,6 +588,20 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // DELIBERATELY a different plan: the direct aggregation over the
+    // union — the hash compare proves the engine's incremental merge
+    // reproduces it (the view-maintenance algebra, not a shared
+    // rendering)
+    "q_incr_agg" ->
+      """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events)
+         SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(sum(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+         FROM events CROSS JOIN m
+         GROUP BY event_type, date_trunc('hour', ts)
+         ORDER BY event_type, h""",
     // same running peak on raw doubles, same trough tiebreak
     "q_drawdown" ->
       """WITH dd AS (SELECT user_id, ts, event_id, value,

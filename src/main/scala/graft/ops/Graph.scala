@@ -224,6 +224,36 @@ object Graph {
   def bfsQuery(s: SparkSession, d: String): DataFrame =
     bfs(coEdges(s, d), BfsSource)
 
+  /** Closeness + harmonic centrality of the BFS source (r4 wave 7) —
+    * the "how central is this node" summary off the SAME level-
+    * synchronous BFS relation as [[bfsQuery]] (no new iteration
+    * machinery): closeness = n_reached ÷ Σdist on exact longs,
+    * harmonic = Σ 1/d with the sum taken over the DIST-GROUPED counts
+    * (≤ eccentricity ≈ 3 terms — a per-node 1/d sum over thousands of
+    * rows would fold in nondeterministic order; c_d/d per distinct
+    * distance makes the float work order-free for any graph size).
+    * Harmonic handles disconnection gracefully (unreached nodes
+    * contribute 0), which is why it's the form used on web-scale
+    * graphs. */
+  def centrality(s: SparkSession, d: String): DataFrame =
+    centralityCore(bfs(coEdges(s, d), BfsSource))
+
+  /** Centrality over any `(node, dist)` BFS relation — DataFrame-
+    * parameterized so GraphSpec can pin the closed forms on a
+    * hand-solved path graph. */
+  def centralityCore(dists: DataFrame): DataFrame =
+    dists.filter(col("dist") > 0)
+      .groupBy(col("dist")).agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).cast("long").as("n_reached"),
+        max(col("dist")).as("ecc"),
+        sum(col("c") * col("dist")).cast("long").as("sum_dist"),
+        round(sum(col("c") / col("dist").cast("double")), 6).as("harmonic"))
+      .withColumn("closeness",
+        round(col("n_reached") / col("sum_dist").cast("double"), 6))
+      .select(col("n_reached"), col("ecc"), col("sum_dist"),
+        col("closeness"), col("harmonic"))
+
   /** Degree assortativity (r4 wave 6): Pearson correlation of
     * endpoint degrees over the co-occurrence graph's edges — ONE
     * number answering "do hubs connect to hubs?" (positive: social
@@ -306,6 +336,7 @@ object Graph {
     "q_triangles" -> triangles,
     "q_kcore"     -> kcore,
     "q_bfs"       -> bfsQuery,
+    "q_centrality" -> centrality,
     "q_assortativity" -> assortativity,
     "q_assoc_rules"   -> assocRules,
   )
@@ -338,7 +369,9 @@ object Graph {
     * eccentricity is 2 (sf0.001/sf0.01) and 3 (sf0.1), so 8 rounds
     * carry >2× margin; GraphSpec pins convergence within 8 on the real
     * graph. Each round: dist(n) = min(dist(n), 1 + dist(neighbor)). */
-  private val bfsOracle: String = {
+  /** Shared 8-round unrolled BFS CTE body (b8 = the fixed point on
+    * this graph — convergence within 8 is GraphSpec-pinned). */
+  private def bfsCtePrefix: String = {
     val rounds = (1 to 8).map { r =>
       s"""b$r AS MATERIALIZED (
             SELECT node, min(dist) AS dist FROM (
@@ -351,9 +384,24 @@ object Graph {
     s"""WITH e AS MATERIALIZED ($coEdgesSql),
        sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
        b0 AS (SELECT $BfsSource AS node, 0 AS dist),
-       $rounds
-       SELECT node, CAST(dist AS INT) AS dist FROM b8 ORDER BY node"""
+       $rounds"""
   }
+
+  private val bfsOracle: String =
+    s"""$bfsCtePrefix
+       SELECT node, CAST(dist AS INT) AS dist FROM b8 ORDER BY node"""
+
+  // same dist-grouped counts, same ≤ecc-term harmonic sum, same
+  // exact-long closeness division
+  private val centralityOracle: String =
+    s"""$bfsCtePrefix,
+       g AS (SELECT dist, count(*) AS c FROM b8 WHERE dist > 0 GROUP BY dist)
+       SELECT CAST(sum(c) AS BIGINT) AS n_reached,
+         CAST(max(dist) AS INT) AS ecc,
+         CAST(sum(c * dist) AS BIGINT) AS sum_dist,
+         round(sum(c) / CAST(sum(c * dist) AS DOUBLE), 6) AS closeness,
+         round(sum(c / CAST(dist AS DOUBLE)), 6) AS harmonic
+       FROM g"""
 
   val oracles: Map[String, String] = Map(
     // same distinct-basket pair counts, same top-20 total-order cut,
@@ -379,6 +427,7 @@ object Graph {
          CROSS JOIN nb
          ORDER BY u, v""",
     "q_bfs"   -> bfsOracle,
+    "q_centrality" -> centralityOracle,
     "q_kcore" -> kcoreOracle,
     // same integer moments divided FIRST (the mean form — the
     // cross-moment form overflows int64 asymmetrically across engines)

@@ -61,6 +61,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("b", "2024-01-02 01:00:00.0")) == 1.0, "past the 24h horizon")
   }
 
+  test("incr agg: base-only, delta-only, and straddling hours all merge exactly") {
+    // span us 0..100 → mid 50. Hour A: both events in base; hour B:
+    // one base (us 40) + one delta (us 60); hour C: delta only.
+    val ev = Seq(
+      (1L, "2024-01-01 00:10:00", "a"), (2L, "2024-01-01 00:20:00", "a"),
+      (3L, "2024-01-01 05:00:00", "a"), (4L, "2024-01-01 05:59:00", "a"),
+      (5L, "2024-01-01 09:59:59", "a"),
+    ).map { case (id, t, ty) => (id, ts(t), ty) }.toDF("event_id", "ts", "event_type")
+    // us midpoint = (00:10 + 09:59:59)/2 ≈ 05:05 → events 1,2,3 base;
+    // 4 (05:59) and 5 delta — hour 05 straddles
+    val got = ops.Events.incrAggCore(ev).collect()
+      .map(r => r.getTimestamp(1).toString -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("2024-01-01 00:00:00.0") == ((2L, 2L, 0L)), got.toString)
+    assert(got("2024-01-01 05:00:00.0") == ((2L, 1L, 1L)), got.toString)
+    assert(got("2024-01-01 09:00:00.0") == ((1L, 0L, 1L)), got.toString)
+  }
+
   test("quantile norm: ceiling-rank mapping, reference maps to itself") {
     // ref 'view' values 10,20,30,40 (n_ref=4); type b values 1,2
     // (n=2): rank 1 → target (1·4+1)÷2 = 2 → 20; rank 2 → 4 → 40

@@ -12,6 +12,17 @@ class GraphSpec extends SparkSpec {
   private def edges(es: (Long, Long)*): DataFrame =
     es.toDF("u", "v")
 
+  test("centrality: closed forms on a hand-solved path graph") {
+    // BFS relation of path 0-1-2-3 from source 0: n_reached = 3,
+    // ecc = 3, Σd = 6, closeness = 3/6, harmonic = 1 + 1/2 + 1/3
+    val dists = Seq((0L, 0), (1L, 1), (2L, 2), (3L, 3)).toDF("node", "dist")
+    val r = Graph.centralityCore(dists).collect().head
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r.getLong(0) == 3L && r.getInt(1) == 3 && r.getLong(2) == 6L, r.toString)
+    assert(r.getDouble(3) == 0.5, r.toString)
+    assert(r.getDouble(4) == rd(1.0 + 0.5 + 1.0 / 3.0), r.toString)
+  }
+
   /** The oracle-shaped naive enumeration: e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)
     * over id-ordered edges — per-node counts must be identical to the
     * degree-ordered engine enumeration for any graph. */

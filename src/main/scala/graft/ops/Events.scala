@@ -561,7 +561,47 @@ object Events {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** RFM segmentation (E16, r4): recency / frequency / monetary
+    * quartile scores per purchasing user WITHIN the user's first-
+    * event month cohort — the classic CRM segmentation ("432" =
+    * recent, frequent, low-spend), cohort-scoped both for semantics
+    * (users are quartiled against contemporaries, not against
+    * accounts created years earlier) and for scale (every ntile
+    * window partitions by cohort — a GLOBAL ntile is the
+    * single-partition window trap at a billion users). Monetary is
+    * ROUNDED (2 dp) BEFORE ranking so the quartile order ranks
+    * cross-engine-identical numbers; every ntile orders by
+    * (metric, user_id) — a total order, and ANSI ntile's
+    * earlier-buckets-larger distribution is shared by both engines.
+    * Event volume crosses two user-keyed rollups (one planned
+    * exchange pair); the rank windows run over user cardinality. */
+  def rfm(s: SparkSession, d: String): DataFrame =
+    rfmCore(Tables.events(s, d))
+
+  /** RFM over any events relation — DataFrame-parameterized so
+    * AnalyticsSpec can pin quartile edges, cohort isolation, and the
+    * segment string. */
+  def rfmCore(events: DataFrame): DataFrame = {
+    val cohort = events.groupBy(col("user_id"))
+      .agg(date_trunc("month", min(col("ts"))).as("cohort"))
+    val per = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("f"),
+        round(sum(col("value")), 2).as("m"))
+    def score(c: String) = ntile(4).over(
+      Window.partitionBy(col("cohort")).orderBy(col(c).desc, col("user_id")))
+    per.join(cohort, Seq("user_id"))
+      .withColumn("r_score", score("last_ts"))
+      .withColumn("f_score", score("f"))
+      .withColumn("m_score", score("m"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
+      .select(col("user_id"), col("cohort"), col("last_ts"), col("f"), col("m"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm"             -> rfm,
     "q_incr_agg"        -> incrAgg,
     "q_drawdown"        -> drawdown,
     "q_seq_match"       -> seqMatch,
@@ -588,6 +628,24 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // same cohort assignment, same rounded-before-rank monetary, same
+    // (metric desc, user_id) ntile orders
+    "q_rfm" ->
+      """WITH cohort AS (SELECT user_id,
+             CAST(date_trunc('month', min(ts)) AS TIMESTAMP) AS cohort
+           FROM events GROUP BY user_id),
+         per AS (SELECT user_id, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS f, round(sum(value), 2) AS m
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT per.user_id, cohort, last_ts, f, m,
+           CAST(ntile(4) OVER (PARTITION BY cohort ORDER BY last_ts DESC, per.user_id) AS INT) AS r_score,
+           CAST(ntile(4) OVER (PARTITION BY cohort ORDER BY f DESC, per.user_id) AS INT) AS f_score,
+           CAST(ntile(4) OVER (PARTITION BY cohort ORDER BY m DESC, per.user_id) AS INT) AS m_score,
+           CAST(ntile(4) OVER (PARTITION BY cohort ORDER BY last_ts DESC, per.user_id) AS VARCHAR) ||
+           CAST(ntile(4) OVER (PARTITION BY cohort ORDER BY f DESC, per.user_id) AS VARCHAR) ||
+           CAST(ntile(4) OVER (PARTITION BY cohort ORDER BY m DESC, per.user_id) AS VARCHAR) AS segment
+         FROM per JOIN cohort ON per.user_id = cohort.user_id
+         ORDER BY per.user_id""",
     // DELIBERATELY a different plan: the direct aggregation over the
     // union — the hash compare proves the engine's incremental merge
     // reproduces it (the view-maintenance algebra, not a shared

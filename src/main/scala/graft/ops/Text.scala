@@ -989,7 +989,43 @@ object Text {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Distinctive topic terms (T34, r4): per source, the top-5 terms
+    * by LIFT — (term share within source) ÷ (term share in corpus) =
+    * c_sw·N / (n_s·c_w) — the "what characterizes this source"
+    * profile a curation dashboard shows next to [[entropy]]'s mix
+    * numbers. Everything is INTEGER counts (per-source and per-term
+    * totals ride as window sums over the (source, word) rollup — the
+    * only pass over token volume; N is a 1-row broadcast), so the
+    * single lift division sees identical operands cross-engine and
+    * the (lift desc, word) rank is total. A support floor (c_sw ≥ 5)
+    * keeps one-off rare words from dominating by luck — the PMI
+    * precedent. */
+  def topicTerms(s: SparkSession, d: String): DataFrame =
+    topicTermsCore(Tables.documents(s, d), minCount = 5)
+
+  /** Topic terms over any `(source, text)` relation — DataFrame-
+    * parameterized so TextSpec can pin the lift arithmetic and the
+    * support floor on a hand-counted corpus. */
+  def topicTermsCore(docs: DataFrame, minCount: Int): DataFrame = {
+    val toks = docs.select(col("source"), explode(words(col("text"))).as("w"))
+    val sw = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      .withColumn("n_s", sum(col("c_sw")).over(Window.partitionBy(col("source"))))
+      .withColumn("c_w", sum(col("c_sw")).over(Window.partitionBy(col("w"))))
+    val tot = toks.agg(count(lit(1)).as("n_corpus"))
+    sw.filter(col("c_sw") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        col("c_sw") * col("n_corpus") / (col("n_s") * col("c_w")).cast("double"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("lift").desc, col("w"))))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("w").as("word"), col("c_sw"),
+        round(col("lift"), 4).as("lift"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topic_terms" -> topicTerms,
     "q_dedup_containment" -> dedupContainment,
     "q_source_overlap" -> sourceOverlap,
     "q_bigram_logprob" -> bigramLogprob,
@@ -1139,6 +1175,24 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // same integer count windows, same single lift division, same
+    // (lift desc, word) total rank order
+    "q_topic_terms" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw FROM t GROUP BY 1, 2),
+         x AS (SELECT source, w, c_sw,
+             CAST(sum(c_sw) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+             CAST(sum(c_sw) OVER (PARTITION BY w) AS BIGINT) AS c_w
+           FROM sw),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM t),
+         sc AS (SELECT source, w, c_sw,
+             c_sw * n_corpus / CAST(n_s * c_w AS DOUBLE) AS lift
+           FROM x CROSS JOIN n WHERE c_sw >= 5),
+         r AS (SELECT source, w, c_sw, lift,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY lift DESC, w) AS INT) AS rk
+           FROM sc)
+         SELECT source, rk, w AS word, c_sw, round(lift, 4) AS lift
+         FROM r WHERE rk <= 5 ORDER BY source, rk""",
     // same capped shingle universe, same window-count sizes, same
     // rounded-threshold comparison
     "q_dedup_containment" ->

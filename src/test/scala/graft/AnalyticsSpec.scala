@@ -61,6 +61,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("b", "2024-01-02 01:00:00.0")) == 1.0, "past the 24h horizon")
   }
 
+  test("rfm: cohort-scoped quartiles, rounded-monetary ranking, segment string") {
+    // one cohort (all first-seen in Jan), 4 purchasers with distinct
+    // recency/frequency/monetary orders → each score hits 1..4 once;
+    // user 5 has no purchases → absent despite having events
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", "purchase", 40.0), (2L, "2024-01-02 10:00:00", "purchase", 30.0),
+      (3L, "2024-01-03 10:00:00", "purchase", 20.0), (4L, "2024-01-04 10:00:00", "purchase", 10.0),
+      (3L, "2024-01-05 10:00:00", "purchase", 1.0), (3L, "2024-01-06 10:00:00", "purchase", 1.0),
+      (4L, "2024-01-07 10:00:00", "purchase", 1.0), (5L, "2024-01-08 10:00:00", "view", 0.0),
+    ).zipWithIndex.map { case ((u, t, ty, v), i) => (i.toLong, ts(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = ops.Events.rfmCore(ev).collect()
+      .map(r => r.getLong(0) -> r.getString(8)).toMap
+    // recency desc: 4 (Jan 7) > 3 (Jan 6) > 2 > 1; freq desc: 3 (3×),
+    // 4 (2×), then 1,2 (tie → user_id); monetary desc: 40, 30, 22, 12
+    assert(got(1L) == "431", got.toString)
+    assert(got(2L) == "342", got.toString)
+    assert(got(3L) == "213", got.toString)
+    assert(got(4L) == "124", got.toString)
+    assert(!got.contains(5L), "non-purchasers carry no RFM row")
+  }
+
   test("incr agg: base-only, delta-only, and straddling hours all merge exactly") {
     // span us 0..100 → mid 50. Hour A: both events in base; hour B:
     // one base (us 40) + one delta (us 60); hour C: delta only.

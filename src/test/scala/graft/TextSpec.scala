@@ -11,6 +11,23 @@ class TextSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 
+  test("topic terms: integer lift arithmetic and the support floor") {
+    // x: 5×apple 1×banana; y: 5×banana 1×apple → N=12, n_s=6,
+    // c_apple=c_banana=6 → lift(x,apple) = 5·12/36 = 5/3
+    val docs = Seq(("x", "apple apple apple apple apple banana"),
+      ("y", "banana banana banana banana banana apple")).toDF("source", "text")
+    def rd(v: Double) = math.rint(v * 1e4) / 1e4
+    val all = Text.topicTermsCore(docs, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getDouble(4))).toMap
+    assert(all(("x", 1)) == (("apple", rd(5.0 / 3.0))), all.toString)
+    assert(all(("x", 2)) == (("banana", rd(1.0 / 3.0))), all.toString)
+    assert(all(("y", 1)) == (("banana", rd(5.0 / 3.0))), all.toString)
+    // support floor: x's single banana vanishes at minCount = 2
+    val floored = Text.topicTermsCore(docs, minCount = 2).collect()
+      .filter(_.getString(0) == "x")
+    assert(floored.map(_.getString(2)).toSeq == Seq("apple"), floored.mkString(";"))
+  }
+
   test("containment: a fully-quoted small doc scores 1.0 where Jaccard sees 0.4") {
     // doc 1 ("p q r s" → 2 shingles) is contained whole in doc 2
     // (5 shingles): cont_a = 1.0, cont_b = 0.4, Jaccard only 2/5 —

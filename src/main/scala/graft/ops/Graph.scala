@@ -253,6 +253,7 @@ object Graph {
         round(col("n_reached") / col("sum_dist").cast("double"), 6))
       .select(col("n_reached"), col("ecc"), col("sum_dist"),
         col("closeness"), col("harmonic"))
+      .orderBy(col("n_reached")) // 1 row; the oracle contract wants a total order
 
   /** Degree assortativity (r4 wave 6): Pearson correlation of
     * endpoint degrees over the co-occurrence graph's edges — ONE
@@ -401,7 +402,7 @@ object Graph {
          CAST(sum(c * dist) AS BIGINT) AS sum_dist,
          round(sum(c) / CAST(sum(c * dist) AS DOUBLE), 6) AS closeness,
          round(sum(c / CAST(dist AS DOUBLE)), 6) AS harmonic
-       FROM g"""
+       FROM g ORDER BY n_reached"""
 
   val oracles: Map[String, String] = Map(
     // same distinct-basket pair counts, same top-20 total-order cut,

@@ -600,7 +600,53 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Conversion latency profile (E17, r4): how long a view takes to
+    * convert — per ISO weekday of the view, the distribution of each
+    * converting view's time to its FIRST purchase within 24 h
+    * (n, min, discrete median, discrete p90, max, in seconds). The
+    * candidate stream is the house band shape ([[seqMatch]]); the
+    * per-view first purchase is a min() fold; latencies are exact
+    * integer MICROSECONDS end to end, and the quantiles are
+    * rank-and-filter discrete values over the weekday partition (7
+    * groups — the same partitioned-window class as the per-flag
+    * quantile queries; a global quantile would be the
+    * single-partition trap), so nothing floats until the final
+    * seconds rendering. Weekday = Spark `weekday()+1` == DuckDB
+    * `isodow` (1 = Monday — Spark's `dayofweek` counts from Sunday
+    * and would silently shift every group). */
+  def convertLatency(s: SparkSession, d: String): DataFrame =
+    convertLatencyCore(Tables.events(s, d))
+
+  /** Latency profile over any events relation — DataFrame-
+    * parameterized so AnalyticsSpec can pin first-purchase selection,
+    * the 24 h horizon, and the discrete ranks by hand. */
+  def convertLatencyCore(ev: DataFrame): DataFrame = {
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"), (weekday(col("ts")) + 1).as("dow"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+    val lat = views.join(buys,
+        col("user_id") === col("b_user") &&
+          col("buy_ts") > col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("dow"), col("view_id"))
+      .agg(min(unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("dt_us"))
+    val w = Window.partitionBy(col("dow"))
+    lat
+      .withColumn("rn", row_number().over(w.orderBy(col("dt_us"), col("view_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(min(col("dt_us")) / lit(1000000.0), 2).as("min_s"),
+        round(max(when(col("rn") === ceil(col("n") * 0.5), col("dt_us"))) / lit(1000000.0), 2).as("med_s"),
+        round(max(when(col("rn") === ceil(col("n") * 0.9), col("dt_us"))) / lit(1000000.0), 2).as("p90_s"),
+        round(max(col("dt_us")) / lit(1000000.0), 2).as("max_s"))
+      .orderBy(col("dow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_convert_latency" -> convertLatency,
     "q_rfm"             -> rfm,
     "q_incr_agg"        -> incrAgg,
     "q_drawdown"        -> drawdown,
@@ -628,6 +674,30 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // same band candidates, same first-purchase min fold, same
+    // integer-microsecond discrete ranks, same isodow grouping
+    "q_convert_latency" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts,
+             CAST(isodow(ts) AS INT) AS dow
+           FROM events WHERE event_type = 'view'),
+         b AS (SELECT user_id AS b_user, ts AS buy_ts
+           FROM events WHERE event_type = 'purchase'),
+         lat AS (SELECT dow, view_id,
+             min(epoch_us(buy_ts) - epoch_us(view_ts)) AS dt_us
+           FROM v JOIN b ON b.b_user = v.user_id
+             AND b.buy_ts > v.view_ts
+             AND b.buy_ts <= v.view_ts + INTERVAL 24 HOUR
+           GROUP BY dow, view_id),
+         r AS (SELECT dow, dt_us,
+             row_number() OVER (PARTITION BY dow ORDER BY dt_us, view_id) AS rn,
+             count(*) OVER (PARTITION BY dow) AS n
+           FROM lat)
+         SELECT dow, CAST(count(*) AS BIGINT) AS n_converted,
+           round(min(dt_us) / 1000000.0, 2) AS min_s,
+           round(max(CASE WHEN rn = ceil(n * 0.5) THEN dt_us END) / 1000000.0, 2) AS med_s,
+           round(max(CASE WHEN rn = ceil(n * 0.9) THEN dt_us END) / 1000000.0, 2) AS p90_s,
+           round(max(dt_us) / 1000000.0, 2) AS max_s
+         FROM r GROUP BY dow ORDER BY dow""",
     // same cohort assignment, same rounded-before-rank monetary, same
     // (metric desc, user_id) ntile orders
     "q_rfm" ->

@@ -982,7 +982,47 @@ object Relational {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Table profile (A25, r4): the per-column summary a data engineer
+    * prints before touching a new table — rows, nulls, distincts, and
+    * min/max per column — [[dqAudit]]'s exploratory sibling (audit
+    * checks KNOWN constraints; profile discovers them). One 1-row
+    * aggregate PER COLUMN unioned into the report, so every scan
+    * prunes to a single column (the columnar win; a single all-column
+    * aggregate with six countDistincts would Expand the fact table
+    * 6×). Numeric/timestamp extremes stay NUMERIC (timestamps as
+    * exact epoch micros) and string extremes stay STRING — engines
+    * disagree on double→text rendering, so nothing numeric is ever
+    * stringified. */
+  def profile(s: SparkSession, d: String): DataFrame =
+    profileCore(Tables.events(s, d))
+
+  /** Profile over any events-shaped relation — DataFrame-
+    * parameterized so AnalyticsSpec can plant nulls and duplicates
+    * and watch exactly the right cells move. */
+  def profileCore(ev: DataFrame): DataFrame = {
+    def num(c: String, e: Column): DataFrame = ev.agg(
+      lit(c).as("col_name"), count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(e)).as("n_null"),
+      countDistinct(e).as("n_distinct"),
+      min(e).cast("double").as("min_num"), max(e).cast("double").as("max_num"),
+      lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    def str(c: String): DataFrame = ev.agg(
+      lit(c).as("col_name"), count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_null"),
+      countDistinct(col(c)).as("n_distinct"),
+      lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+      min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+    num("event_id", col("event_id"))
+      .unionByName(num("ts", unix_micros(col("ts"))))
+      .unionByName(num("user_id", col("user_id")))
+      .unionByName(str("event_type"))
+      .unionByName(num("value", col("value")))
+      .unionByName(str("props"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile"           -> profile,
     "q_quantile_norm"     -> quantileNorm,
     "q_psi_drift"         -> psiDrift,
     "q_ewma"              -> ewma,
@@ -1022,6 +1062,37 @@ object Relational {
   /** DuckDB oracle SQL — same table names, same aliases, same ORDER BY.
     * (q_agg_approx is sketch-based → golden-bounded in tests instead.) */
   val oracles: Map[String, String] = Map(
+    // same per-column 1-row aggregates, numeric extremes stay numeric
+    // (timestamps as epoch micros), string extremes stay string
+    "q_profile" ->
+      """WITH n AS (SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+             CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM events
+           UNION ALL SELECT 'ts', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(ts) AS BIGINT),
+             CAST(count(DISTINCT epoch_us(ts)) AS BIGINT),
+             CAST(min(epoch_us(ts)) AS DOUBLE), CAST(max(epoch_us(ts)) AS DOUBLE),
+             NULL, NULL FROM events
+           UNION ALL SELECT 'user_id', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(user_id) AS BIGINT),
+             CAST(count(DISTINCT user_id) AS BIGINT),
+             CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+             NULL, NULL FROM events
+           UNION ALL SELECT 'event_type', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(event_type) AS BIGINT),
+             CAST(count(DISTINCT event_type) AS BIGINT),
+             NULL, NULL, min(event_type), max(event_type) FROM events
+           UNION ALL SELECT 'value', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(value) AS BIGINT),
+             CAST(count(DISTINCT value) AS BIGINT),
+             min(value), max(value), NULL, NULL FROM events
+           UNION ALL SELECT 'props', CAST(count(*) AS BIGINT),
+             CAST(count(*) - count(props) AS BIGINT),
+             CAST(count(DISTINCT props) AS BIGINT),
+             NULL, NULL, min(props), max(props) FROM events)
+         SELECT * FROM n ORDER BY col_name""",
     // same (value, event_id) total order, same all-integer ceiling
     // rank scaling, same reference join
     "q_quantile_norm" ->

@@ -61,6 +61,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(("b", "2024-01-02 01:00:00.0")) == 1.0, "past the 24h horizon")
   }
 
+  test("profile: planted nulls and duplicates move exactly their cells") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 5.0, Option("{}")),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 5.0, None),
+      (3L, ts("2024-01-01 12:00:00"), 2L, "click", 7.5, Option("{}")),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = ops.Relational.profileCore(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("props").getLong(2) == 1L, "one planted null props")
+    assert(got("props").getLong(3) == 1L, "nulls don't count as distinct")
+    assert(got("value").getLong(3) == 2L && got("value").getDouble(4) == 5.0
+      && got("value").getDouble(5) == 7.5, got("value").toString)
+    assert(got("event_type").getString(6) == "click"
+      && got("event_type").getString(7) == "view", got("event_type").toString)
+    assert(got("user_id").getLong(3) == 2L, got("user_id").toString)
+  }
+
+  test("convert latency: first purchase wins, 24h horizon, discrete ranks") {
+    // Monday 2024-01-01: view at 10:00 → purchases at 10:30 and 11:00
+    // (first = 1800 s); view at 12:00 → purchase next day 11:50
+    // (within 24h, 85800 s); view at 23:00 → nothing within 24h
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"), (2L, "2024-01-01 10:30:00", 1L, "purchase"),
+      (3L, "2024-01-01 11:00:00", 1L, "purchase"), (4L, "2024-01-01 12:00:00", 2L, "view"),
+      (5L, "2024-01-02 11:50:00", 2L, "purchase"), (6L, "2024-01-01 23:00:00", 3L, "view"),
+    ).map { case (id, t, u, ty) => (id, ts(t), u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = ops.Events.convertLatencyCore(ev).collect()
+    assert(got.length == 1 && got.head.getInt(0) == 1, "both conversions on Monday")
+    val r = got.head
+    assert(r.getLong(1) == 2L, r.toString)
+    assert(r.getDouble(2) == 1800.0 && r.getDouble(5) == 85800.0, r.toString)
+    // n=2: med rank ceil(1.0)=1 → 1800; p90 rank ceil(1.8)=2 → 85800
+    assert(r.getDouble(3) == 1800.0 && r.getDouble(4) == 85800.0, r.toString)
+  }
+
   test("rfm: cohort-scoped quartiles, rounded-monetary ranking, segment string") {
     // one cohort (all first-seen in Jan), 4 purchasers with distinct
     // recency/frequency/monetary orders → each score hits 1..4 once;

@@ -9,6 +9,23 @@ class PlanSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  test("rolling median is one user-partition exchange, no extra shuffle") {
+    val p = planOf("q_window_median")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("ewma computes the hourly rollup once (band self-join reuses the exchange)") {
+    val p = planOf("q_ewma")
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+      s"the two band-join sides must not re-aggregate events independently: $p")
+  }
+
+  test("seq match stays a hash band join — no nested-loop over events") {
+    val p = planOf("q_seq_match")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the user-equi anchor must carry the join; residual stays a filter: $p")
+  }
+
   test("broadcast join: dims broadcast, fact side never exchanges for the joins") {
     val p = planOf("q_join_broadcast")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -115,6 +115,13 @@ object Bench {
       sfDir.replace("sf0.1", "sf0.01"))
     val scaleCheckOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK", "1") != "0" &&
       smallDir != sfDir && new java.io.File(smallDir).isDirectory
+    // the scaling pass's headline numbers, re-printed in the terminal
+    // summary (r4 verdict task 1: the driver preserves only a
+    // 2,000-char TAIL of stdout, and with totals printed first the
+    // official BENCH_r03/r04 records lost theirs)
+    var summarySmallTotal = -1.0
+    var summaryOver = Seq.empty[String]
+    var summarySuperlinear = Seq.empty[String]
     val scaleJson = if (!scaleCheckOn) "" else {
       val (small, loadSmall0, loadSmall1) = runSuite(smallDir)
       val smallTotal = small.map(_._2).filter(_ >= 0).sum
@@ -147,6 +154,9 @@ object Bench {
         (k, s2, b2, slope2)
       }
       val confirmed = rechecks.collect { case (k, _, _, r2) if r2 > SlopeMax => "\"" + k + "\"" }
+      summarySmallTotal = smallTotal
+      summaryOver = over.map("\"" + _ + "\"")
+      summarySuperlinear = confirmed
       val recheckJson = rechecks.map { case (k, s2, b2, r2) =>
         "\"" + k + "\":{\"small\":" + s2 + ",\"big\":" + b2 + ",\"slope\":" +
           math.round(r2 * 100) / 100.0 + ",\"load_avg\":" + loadAvg + "}"
@@ -180,8 +190,18 @@ object Bench {
     }
 
     // "load_avg" stays a scalar (driver-parsed shape from earlier
-    // rounds); the [start, end] window is the per-suite record
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"failed":[${failed.mkString(",")}],"load_avg":$loadMain1,"load_avg_main":[$loadMain0,$loadMain1],"sf":"$sfDir"$scaleJson$sweepJson}""")
+    // rounds); the [start, end] window is the per-suite record.
+    // "summary" sits LAST on the line so the headline numbers survive
+    // the driver's 2,000-char stdout-tail truncation — BENCH_r03/r04
+    // lost their totals because they led the (>4 KB) line. Duplicated
+    // data, by design: the full per-query maps above stay the primary
+    // record when the artifact is intact.
+    val summary = s""""summary":{"total":$total,"total_small":$summarySmallTotal,""" +
+      s""""n_queries":${results.size},"failed":[${failed.mkString(",")}],""" +
+      s""""over_threshold":[${summaryOver.mkString(",")}],""" +
+      s""""superlinear":[${summarySuperlinear.mkString(",")}],""" +
+      s""""load_avg":[$loadMain0,$loadMain1],"sf":"$sfDir"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"failed":[${failed.mkString(",")}],"load_avg":$loadMain1,"load_avg_main":[$loadMain0,$loadMain1],"sf":"$sfDir"$scaleJson$sweepJson,$summary}""")
     spark.stop()
   }
 }

@@ -42,10 +42,12 @@ object StreamSmoke {
     val expected = streaming.Streaming.tumblingClosed(Tables.events(spark, sfDir))
       .collect().map(_.toSeq).toSet
 
-    // readStream needs an explicit schema; take the file's own resolved
-    // schema from a batch read (whatever ts vintage is on disk) and
-    // normalize exactly as Tables.events does
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // readStream needs an explicit schema; rawEventsSchema resolves the
+    // file's own footer (whatever ts vintage is on disk, with its own
+    // nanos-flag guard — no ordering dependency on the Tables.events
+    // call above), then the stream normalizes exactly as Tables.events
+    // does
+    val schema = Tables.rawEventsSchema(spark, sfDir)
     val stream = Tables.normalizeTs(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1") // one file per micro-batch:

@@ -61,6 +61,20 @@ object Tables {
         s"unsupported events.ts physical type: $other")
     }
   }
+  /** The on-disk (pre-normalization) schema of `events.parquet` — what
+    * `readStream.schema(...)` needs, since file streams resolve no
+    * footer themselves and [[normalizeTs]] runs AFTER the source. Set
+    * apart from the ad-hoc `spark.read.parquet(...).schema` probe it
+    * replaces (r4 advice): that probe only resolved the NANOS vintage
+    * when an earlier [[events]] call happened to have set the legacy
+    * flag on the shared session — this helper carries the same flag
+    * guard itself, so callers no longer depend on statement order. */
+  def rawEventsSchema(s: SparkSession, d: String): org.apache.spark.sql.types.StructType = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!org.apache.spark.sql.GraftColumnBridge.isConfExplicitlySet(s, key))
+      s.conf.set(key, "true")
+    read(s, d, "events").schema
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

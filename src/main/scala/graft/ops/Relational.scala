@@ -475,8 +475,12 @@ object Relational {
     * form on tiny distributions. */
   def giniCore(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // asc_nulls_last on the ranked column (here and in every other
+    // rank-over-value window): Spark ascending defaults NULLS FIRST,
+    // DuckDB NULLS LAST — pin the order so a nullable value vintage
+    // diverges loudly, not silently (r4 advice)
     val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
+      .orderBy(col("value").asc_nulls_last, col("event_id"))
     events
       .select(col("event_type"), col("event_id"), col("value"))
       .withColumn("i", row_number().over(w))
@@ -573,7 +577,7 @@ object Relational {
     val grp = Window.partitionBy(col("event_type"))
     val ev = events.select(col("event_type"), col("value"))
     val med = ev
-      .withColumn("rn", row_number().over(grp.orderBy(col("value"))))
+      .withColumn("rn", row_number().over(grp.orderBy(col("value").asc_nulls_last)))
       .withColumn("n", count(lit(1)).over(grp))
       .groupBy(col("event_type"))
       .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("med"))
@@ -875,8 +879,12 @@ object Relational {
     val w = Window.partitionBy(col("event_type"))
     val fenceCols = (1 to 9).map(j =>
       max(when(col("rn") === ceil(col("n") * j / lit(10.0)), col("value"))).as(s"f$j"))
+    // asc_nulls_last pinned explicitly: Spark's default ascending puts
+    // NULLS FIRST, DuckDB's puts NULLS LAST — on a nullable value
+    // vintage the rank-derived fences would silently diverge
+    // cross-engine instead of failing loudly (r4 advice)
     val fences = stamped.filter(col("half") === "ref")
-      .withColumn("rn", row_number().over(w.orderBy(col("value"))))
+      .withColumn("rn", row_number().over(w.orderBy(col("value").asc_nulls_last)))
       .withColumn("n", count(lit(1)).over(w))
       .groupBy(col("event_type"))
       .agg(fenceCols.head, fenceCols.tail: _*)
@@ -971,7 +979,10 @@ object Relational {
     val ranked = ev
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type"))
-          .orderBy(col("value"), col("event_id"))).cast("long"))
+          // asc_nulls_last: match DuckDB's NULLS LAST default so a
+          // nullable value vintage keeps the rank total order aligned
+          // cross-engine (r4 advice)
+          .orderBy(col("value").asc_nulls_last, col("event_id"))).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
     val view = ranked.filter(col("event_type") === "view")
     val ref = view.select(col("rn").as("ref_rn"), col("value").as("mapped"))
@@ -1098,7 +1109,7 @@ object Relational {
     "q_quantile_norm" ->
       """WITH r AS (SELECT event_type, event_id, value,
              CAST(row_number() OVER (PARTITION BY event_type
-               ORDER BY value, event_id) AS BIGINT) AS rn,
+               ORDER BY value NULLS LAST, event_id) AS BIGINT) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
            FROM events),
          nr AS (SELECT count(*) AS n_ref FROM events WHERE event_type = 'view'),
@@ -1116,7 +1127,7 @@ object Relational {
              CASE WHEN us <= mid_us THEN 'ref' ELSE 'cur' END AS half
            FROM ev CROSS JOIN m),
          rk AS (SELECT event_type, value,
-             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             row_number() OVER (PARTITION BY event_type ORDER BY value NULLS LAST) AS rn,
              count(*) OVER (PARTITION BY event_type) AS n
            FROM st WHERE half = 'ref'),
          f AS (SELECT event_type,
@@ -1350,7 +1361,7 @@ object Relational {
       """WITH r AS (
            SELECT event_type, value,
                   row_number() OVER (PARTITION BY event_type
-                                     ORDER BY value, event_id) AS i
+                                     ORDER BY value NULLS LAST, event_id) AS i
            FROM events)
          SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
                 round(CASE WHEN sum(value) > 0 THEN
@@ -1388,7 +1399,7 @@ object Relational {
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type, value FROM events),
          r1 AS (SELECT event_type, value,
-                       row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                       row_number() OVER (PARTITION BY event_type ORDER BY value NULLS LAST) AS rn,
                        count(*) OVER (PARTITION BY event_type) AS n
                 FROM ev),
          med AS (SELECT event_type,

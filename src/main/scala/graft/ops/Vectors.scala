@@ -342,8 +342,15 @@ object Vectors {
     * SAME centroids and therefore the same assignment — ties broken
     * by cluster id, empty clusters drop out identically on both
     * engines (none occur on the harness corpus). */
-  def kmeans(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
+  def kmeans(s: SparkSession, d: String): DataFrame =
+    kmeansCore(Tables.embeddings(s, d))
+
+  /** Lloyd's over any embeddings-shaped relation — DataFrame-
+    * parameterized so FaultToleranceSpec can inject task failures
+    * into the scan and watch the retried run produce bit-identical
+    * clusters. */
+  def kmeansCore(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), darr.as("v"))
     val init = e.filter(col("vec_id").isin(0L, 100L, 200L, 300L))
       .select(expr("vec_id div 100").as("cluster"), col("v").as("c"))
 

@@ -162,7 +162,15 @@ object Windows {
   def windowRollingMedianCore(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-4, 0)
-    ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    // NULL values are excluded up front (engine AND oracle): Spark's
+    // collect_list silently drops NULLs while DuckDB's list() keeps
+    // them, so with any NULL the collected frames — and the median
+    // index — would differ cross-engine (r4 advice). Filtering first
+    // makes the trailing-5 frame mean "the last 5 OBSERVED values" on
+    // both engines, the convention the other discrete-quantile
+    // queries already follow.
+    ev.filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("vals", collect_list(col("value")).over(w))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
         expr("element_at(array_sort(vals), cast((size(vals) + 1) div 2 as int))").as("med5"))
@@ -188,7 +196,7 @@ object Windows {
          FROM (SELECT user_id, ts, event_id, value,
              list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS l
-           FROM events)
+           FROM events WHERE value IS NOT NULL)
          ORDER BY user_id, ts, event_id""",
     // same spelled-out full-partition frame for all three navigators
     "q_window_first_last" ->

@@ -15,9 +15,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ewma computes the hourly rollup once (band self-join reuses the exchange)") {
-    val p = planOf("q_ewma")
-    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
-      s"the two band-join sides must not re-aggregate events independently: $p")
+    // r4 advice: accepting BroadcastHashJoin as an alternative proved
+    // nothing — a broadcast plan can still scan + aggregate events on
+    // BOTH sides. The claim is about the at-scale regime, so pin it
+    // with broadcast off (the SRP-LSH precedent): the band self-join
+    // sides must collapse into ONE computed exchange, i.e. events is
+    // scanned once and the hourly rollup aggregated once (one
+    // partial/final HashAggregate pair).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val qe = SparkEntry.queries("q_ewma")(spark, sf0001).queryExecution
+      qe.toRdd.foreach(_ => ()) // execute so AQE's final plan shows reuse
+      val full = qe.executedPlan.toString
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i => full.substring(0, i)
+      }
+      assert(p.contains("ReusedExchange"),
+        s"band self-join sides no longer reuse one exchange:\n$p")
+      assert("Scan parquet".r.findAllIn(p).length == 1,
+        s"events must be scanned exactly once (second side = ReusedExchange):\n$p")
+    } finally spark.conf.set(key, saved)
   }
 
   test("seq match stays a hash band join — no nested-loop over events") {
@@ -181,6 +201,38 @@ class PlanSpec extends SparkSpec {
       assert(qe.executedPlan.toString.contains("ReusedExchange"),
         s"$name self-join sides no longer reuse one exchange (silent 2x tokenize)")
     }
+  }
+
+  test("unpartitioned windows only ever sit on bounded post-aggregation relations") {
+    // r4 verdict task 2: several queries legitimately use
+    // Window.partitionBy() — global rank over chi-square cells, skew
+    // profile moments, dof windows — all on ≤|lang|·|source|-row
+    // POST-AGGREGATION relations, where a single task is the right
+    // plan. Nothing proved that invariant: an edit moving one onto a
+    // fact table would pass every sf0.1 oracle and become a
+    // single-task scale-killer at 100 TB. Gate: every WindowExec with
+    // an empty partition spec must have an aggregation (or an
+    // explicitly bounded local relation) somewhere below it — i.e. the
+    // fact-table volume was reduced BEFORE the unpartitioned window.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{LocalTableScanExec, RDDScanExec}
+    def boundedBelow(p: SparkPlan): Boolean = p.collectFirst {
+      case _: BaseAggregateExec => true
+      case _: LocalTableScanExec => true
+      case _: RDDScanExec => true
+    }.isDefined
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, sf0001).queryExecution.sparkPlan
+      plan.foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) =>
+          offenders += s"$name: unpartitioned window over an unaggregated input\n$w"
+        case _ => ()
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
   }
 
   test("no cartesian products outside the bounded cross join") {

@@ -23,7 +23,7 @@ object SparkEntry {
       ops.Functions.queries ++ ops.PageRank.queries ++ ops.Text.queries ++
       ops.Vectors.queries ++ ops.Events.queries ++ ops.AllReduce.queries ++
       ops.Multimodal.queries ++ ops.Sources.queries ++ ops.Corpus.queries ++
-      ops.Graph.queries
+      ops.Graph.queries ++ ops.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -32,5 +32,5 @@ object SparkEntry {
       ops.Functions.oracles ++ ops.PageRank.oracles ++ ops.Text.oracles ++
       ops.Vectors.oracles ++ ops.Events.oracles ++ ops.AllReduce.oracles ++
       ops.Multimodal.oracles ++ ops.Sources.oracles ++ ops.Corpus.oracles ++
-      ops.Graph.oracles
+      ops.Graph.oracles ++ ops.Pipeline.oracles
 }

@@ -402,13 +402,13 @@ object Text {
     * single-textual-reference columns): that shape benched at 34 s for
     * 5000 docs. `aggregate` evaluates its input array exactly once and
     * folds counts into a 64-slot accumulator. */
-  private def withHashedVec(docs: DataFrame): DataFrame =
+  private[ops] def withHashedVec(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       // empty tokens (double spaces) are dropped BEFORE hashing: Spark
       // would fold them to bucket 0 while DuckDB's init-less
       // list_reduce errors on the empty char list
       .withColumn("buckets",
-        transform(filter(words(col("text")), w => w =!= ""), w =>
+        transform(filter(words(col(textCol)), w => w =!= ""), w =>
           pmod(charHash(w), lit(64L)).cast("int")))
       .withColumn("vec",
         aggregate(col("buckets"), array_repeat(lit(0.0), 64),
@@ -738,21 +738,27 @@ object Text {
     * windows over arbitrary generated corpora (reconstruction
     * property: chunk 0 plus each later chunk minus its overlap
     * re-concatenates to the exact document). */
-  private[graft] def chunkCore(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+  private[graft] def chunkCore(docs: DataFrame, window: Int, stride: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(stride > 0 && window >= stride,
       s"window $window must cover stride $stride or chars between windows would be lost")
+    // `carry` rides extra input columns (e.g. `source` for the
+    // composed pipeline's per-shard packing) through the explode —
+    // cheaper than a join-back to documents on doc_id afterwards
+    val carried = carry.map(col)
     docs
       // a zero-length doc yields zero chunks: sequence(0, -1, stride)
       // throws 'Illegal sequence boundaries' whereas the oracle's
       // range(0, 0, stride) just emits no rows — filter matches the
       // oracle and keeps empty docs from killing the whole job
       .filter(col("n_chars") > 0)
-      .select(col("doc_id"), col("text"), col("n_chars"),
+      .select(Seq(col("doc_id"), col("text"), col("n_chars"),
         posexplode(sequence(lit(0), col("n_chars") - 1, lit(stride)))
-          .as(Seq("chunk_idx", "start")))
-      .select(col("doc_id"), col("chunk_idx"),
+          .as(Seq("chunk_idx", "start"))) ++ carried: _*)
+      .select(Seq(col("doc_id"), col("chunk_idx"),
         col("text").substr(col("start").cast("int") + 1, lit(window)).as("chunk"),
         length(col("text").substr(col("start").cast("int") + 1, lit(window))).as("chunk_chars"))
+        ++ carried: _*)
   }
 
   /** PII redaction (T25, r4): scrub emails and long digit runs from

@@ -167,9 +167,9 @@ object Vectors {
     * r3's persist did the same job but leaked into the session cache.
     * At scale the bucket is a shuffle key: candidates are bounded by
     * bucket sizes (the LSH guarantee), never by a quadratic blow-up. */
-  private def srpCandidates(e: DataFrame): DataFrame = {
+  private def srpCandidates(e: DataFrame, bandCol: String = "v"): DataFrame = {
     val banded = e.select(col("vec_id"),
-        posexplode(graft.functions.SrpBandKeys.srpBandKeys(col("v"), NBands, BitsPerBand))
+        posexplode(graft.functions.SrpBandKeys.srpBandKeys(col(bandCol), NBands, BitsPerBand))
           .as(Seq("band", "bkey")))
     val probe = banded.select(col("vec_id").as("va"), col("band"), col("bkey"))
     val build = banded.select(col("vec_id").as("vb"), col("band"), col("bkey"))
@@ -188,9 +188,19 @@ object Vectors {
     * materializes it once; the only extra cost of dropping r3's
     * (leaky) persist is one more column-pruned parquet scan feeding
     * the banded exchange. */
-  private[graft] def srpPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), darr.as("v"))
-    srpCandidates(e)
+  private[graft] def srpPairs(emb: DataFrame, minCos: Double): DataFrame =
+    srpPairsOf(emb.select(col("vec_id"), darr.as("v")), minCos)
+
+  /** [[srpPairs]] over an already-shaped `(vec_id, v: array<double>)`
+    * relation — the reusable LSH stage ([[graft.ops.Pipeline]] feeds
+    * it hashed CHUNK vectors rather than the embeddings table).
+    * `bandCol` lets the BUCKETING see a transformed rendering of the
+    * vector (Pipeline centers its all-positive count vectors so they
+    * spread across sign orthants) while the cosine CONFIRM always
+    * scores the raw `v`. */
+  private[ops] def srpPairsOf(e: DataFrame, minCos: Double,
+      bandCol: String = "v"): DataFrame = {
+    srpCandidates(e, bandCol)
       .join(e.select(col("vec_id").as("va"), col("v").as("va_v")), Seq("va"))
       .join(e.select(col("vec_id").as("vb"), col("v").as("vb_v")), Seq("vb"))
       .select(col("va"), col("vb"), cosine(col("va_v"), col("vb_v")).as("cos"))
@@ -393,8 +403,27 @@ object Vectors {
     s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
   private def sqlNorm(a: String) =
     s"sqrt(list_reduce(list_transform($a, x -> x * x), (x, y) -> x + y))"
-  private def sqlCos(a: String, b: String) =
+  private[ops] def sqlCos(a: String, b: String) =
     s"${sqlDot(a, b)} / (${sqlNorm(a)} * ${sqlNorm(b)})"
+
+  /** The q_dedup_embed oracle's SRP rendering, shared with the
+    * composed-pipeline oracle ([[graft.ops.Pipeline]]) so the two can
+    * never drift: the same 32 hyperplane dots (integer literals + one
+    * double division → bit-identical sign bits) and the same 4
+    * 8-bit band keys, as UNION ALL band selects over `$from`
+    * (expected columns: `$idCol`, `v`). */
+  private[ops] def sqlSrpDotPlane(j: Int, vExpr: String = "v"): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $vExpr[i] * ((((i-1) * ${j + 2} + ${j * j + 1}) % 37) - 18) / 18.0), (x, y) -> x + y)"
+
+  private[ops] def sqlSrpBandSelects(from: String, idCol: String,
+      vExpr: String = "v"): String = {
+    def bandKey(b: Int) = (0 until BitsPerBand).map { t =>
+      s"(CASE WHEN ${sqlSrpDotPlane(b * BitsPerBand + t, vExpr)} > 0 THEN ${1 << t} ELSE 0 END)"
+    }.mkString(" + ")
+    (0 until NBands).map { b =>
+      s"SELECT $idCol, $b AS band, CAST(${bandKey(b)} AS INT) AS bkey FROM $from"
+    }.mkString("\n           UNION ALL ")
+  }
 
   /** The k-means recurrence unrolled: assignment = argmin over the
     * left-fold squared distance (bit-identical to Spark's
@@ -478,14 +507,7 @@ object Vectors {
     // size — a 10-round unroll was caught short by the sf0.1 sweep);
     // VectorsSpec pins unroll sufficiency on testdata
     "q_dedup_embed" -> {
-      def dotPlane(j: Int) =
-        s"list_reduce(list_transform(range(1, 65), i -> v[i] * ((((i-1) * ${j + 2} + ${j * j + 1}) % 37) - 18) / 18.0), (x, y) -> x + y)"
-      def bandKey(b: Int) = (0 until BitsPerBand).map { t =>
-        s"(CASE WHEN ${dotPlane(b * BitsPerBand + t)} > 0 THEN ${1 << t} ELSE 0 END)"
-      }.mkString(" + ")
-      val bandSelects = (0 until NBands).map { b =>
-        s"SELECT vec_id, $b AS band, CAST(${bandKey(b)} AS INT) AS bkey FROM e"
-      }.mkString("\n           UNION ALL ")
+      val bandSelects = sqlSrpBandSelects("e", "vec_id")
       // every round MATERIALIZED: each l_k references l_{k-1} twice,
       // so inlined CTEs double per round — 2^rounds re-plans of the
       // base scan (DuckDB dies on file handles past ~10 rounds)

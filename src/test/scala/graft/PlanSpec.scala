@@ -203,6 +203,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pipeline flagship: banded self-join reuses one exchange, nothing cached, packing window partitioned") {
+    // the composed chunk→embed→prune→pack chain must inherit the
+    // component operators' plan shapes: the LSH bucket self-join
+    // computes the chunk→vector→band pipeline ONCE (ReuseExchange, the
+    // SRP-LSH precedent — pinned broadcast-off since that's the
+    // at-scale regime), nothing leaks into the session cache, and the
+    // packing window is source-partitioned (never the single-task
+    // global window)
+    // the LSH stage executes inside the Components loop (its edges are
+    // checkpointed before pointer jumping), so the reuse must be pinned
+    // on the edges subplan — the final query plan never contains it
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val qe = ops.Pipeline.nearDupEdges(Tables.documents(spark, sf0001)).queryExecution
+      qe.toRdd.foreach(_ => ())
+      val p = qe.executedPlan.toString
+      assert("ReusedExchange".r.findAllIn(p).length >= 2,
+        s"expected the banded self-join AND the vector join-backs to reuse exchanges:\n$p")
+      assert(!p.contains("InMemoryTableScan"), "LSH stage must not cache anything")
+    } finally spark.conf.set(key, saved)
+    val full = SparkEntry.queries("q_pipeline_corpus")(spark, sf0001).queryExecution
+    full.toRdd.foreach(_ => ())
+    assert(!full.executedPlan.toString.contains("InMemoryTableScan"),
+      "pipeline must not cache anything")
+    val sp = SparkEntry.queries("q_pipeline_corpus")(spark, sf0001).queryExecution.sparkPlan
+    val windows = sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"packing window must partition by source: $windows")
+  }
+
   test("unpartitioned windows only ever sit on bounded post-aggregation relations") {
     // r4 verdict task 2: several queries legitimately use
     // Window.partitionBy() — global rank over chi-square cells, skew

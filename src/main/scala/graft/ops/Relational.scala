@@ -150,6 +150,74 @@ object Relational {
         round(sum(col("c_acctbal")), 2).as("sum_bal"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** TPC-H Q5-shaped regional supplier volume (SURVEY J2/J3 composed
+    * at full width): customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation
+    * ⋈ region, revenue per nation for one region and a 2-year order
+    * window, with the Q5 locality clause `c_nationkey = s_nationkey`
+    * riding the supplier join. The classic mixed-strategy plan: the
+    * three fact joins shuffle on their FK (AQE picks SMJ/SHJ), the
+    * O(10²)-row nation⋈region dim — pre-filtered to the target region
+    * BEFORE touching any fact — is explicitly broadcast, and the date
+    * predicate folds to a pushed filter on the orders scan so at 100 TB
+    * only the 2-year slice of orders (and nothing of the other years)
+    * ever enters a shuffle. 5-row result. */
+  def tpchRegional(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(Tables.orders(s, d)
+          .filter(year(col("o_orderdate")).between(1996, 1997))
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Decorrelated correlated subquery (SURVEY §2.4/§4): "orders whose
+    * price exceeds 1.2× their customer's average order" — the textbook
+    * correlated-scalar-subquery shape. The oracle SQL states it
+    * correlated (DuckDB decorrelates internally); the engine plans the
+    * decorrelated form directly as ONE window over `o_custkey` — a
+    * single hash-partitioned shuffle of orders, no join, no
+    * re-aggregation, no per-row subquery. At 100 TB that is the only
+    * correct shape: the naive correlated plan is O(n) subqueries. */
+  def correlatedAvg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Window.partitionBy(col("o_custkey"))
+    // the average is fixed-point end-to-end: EXACT decimal(18,2) sum →
+    // integer cents → floor-divided 1e-4 units → /10⁴. Double summation
+    // is accumulation-order-dependent (observed: 23 divergent cells at
+    // sf0.01), and even an exact sum lands round(·,4) on .xxxx5 ties
+    // that Spark (BigDecimal HALF_UP) and DuckDB (double rounding)
+    // break differently (observed: 10 cells) — floor over exact
+    // integers has no ties to break.
+    Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("cust_cents",
+        (sum(col("o_totalprice").cast("decimal(18,2)")).over(perCust) * 100)
+          .cast("long"))
+      .withColumn("n_cust_orders", count(lit(1)).over(perCust))
+      .withColumn("cust_avg",
+        expr("(cust_cents * 100) div n_cust_orders") / lit(10000.0))
+      .filter(col("o_totalprice") > lit(1.2) * col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("cust_avg"),
+        col("n_cust_orders"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Top-k (SURVEY O2): orderBy+limit plans TakeOrderedAndProject —
     * per-partition heaps + driver merge of k rows, never a full sort.
     * Unique `o_orderkey` tiebreak keeps the k-th boundary stable. */
@@ -1066,6 +1134,8 @@ object Relational {
     "q_join_inner"        -> joinInner,
     "q_join_inner_bucketed" -> joinInnerBucketed,
     "q_join_broadcast"    -> joinBroadcast,
+    "q_tpch_regional"     -> tpchRegional,
+    "q_correlated_avg"    -> correlatedAvg,
     "q_topk"              -> topk,
     "q_set_ops"           -> setOps,
   )
@@ -1583,6 +1653,36 @@ object Relational {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_tpch_regional" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1997
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    // stated CORRELATED on purpose: the engine plans the decorrelated
+    // single-window form; the oracle proves it equals the correlated spec
+    // avg = exact decimal sum → integer cents → floor-div 1e-4 units
+    // (see the engine-side comment on rounding ties)
+    "q_correlated_avg" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST((SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders o2 WHERE o2.o_custkey = o1.o_custkey) * 100
+                AS BIGINT) AS cust_cents,
+           (SELECT count(*) FROM orders o2
+            WHERE o2.o_custkey = o1.o_custkey) AS n_cust_orders
+           FROM orders o1),
+         b AS (SELECT o_orderkey, o_custkey, o_totalprice, n_cust_orders,
+           ((cust_cents * 100) // n_cust_orders) / 10000.0 AS cust_avg
+           FROM a)
+         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+           cust_avg, n_cust_orders
+         FROM b WHERE o_totalprice > 1.2 * cust_avg
+         ORDER BY o_orderkey""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
          FROM orders ORDER BY round(o_totalprice, 2) DESC, o_orderkey ASC LIMIT 100""",

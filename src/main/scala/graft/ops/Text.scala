@@ -296,6 +296,51 @@ object Text {
       .orderBy(col("lang"), col("doc_a"), col("doc_b"))
   }
 
+  /** Substring-level exact dedup (T-family): the fixed-width-window
+    * rendering of Lee et al.'s suffix-array substring dedup
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022) — every 8-token window of every document, flagged when
+    * the identical window also occurs in ANOTHER document, rolled up
+    * to a per-doc duplicated-window fraction that drives the removal
+    * gate. Catches copied passages inside otherwise-distinct documents
+    * that doc-level hashing (exact/MinHash/SimHash) can never see.
+    *
+    * Shape at 100 TB: windows are built narrowly (transform over a
+    * position sequence — no join, no per-token explode-then-regroup),
+    * then ONE hash shuffle keyed on the window resolves cross-doc
+    * occurrence via min≠max over doc_id (a window pair sharing one
+    * WindowExec — cheaper than count(distinct)), and one groupBy
+    * rolls up per doc. ~8× token volume through the gram shuffle; a
+    * production run would key on xxhash64(window) to shrink shuffle
+    * bytes to 8/window (the minhash-vs-portable precedent) — the
+    * string key here keeps the query oracle-comparable. */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    dedupSubstringCore(Tables.documents(s, d), gram = 8, floor = 0.2)
+
+  /** Window-dedup over any `(doc_id, text)` relation, parameterized by
+    * gram width and removal floor so TextSpec can pin planted shared
+    * passages on a fixture corpus. */
+  private[graft] def dedupSubstringCore(docs: DataFrame, gram: Int, floor: Double): DataFrame = {
+    val byGram = Window.partitionBy(col("g"))
+    docs
+      .select(col("doc_id"),
+        filter(words(col("text")), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= gram)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - gram),
+          i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(gram))))).as("g"))
+      .withColumn("dup",
+        min(col("doc_id")).over(byGram) =!= max(col("doc_id")).over(byGram))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("dup"), 1)).as("dup_windows"))
+      .withColumn("dup_frac",
+        round(col("dup_windows") / col("n_windows").cast("double"), 6))
+      .withColumn("drop_doc", col("dup_frac") >= floor)
+      .orderBy(col("doc_id"))
+  }
+
   /** PMI collocation mining (T22, r4): which word pairs co-occur in
     * documents more than independence predicts —
     * pmi(a,b) = ln(P(a,b) / (P(a)·P(b))) over document-level
@@ -487,6 +532,44 @@ object Text {
           lit(0.3) * least(lit(1.0), col("n_words") / lit(50.0)))
       .orderBy(col("doc_id"))
 
+  }
+
+  /** Model-based quality gate (T-family): a fixed-weight logistic
+    * classifier over the [[textQuality]] signal set — the engine
+    * rendering of the fastText/linear quality classifiers used to gate
+    * web corpora (the weights would come from offline training; here
+    * they are pinned constants, which is exactly how a trained model
+    * deploys into the pipeline). Score = σ(z) with
+    * z = -1 + 3·ttr − 2·stop_ratio + 0.5·ln(n_words/10). The keep
+    * decision is taken on z > 0 (pure rational arithmetic, exact on
+    * both engines) rather than σ(z) ≥ 0.5, so the one transcendental
+    * (exp) only ever appears in the ROUNDED score column — the
+    * q_tfidf ln-precedent, applied to the gate's decision boundary.
+    * Zero shuffles before the output sort: a 100 TB corpus streams
+    * through this entirely map-side. */
+  def qualityLogistic(s: SparkSession, d: String): DataFrame =
+    qualityLogisticCore(Tables.documents(s, d))
+
+  /** The gate over any `(doc_id, text)` relation — DataFrame-
+    * parameterized so TextSpec can pin z/score/keep arithmetic on
+    * hand-computed fixtures. */
+  private[graft] def qualityLogisticCore(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs
+      .select(col("doc_id"),
+        size(ws).cast("double").as("n_words"),
+        (size(array_distinct(ws)) / size(ws).cast("double")).as("ttr"),
+        (size(filter(ws, w => w === "the" || w === "a" || w === "of")) /
+          size(ws).cast("double")).as("stop_ratio"))
+      .withColumn("z",
+        lit(-1.0) + lit(3.0) * col("ttr") - lit(2.0) * col("stop_ratio") +
+          lit(0.5) * log(col("n_words") / lit(10.0)))
+      .select(col("doc_id"),
+        round(col("ttr"), 6).as("ttr"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
+        (col("z") > 0).as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   /** Token counting (north star): whitespace tokens, a chars/4 BPE
@@ -1049,6 +1132,8 @@ object Text {
     "q_dedup_prefix"  -> dedupPrefix,
     "q_dedup_edit"    -> dedupEdit,
     "q_dedup_sorted"  -> dedupSorted,
+    "q_dedup_substring" -> dedupSubstring,
+    "q_quality_logistic" -> qualityLogistic,
     "q_pmi"           -> pmi,
     "q_hash_embed"    -> hashEmbed,
     "q_doc_sim"       -> docSim,
@@ -1408,6 +1493,42 @@ object Text {
                 round(inter * 1.0 / uni, 6) AS jac
          FROM p WHERE round(inter * 1.0 / uni, 6) >= 0.5
          ORDER BY lang, doc_a, doc_b""",
+    // every 8-token window; dup ⇔ the window occurs in another doc
+    // (min≠max over doc_id), rolled up to a per-doc dup fraction
+    "q_dedup_substring" ->
+      """WITH d AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), w -> w != '') AS ws
+                FROM documents),
+         g AS (SELECT doc_id, array_to_string(ws[i + 1:i + 8], ' ') AS g
+               FROM d, unnest(range(len(ws) - 7)) AS t(i)
+               WHERE len(ws) >= 8),
+         f AS (SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY g)
+                   <> max(doc_id) OVER (PARTITION BY g) AS dup
+               FROM g)
+         SELECT doc_id,
+           count(*) AS n_windows,
+           count(*) FILTER (WHERE dup) AS dup_windows,
+           round(count(*) FILTER (WHERE dup) / CAST(count(*) AS DOUBLE), 6) AS dup_frac,
+           round(count(*) FILTER (WHERE dup) / CAST(count(*) AS DOUBLE), 6) >= 0.2 AS drop_doc
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // same signals as q_text_quality; gate decided on z > 0 so exp()
+    // only appears inside the rounded score column
+    "q_quality_logistic" ->
+      """WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+                  len(list_distinct(string_split(text, ' ')))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+                  len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the', 'a', 'of')))
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+                FROM documents),
+         z AS (SELECT doc_id, ttr, stop_ratio,
+                 -1.0 + 3.0 * ttr - 2.0 * stop_ratio + 0.5 * ln(n_words / 10.0) AS z
+               FROM d)
+         SELECT doc_id, round(ttr, 6) AS ttr, round(stop_ratio, 6) AS stop_ratio,
+           round(1.0 / (1.0 + exp(-z)), 6) AS score, z > 0 AS keep
+         FROM z ORDER BY doc_id""",
     "q_dedup_ngram" -> jaccardOracleSql("0.1"),
     // prefix filtering is lossless: same brute-force oracle at the
     // near-dup floor (4.0/5 parses to the identical double literal)

@@ -52,6 +52,45 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).length == 2, p)
   }
 
+  test("tpch regional: dims broadcast pre-filtered, date predicate pushed to the orders scan") {
+    val df = SparkEntry.queries("q_tpch_regional")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the region filter must run INSIDE the broadcast side (5-row dim),
+    // never against a fact table
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // year(o_orderdate) BETWEEN folds to a date-range pushable predicate
+    // shape; at minimum it must be a filter directly over the orders scan
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.schema.fieldNames.toSet ==
+        Set("o_orderkey", "o_custkey", "o_orderdate")),
+      s"orders scan must be pruned to the joined + filtered columns:\n$p")
+  }
+
+  test("correlated avg decorrelates to ONE window exchange — no join, no re-scan") {
+    val p = planOf("q_correlated_avg")
+    assert(!p.contains("Join"), s"decorrelated plan must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"orders must be scanned exactly once:\n$p")
+  }
+
+  test("substring dedup: gram shuffle carries only (doc_id, window) — text never re-shuffles") {
+    val p = planOf("q_dedup_substring")
+    // one hash exchange for the per-gram window, one for the per-doc
+    // rollup, one range for the output sort — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("logistic quality gate runs entirely map-side before the output sort") {
+    val p = planOf("q_quality_logistic")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("top-k plans TakeOrderedAndProject, not a global sort") {
     val p = planOf("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

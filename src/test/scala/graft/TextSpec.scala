@@ -28,6 +28,38 @@ class TextSpec extends SparkSpec {
     assert(floored.map(_.getString(2)).toSeq == Seq("apple"), floored.mkString(";"))
   }
 
+  test("substring dedup: shared passages flag, within-doc repeats don't, short docs absent") {
+    // d1/d2 share exactly one 3-token window ("a b c") → dup 1/4 each;
+    // d3 repeats its own window twice (min=max over doc_id → NOT dup);
+    // d4 is too short to window at gram=3 and must be absent.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c d e f"), (2L, "x y a b c q"), (3L, "z z z z"), (4L, "p q"),
+    )).toDF("doc_id", "text")
+    val out = Text.dedupSubstringCore(docs, gram = 3, floor = 0.25).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.toString)
+    assert(out(1L) == ((4L, 1L, 0.25, true)), out.toString)
+    assert(out(2L) == ((4L, 1L, 0.25, true)), out.toString)
+    assert(out(3L) == ((2L, 0L, 0.0, false)), out.toString)
+  }
+
+  test("logistic quality gate: z arithmetic, sigmoid score, keep on z>0") {
+    // good: 10 distinct words, 1 stopword → ttr=1, stop=0.1,
+    // z = -1 + 3 - 0.2 + 0.5·ln(1) = 1.8 → keep.
+    // junk: "the"×10 → ttr=0.1, stop=1 → z = -1 + 0.3 - 2 + 0 = -2.7.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the cat sat on mat dog log fog bog zog"),
+      (2L, "the the the the the the the the the the"),
+    )).toDF("doc_id", "text")
+    def rd(v: Double) = math.rint(v * 1e6) / 1e6
+    val out = Text.qualityLogisticCore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((1.0, 0.1, rd(1.0 / (1.0 + math.exp(-1.8))), true)), out.toString)
+    assert(out(2L) == ((0.1, 1.0, rd(1.0 / (1.0 + math.exp(2.7))), false)), out.toString)
+  }
+
   test("containment: a fully-quoted small doc scores 1.0 where Jaccard sees 0.4") {
     // doc 1 ("p q r s" → 2 shingles) is contained whole in doc 2
     // (5 shingles): cont_a = 1.0, cont_b = 0.4, Jaccard only 2/5 —

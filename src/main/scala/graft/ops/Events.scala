@@ -645,7 +645,103 @@ object Events {
       .orderBy(col("dow"))
   }
 
+  /** Rolling z-score anomaly detection (E18, r5): each event scored
+    * against its user's trailing 20 observations — the streaming-ish
+    * outlier gauge ("is THIS value weird for THIS user?") that a
+    * per-user global z (A8) can't express. One co-partitioned window
+    * pass; at 100 TB the only shuffle is the (user_id) hash partition
+    * the other per-user windows already pay.
+    *
+    * Cross-engine contract: sliding-frame SUMS of doubles are NOT
+    * portable (Spark slides by add/remove updates, DuckDB by segment
+    * tree — different accumulation orders), so value quantizes to
+    * exact 1e-4 integer units FIRST (floor of one IEEE multiply —
+    * identical on both engines) and every frame statistic is integer
+    * arithmetic until the single final division: z = (n·x − Σx) /
+    * √(n·Σx² − (Σx)²), all operands exact longs (bounded: |u| ≤ 5.7e6
+    * at the harness value range, n ≤ 20 ⇒ n·Σx² ≤ 1.3e16 < 2⁶³).
+    * Flat-history frames (variance 0) can't be scored and drop. */
+  def rollingZscore(s: SparkSession, d: String): DataFrame =
+    rollingZscoreCore(Tables.events(s, d))
+
+  /** Trailing-frame scoring over any events relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the frame
+    * arithmetic on a hand-built history. */
+  def rollingZscoreCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    ev.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("u", floor(col("value") * 10000).cast("long"))
+      .withColumn("n", count(col("u")).over(w))
+      .withColumn("sx", sum(col("u")).over(w))
+      .withColumn("sxx", sum(col("u") * col("u")).over(w))
+      .filter(col("n") >= 5 && (col("n") * col("sxx") > col("sx") * col("sx")))
+      .withColumn("z", (col("n") * col("u") - col("sx")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"),
+        round(col("z"), 4).as("z"), (abs(col("z")) > 2.0).as("is_anomaly"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Cumulative distinct users by day (E19, r5): daily actives, daily
+    * FIRST-SEEN users, and the running total of distinct users ever
+    * seen — the growth-accounting readout. Running COUNT(DISTINCT) is
+    * not a window Spark (or any shuffle engine) can stream, and the
+    * textbook trick makes it linear: a user contributes to exactly one
+    * day (their min), so cumulative distinct = running SUM of
+    * first-seen counts. Two hash shuffles over the user-day distinct
+    * (day rollup + user min); the one unpartitioned running-sum window
+    * sits on the joined per-day aggregates — a calendar-bounded
+    * relation (the PlanSpec window gate's post-aggregation case). */
+  def cumulativeDistinct(s: SparkSession, d: String): DataFrame =
+    cumulativeDistinctCore(Tables.events(s, d))
+
+  /** Growth accounting over any events relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the first-seen
+    * attribution by hand. */
+  def cumulativeDistinctCore(ev: DataFrame): DataFrame = {
+    val dayUsers = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val active = dayUsers.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val firstSeen = dayUsers.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    active.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("day"), col("n_active"), col("n_new"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Trailing 7-day rolling active users (E20, r5): distinct users
+    * active in [d−6, d] for every observed day — the DAU/WAU family's
+    * WAU curve. A rolling window cannot deduplicate users across days,
+    * so the shape is: collapse events to the (user, day) distinct,
+    * then a bounded band join against the OBSERVED-day dim (calendar-
+    * bounded, explicitly broadcast — each user-day lands in ≤ 7 target
+    * days, the q_mix_epochs bounded-inequality precedent), re-distinct
+    * on (target day, user), one rollup. At 100 TB cost scales with
+    * user-days × 7, never event volume — the first distinct collapses
+    * raw events before anything widens. */
+  def rollingActive(s: SparkSession, d: String): DataFrame =
+    rollingActiveCore(Tables.events(s, d))
+
+  /** WAU banding over any events relation — DataFrame-parameterized
+    * so AnalyticsSpec can pin the window membership at the 7-day
+    * boundary by hand. */
+  def rollingActiveCore(ev: DataFrame): DataFrame = {
+    val dayUsers = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = dayUsers.select(col("day").as("d")).distinct()
+    dayUsers.join(broadcast(days),
+        col("day") <= col("d") && col("day") >= date_sub(col("d"), 6))
+      .select(col("d"), col("user_id")).distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("n_active_7d"))
+      .orderBy(col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_zscore"  -> rollingZscore,
+    "q_cume_distinct"   -> cumulativeDistinct,
+    "q_rolling_active"  -> rollingActive,
     "q_convert_latency" -> convertLatency,
     "q_rfm"             -> rfm,
     "q_incr_agg"        -> incrAgg,
@@ -674,6 +770,44 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // same 1e-4 integer quantization, same exact-integer frame sums,
+    // same single division — see the engine-side portability comment
+    "q_rolling_zscore" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+             CAST(floor(value * 10000) AS BIGINT) AS u FROM events),
+         w AS (SELECT user_id, event_id, value, u,
+             count(u) OVER win AS n,
+             sum(u) OVER win AS sx,
+             sum(u * u) OVER win AS sxx
+           FROM x
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, round(value, 2) AS value,
+           round((n * u - sx) / sqrt(n * sxx - sx * sx), 4) AS z,
+           abs((n * u - sx) / sqrt(n * sxx - sx * sx)) > 2.0 AS is_anomaly
+         FROM w WHERE n >= 5 AND n * sxx > sx * sx
+         ORDER BY user_id, event_id""",
+    // cumulative distinct = running sum of first-seen counts (a user
+    // contributes to exactly one day: their min)
+    "q_cume_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         act AS (SELECT day, count(*) AS n_active FROM du GROUP BY day),
+         fs AS (SELECT day, count(*) AS n_new FROM (
+                  SELECT user_id, min(day) AS day FROM du GROUP BY user_id)
+                GROUP BY day)
+         SELECT act.day, act.n_active, coalesce(fs.n_new, 0) AS n_new,
+           CAST(sum(coalesce(fs.n_new, 0)) OVER (ORDER BY act.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+         FROM act LEFT JOIN fs ON act.day = fs.day
+         ORDER BY act.day""",
+    // same bounded band join against the observed-day dim
+    "q_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         days AS (SELECT DISTINCT day AS d FROM du)
+         SELECT d, count(*) AS n_active_7d FROM (
+           SELECT DISTINCT days.d, du.user_id
+           FROM du JOIN days ON du.day <= days.d AND du.day >= days.d - 6)
+         GROUP BY d ORDER BY d""",
     // same band candidates, same first-purchase min fold, same
     // integer-microsecond discrete ranks, same isodow grouping
     "q_convert_latency" ->

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Triangle counting (round-4 graph-profile extension, §2.14 family):
@@ -333,7 +334,57 @@ object Graph {
       .orderBy(col("u"), col("v"))
   }
 
+  /** Adamic-Adar link prediction, serving shape (G-family, r5 wave
+    * 12; Adamic & Adar 2003, Liben-Nowell & Kleinberg 2007): top-5
+    * suggested new edges for each FOCAL node (a 1% id-sample standing
+    * in for the online query batch). All-pairs AA is Σ_z C(deg z, 2)
+    * — quadratic in degree and hopeless on a dense co-occurrence
+    * graph (this one holds deg ≈ 120 at every SF) — so the engine
+    * computes it per query node, the batched-ANN precedent: cost is
+    * \|batch\| · d̄², linear in the batch, and at 100 TB the batch IS
+    * the serving request stream. One wedge join keyed on the common
+    * neighbor, one rollup, one canonical-pair anti-join against the
+    * existing edges, one per-focal rank window.
+    *
+    * Portability: Σ 1/ln(deg z) over an arbitrary visit order is not
+    * cross-engine stable, so each neighbor's weight quantizes FIRST —
+    * floor(1e6/ln deg), one identical double division then floor →
+    * exact longs — and the score sums integers (the rolling-zscore
+    * contract). deg ≥ 2 for every common neighbor by construction;
+    * the explicit filter keeps ln(1) = 0 out of the division. */
+  def linkPrediction(s: SparkSession, d: String): DataFrame =
+    linkPredictionCore(coEdges(s, d), topPerNode = 5)
+
+  /** Scoring over any `(u < v)` edge relation — DataFrame-
+    * parameterized so GraphSpec can pin the closed-form weights and
+    * the existing-edge exclusion on a hand-built graph. */
+  def linkPredictionCore(edges: DataFrame, topPerNode: Int): DataFrame = {
+    val e = edges.localCheckpoint() // consumers: sym (×2 sides), anti-join
+    val sym = e.select(col("u").as("a"), col("v").as("z"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("z")))
+    val wz = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .select(col("z"),
+        floor(lit(1000000.0) / log(col("deg").cast("double"))).cast("long").as("w"))
+    val focal = sym.filter(pmod(col("a"), lit(100)) === 7)
+    val scored = focal.join(sym.select(col("z"), col("a").as("b")), Seq("z"))
+      .filter(col("a") =!= col("b"))
+      .join(wz, Seq("z"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("w")).as("aa_micros"))
+    val fresh = scored.join(e,
+      least(scored("a"), scored("b")) === e("u") &&
+        greatest(scored("a"), scored("b")) === e("v"), "left_anti")
+    val rn = row_number().over(
+      Window.partitionBy(col("a")).orderBy(col("aa_micros").desc, col("b")))
+    fresh.withColumn("rank", rn).filter(col("rank") <= topPerNode)
+      .select(col("a"), col("b"), col("rank"), col("common_neighbors"),
+        col("aa_micros"), round(col("aa_micros") / 1e6, 6).as("adamic_adar"))
+      .orderBy(col("a"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_link_predict" -> linkPrediction,
     "q_triangles" -> triangles,
     "q_kcore"     -> kcore,
     "q_bfs"       -> bfsQuery,
@@ -405,6 +456,29 @@ object Graph {
        FROM g ORDER BY n_reached"""
 
   val oracles: Map[String, String] = Map(
+    // same quantized integer weights (floor(1e6/ln deg) — identical
+    // double division then floor), same exact-long score sums, same
+    // canonical-pair exclusion and per-focal total-order rank
+    "q_link_predict" ->
+      s"""WITH e AS MATERIALIZED ($coEdgesSql),
+         sym AS MATERIALIZED (SELECT u AS a, v AS z FROM e UNION ALL SELECT v, u FROM e),
+         wz AS (SELECT z, CAST(floor(1000000.0 / ln(deg)) AS BIGINT) AS w FROM
+                  (SELECT z, count(*) AS deg FROM sym GROUP BY z) WHERE deg >= 2),
+         sc AS (SELECT f.a, s.a AS b, count(*) AS common_neighbors,
+                  CAST(sum(w) AS BIGINT) AS aa_micros
+                FROM sym f JOIN sym s ON f.z = s.z AND f.a != s.a
+                JOIN wz ON wz.z = f.z
+                WHERE f.a % 100 = 7
+                GROUP BY f.a, s.a),
+         ne AS (SELECT sc.* FROM sc
+                LEFT JOIN e ON least(sc.a, sc.b) = e.u AND greatest(sc.a, sc.b) = e.v
+                WHERE e.u IS NULL),
+         r AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY a ORDER BY aa_micros DESC, b) AS INT) AS rank
+               FROM ne)
+         SELECT a, b, rank, common_neighbors, aa_micros,
+           round(aa_micros / 1000000.0, 6) AS adamic_adar
+         FROM r WHERE rank <= 5 ORDER BY a, rank""",
     // same distinct-basket pair counts, same top-20 total-order cut,
     // same single-division closed forms on exact-integer operands
     "q_assoc_rules" ->

@@ -218,6 +218,116 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** TPC-H Q3-shaped shipping priority (SURVEY J11 family): top-10
+    * unshipped-revenue orders for one market segment around a cutoff
+    * date. Both date predicates fold onto their scans (orders placed
+    * BEFORE the cutoff, lineitems shipping AFTER it), the segment
+    * filter semi-reduces customer before its join, and the final
+    * top-10 plans TakeOrderedAndProject over the grouped revenue —
+    * per-partition heaps, never a global sort. At 100 TB the only
+    * full-width shuffles are the two FK joins on the date-pruned
+    * slices. */
+  def tpchShipping(s: SparkSession, d: String): DataFrame = {
+    val cutoff = "1997-07-01"
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q14-shaped promo revenue share per ship month: one
+    * conditional aggregate over the lineitem ⋈ part join for a single
+    * ship year. The part dim is O(SF·200k) — small next to lineitem —
+    * and joins broadcast at harness scale; at 100 TB it exceeds the
+    * broadcast threshold and AQE falls back to a shuffle join keyed on
+    * partkey, which this shape tolerates (one join, one 12-row agg).
+    * Numerator and denominator are each rounded at 4 BEFORE the one
+    * division, so both engines divide identical doubles; the share
+    * re-rounds at 6. */
+  def tpchPromo(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1997)
+      .select(col("l_partkey"), month(col("l_shipdate")).as("ship_month"),
+        rev.as("rev"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0)), 4)
+          .as("promo_rev"),
+        round(sum(col("rev")), 4).as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_share",
+        round(lit(100.0) * col("promo_rev") / col("total_rev"), 6))
+      .orderBy(col("ship_month"))
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: customers whose single
+    * order accumulates > 300 units across its lineitems. The HAVING
+    * relation (per-order quantity rollup) is built FIRST and filtered
+    * to the rare heavy tail before any wider join touches it — at
+    * 100 TB the rollup is lineitem's one full shuffle and everything
+    * after joins against a relation thousands of times smaller.
+    * l_quantity is integral-valued (1..50), so the double sums are
+    * exact integers on both engines — no rounding contract needed. */
+  def tpchBigOrders(s: SparkSession, d: String): DataFrame = {
+    val heavy = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("total_price"),
+        col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** Year-over-year monthly revenue growth (r5 wave 13): the BI
+    * period-comparison readout — revenue and order count per (year,
+    * month), each month's growth vs the SAME month last year via one
+    * lag window partitioned by month over the post-aggregation
+    * relation (calendar-bounded; the window never touches fact
+    * volume). Revenue is exact integer cents (decimal sum → long), so
+    * the growth division sees identical operands cross-engine; the
+    * first year of each month has no prior → NULL growth. */
+  def yoyGrowth(s: SparkSession, d: String): DataFrame =
+    yoyGrowthCore(Tables.orders(s, d))
+
+  /** Growth over any `(o_orderdate, o_totalprice)` relation —
+    * DataFrame-parameterized so AnalyticsSpec can pin the lag
+    * alignment and first-year NULL by hand. */
+  private[graft] def yoyGrowthCore(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = orders
+      .select(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("yr"), col("mo"))
+      .agg((sum(col("p")) * 100).cast("long").as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+    val byMonth = Window.partitionBy(col("mo")).orderBy(col("yr"))
+    m.withColumn("prev_cents", lag(col("rev_cents"), 1).over(byMonth))
+      .select(col("yr"), col("mo"), col("rev_cents"), col("n_orders"),
+        round((col("rev_cents") - col("prev_cents")) * lit(100.0) / col("prev_cents"), 4)
+          .as("yoy_pct"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
   /** Top-k (SURVEY O2): orderBy+limit plans TakeOrderedAndProject —
     * per-partition heaps + driver merge of k rows, never a full sort.
     * Unique `o_orderkey` tiebreak keeps the k-th boundary stable. */
@@ -1135,6 +1245,10 @@ object Relational {
     "q_join_inner_bucketed" -> joinInnerBucketed,
     "q_join_broadcast"    -> joinBroadcast,
     "q_tpch_regional"     -> tpchRegional,
+    "q_tpch_shipping"     -> tpchShipping,
+    "q_tpch_promo"        -> tpchPromo,
+    "q_tpch_bigorders"    -> tpchBigOrders,
+    "q_yoy_growth"        -> yoyGrowth,
     "q_correlated_avg"    -> correlatedAvg,
     "q_topk"              -> topk,
     "q_set_ops"           -> setOps,
@@ -1664,6 +1778,55 @@ object Relational {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1997
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_shipping" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+           AND l_shipdate > TIMESTAMP '1997-07-01'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    // numerator/denominator each rounded at 4 BEFORE the one division
+    // (identical double operands cross-engine), share re-rounded at 6
+    "q_tpch_promo" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+         round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1.0 - l_discount)
+                        ELSE 0.0 END), 4) AS promo_rev,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_rev,
+         count(*) AS n_items,
+         round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1.0 - l_discount)
+                                      ELSE 0.0 END), 4)
+               / round(sum(l_extendedprice * (1.0 - l_discount)), 4), 6) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) = 1997
+         GROUP BY month(l_shipdate) ORDER BY ship_month""",
+    // l_quantity is integral-valued → exact double sums, no rounding contract
+    "q_tpch_bigorders" ->
+      """WITH heavy AS (
+           SELECT l_orderkey, sum(l_quantity) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS total_price, sum_qty
+         FROM heavy JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY sum_qty DESC, o_orderkey""",
+    // exact integer cents into the one growth division; first year → NULL
+    "q_yoy_growth" ->
+      """WITH m AS (
+           SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents,
+             count(*) AS n_orders
+           FROM orders GROUP BY 1, 2)
+         SELECT yr, mo, rev_cents, n_orders,
+           round((rev_cents - lag(rev_cents, 1) OVER (PARTITION BY mo ORDER BY yr))
+                 * 100.0 / lag(rev_cents, 1) OVER (PARTITION BY mo ORDER BY yr), 4) AS yoy_pct
+         FROM m ORDER BY yr, mo""",
     // stated CORRELATED on purpose: the engine plans the decorrelated
     // single-window form; the oracle proves it equals the correlated spec
     // avg = exact decimal sum → integer cents → floor-div 1e-4 units

@@ -144,6 +144,31 @@ object Text {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Normalization-then-hash exact dedup (T41, r5 wave 13): the
+    * "fuzzy exact" pass every pretraining recipe runs between strict
+    * sha2 (T3) and MinHash (J7) — lowercase, strip non-alphanumerics,
+    * collapse whitespace, THEN hash, so docs differing only in case /
+    * punctuation / spacing collapse. Pure per-row codegen'd regex +
+    * hash (the PII-redaction posture: touches every byte, shuffles
+    * only the 32-byte digest); groups key on the digest, never the
+    * text. Patterns spell character classes as `[^a-z0-9 ]` so Java
+    * and RE2-family engines read them identically (the T25 lesson). */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame =
+    dedupNormalizedCore(Tables.documents(s, d))
+
+  /** Normalize-hash grouping over any `(doc_id, text)` relation —
+    * DataFrame-parameterized because the harness corpus has no
+    * case/punctuation variants (all 500 groups stay singletons), so
+    * the collapse behavior is only observable on TextSpec's planted
+    * variants. */
+  private[graft] def dedupNormalizedCore(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(sha2(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          "  +", " ")), 256).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
   /** Oracle-coupled constant: the IDF cap used by BOTH the Spark
     * query and its DuckDB oracle (interpolated into the SQL). */
   val NgramMaxDf = 20
@@ -582,6 +607,98 @@ object Text {
         regexp_count(col("text"), lit("[aeiou]+")).as("n_vowel_runs"),
         regexp_count(col("text"), lit("[a-z0-9]+")).as("n_word_tokens"))
       .orderBy(col("doc_id"))
+
+  /** Tokenizer fertility stats per source (T38, r5 wave 11): bytes
+    * and chars per whitespace token plus the BPE-estimate fertility
+    * ratio — the readout that decides whether a tokenizer is a good
+    * fit for a corpus slice before committing a training run. All
+    * sums are exact integers (octet/char/token counts) into single
+    * final divisions, so both engines divide identical operands; one
+    * rollup shuffle over ~|sources| keys, map-side combinable. */
+  def tokenizerStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("bytes"),
+        length(col("text")).cast("long").as("chars"),
+        size(filter(words(col("text")), w => w =!= "")).cast("long").as("toks"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("bpe"))
+      .filter(col("toks") > 0)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        round(sum(col("bytes")) / sum(col("toks")).cast("double"), 4).as("bytes_per_token"),
+        round(sum(col("chars")) / sum(col("toks")).cast("double"), 4).as("chars_per_token"),
+        round(sum(col("bpe")) / sum(col("toks")).cast("double"), 4).as("bpe_fertility"))
+      .orderBy(col("source"))
+
+  /** Zipf-law fit per source (T39, r5 wave 11): OLS of ln(count) on
+    * ln(rank) over each source's top-100 words — the corpus-health
+    * diagnostic (natural text slopes ≈ −1; synthetic/templated text
+    * drifts). Ranks come from INTEGER word counts with a (count desc,
+    * word) total order, so both engines rank identical values and ln
+    * sees identical integers; the OLS moments then follow the
+    * q_regression lockstep contract (averages rounded at 6 before the
+    * closed form). Token volume shuffles once into the (source, word)
+    * rollup; the rank window partitions by source; the fit sees ≤ 100
+    * rows per source. */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("word"))
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), explode(filter(words(col("text")), w => w =!= "")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(bySource))
+      .filter(col("rank") <= 100)
+      .select(col("source"), log(col("rank")).as("x"), log(col("cnt")).as("y"))
+    val m = ranked.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      round(avg(col("x")), 6).as("mx"), round(avg(col("y")), 6).as("my"),
+      round(avg(col("x") * col("y")), 6).as("mxy"),
+      round(avg(col("x") * col("x")), 6).as("mxx"),
+      round(avg(col("y") * col("y")), 6).as("myy"))
+    val cov = col("mxy") - col("mx") * col("my")
+    val varx = col("mxx") - col("mx") * col("mx")
+    val vary = col("myy") - col("my") * col("my")
+    val slope = when(varx =!= 0.0, cov / varx)
+    m.select(col("source"), col("n"),
+        round(slope, 6).as("zipf_slope"),
+        round(col("my") - slope * col("mx"), 6).as("intercept"),
+        round(when(varx =!= 0.0 && vary =!= 0.0,
+          cov * cov / (varx * vary)), 6).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  /** N-gram novelty vs earlier documents (T40, r5 wave 11): for each
+    * doc, the fraction of its DISTINCT 5-grams never seen in any
+    * LOWER-id document — the directional contamination/staleness
+    * readout over an ordered corpus (T35's substring dedup flags
+    * sharing symmetrically; novelty says who copied whom under the id
+    * order). First-occurrence rides as a min(doc_id) window over the
+    * gram partition — the same single gram shuffle as T35, no
+    * self-join, then one doc rollup. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    ngramNoveltyCore(Tables.documents(s, d), 5)
+
+  /** Novelty over any `(doc_id, text)` relation — parameterized so
+    * TextSpec can pin the who-copied-whom direction on planted docs. */
+  private[graft] def ngramNoveltyCore(docs: DataFrame, gram: Int): DataFrame = {
+    val byGram = Window.partitionBy(col("g"))
+    docs
+      .select(col("doc_id"), filter(words(col("text")), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= gram)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("ws")) - gram),
+          i => concat_ws(" ", slice(col("ws"), i + lit(1), lit(gram)))))).as("g"))
+      .withColumn("seen_earlier", min(col("doc_id")).over(byGram) < col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("seen_earlier"), 1)).as("n_seen"))
+      .withColumn("novelty",
+        round((col("n_grams") - col("n_seen")) / col("n_grams").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
 
   /** Rolling-hash document fingerprint (north star): left fold of
     * (31·acc + ascii(w) + len(w)) mod 1e9+7 over the word stream.
@@ -1127,6 +1244,7 @@ object Text {
     "q_tfidf"         -> tfidf,
     "q_bm25"          -> bm25,
     "q_dedup_exact"   -> dedupExact,
+    "q_dedup_normalized" -> dedupNormalized,
     "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_ngram_idf" -> dedupNgramIdf,
     "q_dedup_prefix"  -> dedupPrefix,
@@ -1140,6 +1258,9 @@ object Text {
     "q_lang_id"       -> langId,
     "q_text_quality"  -> textQuality,
     "q_token_count"   -> tokenCount,
+    "q_tokenizer_stats" -> tokenizerStats,
+    "q_zipf_fit"      -> zipfFit,
+    "q_ngram_novelty" -> ngramNovelty,
     "q_length_buckets" -> lengthBuckets,
     "q_fingerprint"   -> fingerprint,
     "q_dedup_minhash" -> dedupMinhash,
@@ -1444,6 +1565,13 @@ object Text {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    // same normalize chain: lower → strip non-alnum → collapse runs → trim
+    "q_dedup_normalized" ->
+      """SELECT sha256(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             '  +', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
     "q_pmi" ->
       """WITH w AS (SELECT DISTINCT doc_id, w FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) x
@@ -1602,6 +1730,66 @@ object Text {
          count(*) AS n_docs
          FROM documents GROUP BY source, len_bucket
          ORDER BY source, len_bucket""",
+    // exact integer sums into single final divisions (see engine comment)
+    "q_tokenizer_stats" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(strlen(text) AS BIGINT) AS bytes,
+             CAST(length(text) AS BIGINT) AS chars,
+             CAST(len(list_filter(string_split(text, ' '), w -> w != '')) AS BIGINT) AS toks,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           round(sum(bytes) / CAST(sum(toks) AS DOUBLE), 4) AS bytes_per_token,
+           round(sum(chars) / CAST(sum(toks) AS DOUBLE), 4) AS chars_per_token,
+           round(sum(bpe) / CAST(sum(toks) AS DOUBLE), 4) AS bpe_fertility
+         FROM t WHERE toks > 0 GROUP BY source ORDER BY source""",
+    // integer counts → (count desc, word) total-order ranks → ln over
+    // identical integers → q_regression's round-at-6 moment contract
+    "q_zipf_fit" ->
+      """WITH c AS (
+           SELECT source, word, count(*) AS cnt FROM (
+             SELECT source, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+             FROM documents)
+           GROUP BY source, word),
+         r AS (SELECT source, ln(rank) AS x, ln(cnt) AS y FROM (
+                 SELECT source, cnt,
+                   row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rank
+                 FROM c)
+               WHERE rank <= 100),
+         m AS (SELECT source, count(*) AS n,
+                 round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+                 round(avg(x * y), 6) AS mxy,
+                 round(avg(x * x), 6) AS mxx,
+                 round(avg(y * y), 6) AS myy
+               FROM r GROUP BY source)
+         SELECT source, n,
+           round(CASE WHEN mxx - mx * mx != 0
+                 THEN (mxy - mx * my) / (mxx - mx * mx) END, 6) AS zipf_slope,
+           round(my - CASE WHEN mxx - mx * mx != 0
+                 THEN (mxy - mx * my) / (mxx - mx * mx) END * mx, 6) AS intercept,
+           round(CASE WHEN mxx - mx * mx != 0 AND myy - my * my != 0
+                 THEN (mxy - mx * my) * (mxy - mx * my)
+                      / ((mxx - mx * mx) * (myy - my * my)) END, 6) AS r2
+         FROM m ORDER BY source""",
+    // same distinct 5-gram windows, first-occurrence as a min window
+    "q_ngram_novelty" ->
+      """WITH d AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(ws) - 4),
+             i -> array_to_string(list_slice(ws, CAST(i AS INT) + 1, CAST(i AS INT) + 5), ' ')))) AS gram
+           FROM d WHERE len(ws) >= 5),
+         w AS (SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY gram) < doc_id AS seen_earlier
+               FROM g)
+         SELECT doc_id, count(*) AS n_grams,
+           count(*) FILTER (WHERE seen_earlier) AS n_seen,
+           round((count(*) - count(*) FILTER (WHERE seen_earlier))
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_transform(string_split(text, ' '),

@@ -359,7 +359,17 @@ object Vectors {
     * parameterized so FaultToleranceSpec can inject task failures
     * into the scan and watch the retried run produce bit-identical
     * clusters. */
-  def kmeansCore(emb: DataFrame): DataFrame = {
+  def kmeansCore(emb: DataFrame): DataFrame =
+    kmeansAssign(emb)
+      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("vec_id"))
+
+  /** The unsorted, unrounded `(vec_id, v, cluster, dist)` assignment
+    * relation behind [[kmeansCore]] — factored out so the semantic
+    * dedup below can reuse the identical 3-iteration recurrence
+    * without paying (or relying on Catalyst to eliminate) the
+    * presentation sort. */
+  private[ops] def kmeansAssign(emb: DataFrame): DataFrame = {
     val e = emb.select(col("vec_id"), darr.as("v"))
     val init = e.filter(col("vec_id").isin(0L, 100L, 200L, 300L))
       .select(expr("vec_id div 100").as("cluster"), col("v").as("c"))
@@ -381,12 +391,76 @@ object Vectors {
         .agg(transform(sort_array(collect_list(struct(col("i"), col("cd")))),
           s => s("cd")).as("c"))
 
-    val a3 = assign(update(assign(update(assign(init)))))
-    a3.select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+    assign(update(assign(update(assign(init)))))
+  }
+
+  /** Cosine floor for the semantic-dup stage of [[dedupSemantic]] —
+    * above this corpus's random-pair band but below its max observed
+    * cosine (≈ 0.51), so the gate genuinely prunes; a production
+    * SemDeDup runs the same mechanics at its own ε. */
+  private val SemCos = 0.3
+
+  /** SemDeDup-style semantic dedup (V8, r5; Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partitions the corpus, then duplicate
+    * groups are found ONLY within each cluster and every group keeps
+    * its min-id representative. This composes three existing stages —
+    * the [[kmeansAssign]] recurrence, the SRP band keys, and
+    * [[Components]] transitive closure — into the pipeline LLM
+    * curation actually runs (cluster first so the pair search never
+    * crosses cluster boundaries).
+    *
+    * Scale: the paper brute-forces within clusters because k grows
+    * with the corpus (bounded cluster sizes); with the harness's fixed
+    * k = 4 that within-cluster self-join would be quadratic (slope
+    * ~100 on the sf0.01→0.1 sweep), so candidates are additionally
+    * SRP-banded — the join key is (cluster, band, bkey), candidates
+    * stay bounded by bucket∩cluster sizes, and the LSH recall
+    * guarantee is unchanged (a near-dup pair collides in some band
+    * regardless of cluster size). Vectors ride the banded self-join
+    * as ids only; cosine confirms on narrow join-backs. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val assigned = kmeansAssign(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("cluster"))
+    val comps = Components.connectedComponents(semanticDupEdges(assigned))
+      .select(col("node").as("vec_id"), col("comp").as("rep"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("rep"), col("vec_id")).as("cluster_rep"))
+      .withColumn("is_dup", col("vec_id") =!= col("cluster_rep"))
       .orderBy(col("vec_id"))
   }
 
+  /** The cosine-confirmed within-cluster edge stage of
+    * [[dedupSemantic]] — exposed so PlanSpec can pin the banded
+    * self-join's exchange reuse on THIS subplan: the declared query's
+    * final plan can't show it, because [[Components]] materializes
+    * the edges through localCheckpoint jobs before the output query
+    * runs (the q_pipeline_corpus precedent). */
+  private[graft] def semanticDupEdges(assigned: DataFrame): DataFrame = {
+    val banded = assigned.select(col("vec_id"), col("cluster"),
+      posexplode(graft.functions.SrpBandKeys.srpBandKeys(col("v"), NBands, BitsPerBand))
+        .as(Seq("band", "bkey")))
+    val probe = banded.select(col("vec_id").as("va"), col("cluster"), col("band"), col("bkey"))
+    val build = banded.select(col("vec_id").as("vb"), col("cluster"), col("band"), col("bkey"))
+    val cands = probe.join(build, Seq("cluster", "band", "bkey"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb")).distinct()
+    cands
+      .join(assigned.select(col("vec_id").as("va"), col("v").as("va_v")), Seq("va"))
+      .join(assigned.select(col("vec_id").as("vb"), col("v").as("vb_v")), Seq("vb"))
+      .filter(cosine(col("va_v"), col("vb_v")) >= SemCos)
+      .select(col("va").as("src"), col("vb").as("dst"))
+  }
+
+  /** The assigned `(vec_id, v, cluster)` relation [[semanticDupEdges]]
+    * expects, from the harness embeddings — spec-side entry. */
+  private[graft] def semanticAssigned(s: SparkSession, d: String): DataFrame =
+    kmeansAssign(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"), col("cluster"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_semantic" -> dedupSemantic,
     "q_kmeans" -> kmeans,
     "q_embed_normalize" -> embedNormalize,
     "q_vector_topk"  -> vectorTopk,
@@ -429,7 +503,10 @@ object Vectors {
     * left-fold squared distance (bit-identical to Spark's
     * `zip_with`+`aggregate`), update = lockstep-rounded per-(cluster,
     * dim) means re-packed into centroid lists ordered by dim. */
-  private val kmeansOracle: String = {
+  /** The k-means recurrence's CTE chain (`e` … `a3`), shared verbatim
+    * between the q_kmeans oracle and the q_dedup_semantic oracle so
+    * the two can never disagree on an assignment. */
+  private val kmeansCtes: String = {
     def distTo(c: String) =
       s"list_reduce(list_transform(range(1, 65), i -> (e.v[i] - $c[i]) * (e.v[i] - $c[i])), (x, y) -> x + y)"
     def assign(a: String, cPrev: String) =
@@ -444,7 +521,7 @@ object Vectors {
              SELECT a.cluster, t.i, round(sum(e.v[t.i]), 4) / count(*) AS cd
              FROM e JOIN $aPrev a USING (vec_id), range(1, 65) t(i)
              GROUP BY a.cluster, t.i) m GROUP BY cluster)"""
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
          SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
        c0 AS (SELECT vec_id // 100 AS cluster, v AS c FROM e
               WHERE vec_id IN (0, 100, 200, 300)),
@@ -452,12 +529,57 @@ object Vectors {
        ${update("c1", "a1")},
        ${assign("a2", "c1")},
        ${update("c2", "a2")},
-       ${assign("a3", "c2")}
-       SELECT vec_id, cluster, round(dist, 6) AS dist FROM a3 ORDER BY vec_id"""
+       ${assign("a3", "c2")}"""
   }
+
+  private val kmeansOracle: String =
+    s"""WITH $kmeansCtes
+       SELECT vec_id, cluster, round(dist, 6) AS dist FROM a3 ORDER BY vec_id"""
 
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle,
+    // the k-means CTE chain VERBATIM (shared val — assignments cannot
+    // drift from q_kmeans), then the q_dedup_embed SRP machinery with
+    // the cluster riding the bucket join key, and the same 20-round
+    // materialized min-label closure (cluster-restricted edges have
+    // strictly smaller components than q_dedup_embed's, whose fixed
+    // point needs 16 rounds at sf0.1 — VectorsSpec pins sufficiency)
+    "q_dedup_semantic" -> {
+      val bandSelects = sqlSrpBandSelects("e", "vec_id")
+      val rounds = 20
+      val steps = (1 to rounds).map { k =>
+        s""", l$k AS MATERIALIZED (
+             SELECT l.vec_id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+             FROM l${k - 1} l
+             LEFT JOIN und u ON l.vec_id = u.a
+             LEFT JOIN l${k - 1} n ON u.b = n.vec_id
+             GROUP BY l.vec_id, l.lbl)"""
+      }.mkString
+      s"""WITH $kmeansCtes,
+         bands AS MATERIALIZED (
+           $bandSelects),
+         cb AS MATERIALIZED (
+           SELECT b.vec_id, a3.cluster, b.band, b.bkey
+           FROM bands b JOIN a3 USING (vec_id)),
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           FROM cb a JOIN cb b
+             ON a.cluster = b.cluster AND a.band = b.band
+            AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         edges AS MATERIALIZED (
+           SELECT va, vb
+           FROM pairs
+           JOIN (SELECT vec_id, v FROM e) ea ON va = ea.vec_id
+           JOIN (SELECT vec_id, v AS w FROM e) eb ON vb = eb.vec_id
+           WHERE ${sqlCos("ea.v", "eb.w")} >= $SemCos),
+         und AS MATERIALIZED (
+           SELECT va AS a, vb AS b FROM edges
+           UNION ALL SELECT vb AS a, va AS b FROM edges),
+         l0 AS MATERIALIZED (SELECT vec_id, vec_id AS lbl FROM e)$steps
+         SELECT a3.vec_id, a3.cluster, l.lbl AS cluster_rep,
+           l.lbl != a3.vec_id AS is_dup
+         FROM l$rounds l JOIN a3 USING (vec_id) ORDER BY vec_id"""
+    },
     // same lockstep-rounded moments (Σx, Σx² rounded at 4 before any
     // division), then identical IEEE mean/sd/z on both engines
     "q_embed_normalize" ->

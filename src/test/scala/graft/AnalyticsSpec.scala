@@ -601,4 +601,62 @@ class AnalyticsSpec extends SparkSpec {
     // cumulative share reaches 1 on the last ranked key
     assert(got.last.getDouble(4) == 1.0)
   }
+
+  test("yoy growth: same-month lag alignment, first year NULL, exact-cent arithmetic") {
+    // Jan-1995 100.00, Jan-1996 150.00 (+50%), Feb-1996 80.00 (no prior Feb)
+    val orders = Seq(
+      (ts("1995-01-15 00:00:00"), 100.0),
+      (ts("1996-01-20 00:00:00"), 150.0),
+      (ts("1996-02-05 00:00:00"), 80.0))
+      .toDF("o_orderdate", "o_totalprice")
+    val got = ops.Relational.yoyGrowthCore(orders).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got((1995, 1)) == ((10000L, None)), got.toString)
+    assert(got((1996, 1)) == ((15000L, Some(50.0))), got.toString)
+    assert(got((1996, 2)) == ((8000L, None)), "no prior February: " + got)
+  }
+
+  test("rolling z-score: hand-computed frame stats, flat history drops, short history unscored") {
+    // user 1: values 1..5 then a spike of 10 — the spike's frame is
+    // exactly {1..5}: Σu = 15e4, Σu² = 55e8, n = 5,
+    // z = (5·10e4 − 15e4)/√(5·55e8 − 2.25e10) = 35e4/√(5e9) ≈ 4.9497
+    // user 2: five identical values then anything — variance 0 → no row
+    val rows = ((1 to 5).map(i => (1L, i.toLong, ts(f"2024-01-01 00:00:0$i"), i.toDouble)) ++
+      Seq((1L, 6L, ts("2024-01-01 00:00:06"), 10.0)) ++
+      (1 to 6).map(i => (2L, 10L + i, ts(f"2024-01-01 00:00:0$i"), 7.0)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = ops.Events.rollingZscoreCore(rows).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 6L)
+    assert(r.getDouble(3) == math.rint(350000.0 / math.sqrt(5.0e9) * 1e4) / 1e4)
+    assert(r.getBoolean(4), "4.95 sigma must flag")
+  }
+
+  test("cumulative distinct: a returning user is new only on their first day") {
+    val rows = Seq(
+      (ts("2024-01-01 01:00:00"), 1L), (ts("2024-01-02 01:00:00"), 1L),
+      (ts("2024-01-02 02:00:00"), 2L))
+      .toDF("ts", "user_id")
+    val got = ops.Events.cumulativeDistinctCore(rows).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 1L, 1L, 1L),
+      ("2024-01-02", 2L, 1L, 2L)), got.mkString(";"))
+  }
+
+  test("rolling 7-day actives: membership holds at day d-6 and expires at d-7") {
+    // u1 active day 1; u2 day 7; u3 day 8. Day 7 still counts u1
+    // (7−1 = 6 ≤ 6); day 8 no longer does (8−1 = 7).
+    val rows = Seq(
+      (ts("2024-01-01 01:00:00"), 1L),
+      (ts("2024-01-07 01:00:00"), 2L),
+      (ts("2024-01-08 01:00:00"), 3L))
+      .toDF("ts", "user_id")
+    val got = ops.Events.rollingActiveCore(rows).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 1L), ("2024-01-07", 2L), ("2024-01-08", 2L)), got.mkString(";"))
+  }
 }

@@ -158,4 +158,20 @@ class GraphSpec extends SparkSpec {
       .collect().head
     assert(tri.isNullAt(1), tri.toString)
   }
+
+  test("link prediction: hand-solved AA weight, existing edges excluded, focal-only output") {
+    // graph: 7–1, 7–2, 1–2, 1–3, 2–3; focal = node 7 (id ≡ 7 mod 100).
+    // the only fresh suggestion is 3, via common neighbors 1 and 2
+    // (both deg 3): w = floor(1e6/ln 3) = 910239, score = 2·w.
+    // neighbors 1 and 2 share z's with 7 too but are existing edges.
+    val got = ops.Graph.linkPredictionCore(
+      edges(1L -> 7L, 2L -> 7L, 1L -> 2L, 1L -> 3L, 2L -> 3L), topPerNode = 5)
+      .collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 3L && r.getInt(2) == 1)
+    assert(r.getLong(3) == 2L, "two common neighbors")
+    assert(r.getLong(4) == 2L * math.floor(1e6 / math.log(3.0)).toLong, r.toString)
+    assert(r.getDouble(5) == 1.820478, r.toString)
+  }
 }

@@ -91,6 +91,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("tpch shipping: top-10 is TakeOrderedAndProject, both date filters reach their scans") {
+    val df = SparkEntry.queries("q_tpch_shipping")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), "top-10 must never global-sort: " + p)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // orders and lineitem scans must each carry their pushed date bound
+    assert(scans.count(_.metadata.getOrElse("PushedFilters", "")
+      .contains("IsNotNull")) >= 2, p)
+  }
+
+  test("semantic dedup: the banded within-cluster self-join reuses one computed exchange") {
+    // pinned on the edges SUBPLAN: the declared query's final plan
+    // can't show the reuse because Components materializes the edges
+    // through localCheckpoint jobs first (the q_pipeline_corpus
+    // precedent)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // the at-scale regime, the SRP-LSH precedent
+      val qe = ops.Vectors.semanticDupEdges(
+        ops.Vectors.semanticAssigned(spark, sf0001)).queryExecution
+      qe.toRdd.foreach(_ => ())
+      val full = qe.executedPlan.toString
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i => full.substring(0, i)
+      }
+      assert(p.contains("ReusedExchange"),
+        s"banded self-join sides must collapse into one computed exchange:\n$p")
+      assert(!p.contains("InMemoryTableScan"), "no cached intermediates")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("yoy growth: the lag window partitions by month — never a global window") {
+    val sp = SparkEntry.queries("q_yoy_growth")(spark, sf0001).queryExecution.sparkPlan
+    val windows = sp.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty), windows.mkString)
+  }
+
   test("top-k plans TakeOrderedAndProject, not a global sort") {
     val p = planOf("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

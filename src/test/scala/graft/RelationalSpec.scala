@@ -92,6 +92,34 @@ class RelationalSpec extends SparkSpec {
     assert(got(201L) == ((7.0, 7.0, None)), got.toString)
   }
 
+  test("TPC-H trio: shipping top-10 ordering, promo share bounds, big-order threshold") {
+    // invariants the DuckDB hash-compare can't see as SEMANTICS: the
+    // shapes hold by construction of TPC-H, not by engine agreement
+    val ship = ops.Relational.tpchShipping(spark, sf0001).collect()
+    assert(ship.length == 10)
+    val revs = ship.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "revenue must be non-increasing")
+    assert(ship.map(_.getLong(0)).distinct.length == 10, "one row per order")
+    // o_orderdate is TIMESTAMP_NTZ on the current vintage → LocalDateTime
+    assert(ship.forall(_.getAs[java.time.LocalDateTime](1)
+      .isBefore(java.time.LocalDateTime.parse("1997-07-01T00:00:00"))))
+
+    val promo = ops.Relational.tpchPromo(spark, sf0001).collect()
+    assert(promo.map(_.getInt(0)).toSeq == (1 to 12), "all 12 ship months")
+    promo.foreach { r =>
+      assert(r.getDouble(1) >= 0 && r.getDouble(1) <= r.getDouble(2), r.toString)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 100.0, r.toString)
+    }
+
+    val big = ops.Relational.tpchBigOrders(spark, sf0001).collect()
+    assert(big.nonEmpty)
+    assert(big.forall(_.getDouble(5) > 300.0), "HAVING threshold")
+    val qtys = big.map(_.getDouble(5))
+    assert(qtys.zip(qtys.tail).forall { case (a, b) => a >= b }, "sum_qty non-increasing")
+    // l_quantity is integral-valued → the sums must be exact integers
+    assert(qtys.forall(q => q == math.floor(q)), "integral quantity sums")
+  }
+
   test("pagerank text sink round-trips (reference saveAsTextFile, S5)") {
     val ranks = ops.PageRank.run(
       ops.PageRank.parseEdgeLines(

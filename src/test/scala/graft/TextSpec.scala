@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Text
-import org.apache.spark.sql.functions.{col, explode, expr, size, split}
+import org.apache.spark.sql.functions.{col, explode, expr, sha2, size, split}
 
 /** Golden tests for the hash-based near-dup operators (no DuckDB
   * oracle — xxhash64 is engine-specific, so behavior is pinned on
@@ -321,5 +321,35 @@ class TextSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L), s"no-hit doc 3 must be absent: $got")
     assert(math.abs(got(1L)._1 - d1) < 1e-6 && got(1L)._2 == 2, got.toString)
     assert(math.abs(got(2L)._1 - d2) < 1e-6 && got(2L)._2 == 1, got.toString)
+  }
+
+  test("ngram novelty is directional: the lower-id original stays novel, the copier is flagged") {
+    // doc 1 "a b c d e f" → 2 distinct 5-grams; doc 2 extends the same
+    // text → 4 grams, 2 of them first seen in doc 1; doc 3 is too
+    // short to gram and must be absent
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f g h"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val got = ops.Text.ngramNoveltyCore(docs, 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    assert(got(1L) == ((2L, 0L, 1.0)), "the original must be fully novel: " + got(1L))
+    assert(got(2L) == ((4L, 2L, 0.5)), "the copier shares exactly its copied grams: " + got(2L))
+  }
+
+  test("normalized dedup collapses case/punct/whitespace variants strict hashing keeps apart") {
+    val docs = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),
+      (3L, "HELLO  WORLD."),
+      (4L, "a different doc")).toDF("doc_id", "text")
+    val got = ops.Text.dedupNormalizedCore(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 3L, 4L -> 1L), got.toString)
+    // and the strict pass must NOT collapse them — the two operators
+    // genuinely differ on exactly these variants
+    val strict = docs.groupBy(sha2(col("text"), 256)).count().count()
+    assert(strict == 4, s"strict sha2 must keep all 4 apart, got $strict groups")
   }
 }

@@ -161,4 +161,22 @@ class VectorsSpec extends SparkSpec {
     assert(unrolled == engine,
       "20-round unrolled propagation diverges from the Components fixed point — raise the oracle's unroll count")
   }
+
+  test("semantic dedup: reps are cluster-local min ids and the cosine gate genuinely prunes") {
+    val out = ops.Vectors.dedupSemantic(spark, sf0001).collect()
+    assert(out.length == 500)
+    val clusterOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      // a rep can only come from within-cluster edges — it must share
+      // its member's k-means cluster (pairs never cross clusters)
+      assert(clusterOf(r.getLong(2)) == r.getLong(1),
+        s"rep ${r.getLong(2)} crossed out of cluster ${r.getLong(1)}")
+      // min-id convention + flag consistency
+      assert(r.getLong(2) <= r.getLong(0))
+      assert(r.getBoolean(3) == (r.getLong(2) != r.getLong(0)))
+    }
+    val nDup = out.count(_.getBoolean(3))
+    assert(nDup > 0 && nDup < 250,
+      s"SemCos gate should prune some but not most of the corpus, got $nDup dups")
+  }
 }

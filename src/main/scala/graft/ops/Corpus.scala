@@ -360,7 +360,28 @@ object Corpus {
       .orderBy(col("split"), col("source"))
   }
 
+  /** Fixed-k per-group deterministic sample (r5 wave 14): k = 10 docs
+    * per source by hash-rank — the eval-slice draw ("give me 10
+    * representative docs from every shard to eyeball / hold out").
+    * Rank = row_number over the SAME mixed-hash key family as
+    * [[splitAssign]] (Knuth multiplier + mod-prime, so the draw can't
+    * alias against id-periodic attributes), ties broken by doc_id —
+    * reproducible across engines, runs, and cluster sizes, unlike
+    * `df.sample`'s partition-local RNG. One (source)-partitioned rank
+    * window is the only wide op; at 100 TB that is the per-shard
+    * parallel window discipline, never a global sort. */
+  def samplePerGroup(docs: DataFrame, k: Int = 10): DataFrame = {
+    val hkey = ((col("doc_id") * SplitA + 54321L) % SplitP).as("hkey")
+    val w = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"), hkey)
+      .withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= k)
+      .orderBy(col("source"), col("draw_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_per_group" -> ((s: SparkSession, d: String) =>
+      samplePerGroup(Tables.documents(s, d))),
     "q_split" -> ((s: SparkSession, d: String) =>
       splitAssign(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
@@ -382,6 +403,15 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // same mixed-hash rank, same doc_id tiebreak
+    "q_sample_per_group" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+           (doc_id * 2654435761 + 54321) % 1000003 AS hkey FROM documents),
+         r AS (SELECT *, CAST(row_number() OVER (
+             PARTITION BY source ORDER BY hkey, doc_id) AS INT) AS draw_rank
+           FROM h)
+         SELECT doc_id, source, n_chars, hkey, draw_rank
+         FROM r WHERE draw_rank <= 10 ORDER BY source, draw_rank""",
     "q_split" ->
       """WITH a AS (SELECT doc_id, source, n_chars,
            ((doc_id * 2654435761 + 12345) % 1000003) % 100 AS bucket FROM documents),

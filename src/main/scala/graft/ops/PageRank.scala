@@ -183,6 +183,55 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank (r5 wave 14; Haveliwala WWW 2002, the
+    * Page et al. personalization vector): the textbook loop with
+    * teleport mass concentrated on ONE seed node — restart probability
+    * 0.15 returns to the seed, and dangling mass restarts there too,
+    * so the stationary distribution ranks the graph BY PROXIMITY TO
+    * THE SEED (on the directed customer→supplier star this is the
+    * seed customer's supplier-affinity profile). Same scale mechanics
+    * as [[runTextbook]]: invariants persisted, size-gated rank
+    * broadcast, per-iteration lineage cut with stats reset; the seed
+    * indicator is a pure column expression — no extra join, no
+    * collect. */
+  def runPersonalized(edges: DataFrame, seed: Long, iterations: Int = 10): DataFrame = {
+    val e = edges.persist()
+    val degrees = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val doBroadcast = nodes.count() <= BroadcastMaxNodes
+    val withDegRaw = e.join(degrees, "src")
+      .select(col("src"), col("dst"), col("deg"))
+    val withDeg =
+      (if (doBroadcast) withDegRaw.repartition(col("dst")) else withDegRaw).persist()
+    val dangling = nodes.join(
+      degrees.select(col("src").as("node")), Seq("node"), "left_anti").persist()
+    def seedInd(c: org.apache.spark.sql.Column) =
+      when(c === seed, lit(1.0)).otherwise(lit(0.0))
+    var ranks = nodes.select(col("node"), seedInd(col("node")).as("pr"))
+    for (_ <- 1 to iterations) {
+      val rankSide = if (doBroadcast) broadcast(ranks) else ranks
+      val contribs = withDeg
+        .join(rankSide, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("pr") / col("deg")).as("c"))
+      val dm = dangling.join(rankSide, "node")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val contribSide = if (doBroadcast) broadcast(contribs) else contribs
+      // same two-consumer materialize-every-iteration rule as
+      // runTextbook (contribs + dangling both read ranks)
+      ranks = org.apache.spark.sql.GraftColumnBridge.freshLeaf(nodes
+        .join(contribSide, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("node"),
+          (lit(0.15) * seedInd(col("node")) + lit(0.85) *
+            (coalesce(col("c"), lit(0.0)) + col("dm") * seedInd(col("node")))).as("pr"))
+        .localCheckpoint())
+    }
+    e.unpersist(); withDeg.unpersist(); nodes.unpersist(); dangling.unpersist()
+    ranks
+  }
+
   /** Deterministic edge table derived from the star schema: each
     * (order, lineitem) pair yields customer→supplier and
     * supplier→customer edges (supplier keys offset into a disjoint ID
@@ -244,9 +293,16 @@ object PageRank {
       .orderBy(col("node"))
   }
 
+  /** Seed = customer node 1 (present at every SF). */
+  def pagerankPersonalized(s: SparkSession, d: String): DataFrame =
+    runPersonalized(starEdgesDirected(s, d), seed = 1L, 10)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> pagerank,
     "q_pagerank_textbook" -> pagerankTextbook,
+    "q_pagerank_personalized" -> pagerankPersonalized,
     "q_pagerank_snap" -> pagerankSnap,
     "q_degree_hist" -> degreeHist,
   )
@@ -312,7 +368,39 @@ object PageRank {
     base + iters + " SELECT node, round(pr, 6) AS pr FROM r10 ORDER BY node"
   }
 
+  /** Personalized oracle: the textbook unroll with the teleport (and
+    * dangling restart) concentrated on the seed via a CASE indicator —
+    * same e0 double literals, same MATERIALIZED base CTEs. */
+  private val personalizedOracle: String = {
+    val ind = "CASE WHEN nd.node = 1 THEN 1.0e0 ELSE 0.0e0 END"
+    val base =
+      """WITH edges AS MATERIALIZED (
+           SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         degrees AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+         r0 AS (SELECT node, CASE WHEN node = 1 THEN 1.0e0 ELSE 0.0e0 END AS pr FROM nodes)"""
+    val iters = (1 to 10).map { i =>
+      s""", c$i AS (
+           SELECT e.dst AS node, sum(r.pr / d.deg) AS c
+           FROM edges e JOIN degrees d ON e.src = d.src
+           JOIN r${i - 1} r ON e.src = r.node
+           GROUP BY e.dst),
+         dm$i AS (
+           SELECT coalesce(sum(r.pr), 0.0e0) AS dm
+           FROM r${i - 1} r LEFT JOIN degrees d ON r.node = d.src
+           WHERE d.src IS NULL),
+         r$i AS (
+           SELECT nd.node, 0.15e0 * ($ind) + 0.85e0 * (coalesce(c.c, 0.0e0) + dm.dm * ($ind)) AS pr
+           FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node
+           CROSS JOIN dm$i dm)"""
+    }.mkString
+    base + iters + " SELECT node, round(pr, 6) AS pr FROM r10 ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_pagerank_personalized" -> personalizedOracle,
     "q_degree_hist" -> s"""WITH edges AS ($symEdgesSql),
          deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
          SELECT degree, count(*) AS n_nodes FROM deg

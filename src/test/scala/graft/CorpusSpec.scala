@@ -201,4 +201,23 @@ class CorpusSpec extends SparkSpec {
       assert(postings.distinct.length == postings.length)
     }
   }
+
+  test("per-group sample: exactly k per source, hash-ranked, stable across runs") {
+    val a = Corpus.samplePerGroup(Tables.documents(spark, sf0001), k = 10).collect()
+    val bySource = a.groupBy(_.getString(1))
+    assert(bySource.values.forall(_.length == 10), "every source draws exactly k")
+    bySource.values.foreach { rows =>
+      val ranked = rows.sortBy(_.getInt(4))
+      assert(ranked.map(_.getInt(4)).toSeq == (1 to 10), "ranks dense 1..k")
+      // ranks follow the (hkey, doc_id) total order
+      val keys = ranked.map(r => (r.getLong(3), r.getLong(0))).toSeq
+      assert(keys == keys.sorted, s"rank order must follow (hkey, doc_id): $keys")
+    }
+    // deterministic: an independent second run draws the identical slice
+    val b = Corpus.samplePerGroup(Tables.documents(spark, sf0001), k = 10).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    // spot-check the mixed-hash arithmetic on one row
+    val r0 = a.head
+    assert(r0.getLong(3) == (r0.getLong(0) * 2654435761L + 54321L) % 1000003L)
+  }
 }

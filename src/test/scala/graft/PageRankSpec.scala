@@ -123,4 +123,19 @@ class PageRankSpec extends SparkSpec {
     assert(n > 0 && n % 2 == 0)
     assert(e.filter(col("src") >= 10000000L && col("dst") >= 10000000L).count() == 0)
   }
+
+  test("personalized: mass conserved at 1, unreachable nodes stay exactly 0, seed dominates") {
+    import spark.implicits._
+    // 1→10, 1→11, 2→12; seed 1. Only {1, 10, 11} are reachable from
+    // the seed; 2 and 12 must hold EXACTLY zero mass after any number
+    // of rounds. Teleport + dangling restart both return to the seed,
+    // so total mass stays 1 each iteration.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("src", "dst")
+    val pr = PageRank.runPersonalized(edges, seed = 1L, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 10L, 11L, 12L))
+    assert(pr(2L) == 0.0 && pr(12L) == 0.0, s"unreachable mass leaked: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass not conserved: ${pr.values.sum}")
+    assert(pr(1L) > pr(10L) && pr(10L) == pr(11L), s"seed must dominate, twins tie: $pr")
+  }
 }

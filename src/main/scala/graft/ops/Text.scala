@@ -169,6 +169,56 @@ object Text {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Segment width (words) for the line-level dedup below. */
+  private val LineSegWords = 16
+
+  /** C4-style line-level dedup WITH text reconstruction (T43, r5 wave
+    * 15; Raffel et al. 2020 §2.2 dedup three-sentence spans across
+    * the corpus): the corpus is cut into fixed 16-word segments (this
+    * corpus has no sentence punctuation), every segment occurrence
+    * except the GLOBAL first — by (doc_id, seg_idx) — is removed, and
+    * each doc's text is REBUILT from its surviving segments in
+    * order. T35 scores/flag docs; this one actually edits them, the
+    * missing half of the substring-dedup story. Within-doc repeats
+    * dedup too (only the first occurrence anywhere survives).
+    *
+    * Shape: narrow non-overlapping segment explode (≤ tokens/16 rows
+    * per doc) → ONE segment-keyed window (min struct — no sort, no
+    * self-join) → doc rollup whose collect_list is bounded by the
+    * doc's own segment count. Same single gram-shuffle class as T35;
+    * the rebuild is the q_vocab_mask ordered-struct reassembly.
+    * collect_list drops the un-kept NULLs on Spark; the oracle says
+    * FILTER explicitly because DuckDB's list() keeps them (the
+    * rolling-median lesson). */
+  def dedupLines(s: SparkSession, d: String): DataFrame =
+    dedupLinesCore(Tables.documents(s, d))
+
+  /** Segment dedup over any `(doc_id, text)` relation —
+    * DataFrame-parameterized so TextSpec can pin global-first keep,
+    * within-doc repeat removal, and the rebuilt text by hand. */
+  private[graft] def dedupLinesCore(docs: DataFrame): DataFrame = {
+    val bySeg = Window.partitionBy(col("seg"))
+    docs
+      .select(col("doc_id"), filter(words(col("text")), w => w =!= "").as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(ws) - 1) div $LineSegWords), " +
+          s"i -> concat_ws(' ', slice(ws, i * $LineSegWords + 1, $LineSegWords)))"))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("first", min(struct(col("doc_id"), col("seg_idx"))).over(bySeg))
+      .withColumn("keep",
+        col("first.doc_id") === col("doc_id") && col("first.seg_idx") === col("seg_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg_idx"), col("seg"))))),
+          st => st("seg"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle-coupled constant: the IDF cap used by BOTH the Spark
     * query and its DuckDB oracle (interpolated into the SQL). */
   val NgramMaxDf = 20
@@ -1245,6 +1295,7 @@ object Text {
     "q_bm25"          -> bm25,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_normalized" -> dedupNormalized,
+    "q_dedup_lines"   -> dedupLines,
     "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_ngram_idf" -> dedupNgramIdf,
     "q_dedup_prefix"  -> dedupPrefix,
@@ -1565,6 +1616,32 @@ object Text {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY keep_id""",
+    // same 16-word segments, same (doc_id, seg_idx) global-first keep;
+    // FILTER (WHERE keep) is load-bearing — DuckDB list/string_agg keep
+    // NULLs that Spark's collect_list drops
+    "q_dedup_lines" ->
+      s"""WITH d AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws
+           FROM documents),
+         segs AS (
+           SELECT doc_id, CAST(i AS INT) AS seg_idx,
+             array_to_string(list_slice(ws, CAST(i AS INT) * $LineSegWords + 1,
+               CAST(i AS INT) * $LineSegWords + $LineSegWords), ' ') AS seg
+           FROM (SELECT doc_id, ws, unnest(range(0, ((len(ws) - 1) // $LineSegWords) + 1)) AS i
+                 FROM d WHERE len(ws) >= 1)),
+         f AS (
+           SELECT doc_id, seg_idx, seg,
+             first_value(doc_id) OVER w AS fd,
+             first_value(seg_idx) OVER w AS fi
+           FROM segs
+           WINDOW w AS (PARTITION BY seg ORDER BY doc_id, seg_idx)),
+         k AS (SELECT doc_id, seg_idx, seg,
+                 (fd = doc_id AND fi = seg_idx) AS keep FROM f)
+         SELECT doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE keep) AS n_kept,
+           coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '') AS clean_text
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
     // same normalize chain: lower → strip non-alnum → collapse runs → trim
     "q_dedup_normalized" ->
       """SELECT sha256(trim(regexp_replace(

@@ -134,6 +134,26 @@ class FaultToleranceSpec extends SparkSpec {
     assert(recovered == clean, s"core diverged after recovery: $recovered vs $clean")
   }
 
+  test("personalized PageRank survives first-attempt task failures with identical ranks") {
+    import spark.implicits._
+    // seed-reachable chain (1→10→12) + a branch only reachable via the
+    // other root (2→12): restart dynamics + an exact-zero node
+    val dir = java.nio.file.Files.createTempDirectory("graft_ft_ppr").toString
+    Seq((1L, 10L), (1L, 11L), (10L, 12L), (2L, 12L))
+      .toDF("src", "dst").write.mode("overwrite").parquet(dir)
+    val edges = spark.read.parquet(dir)
+    val clean = PageRank.runPersonalized(edges, seed = 1L, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(clean(2L) == 0.0, "node 2 is unreachable from the seed")
+
+    failedTasks.clear()
+    val recovered = PageRank.runPersonalized(
+        edges.filter(flakyLong(col("src"))), seed = 1L, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(failedTasks.size() > 0, "injection never fired — the experiment didn't run")
+    assert(recovered == clean, s"ranks diverged after recovery: $recovered vs $clean")
+  }
+
   test("k-means survives first-attempt task failures with identical clusters") {
     import graft.ops.Vectors
     val emb = Tables.embeddings(spark, sf0001)

@@ -352,4 +352,21 @@ class TextSpec extends SparkSpec {
     val strict = docs.groupBy(sha2(col("text"), 256)).count().count()
     assert(strict == 4, s"strict sha2 must keep all 4 apart, got $strict groups")
   }
+
+  test("line dedup: global first occurrence survives, later copies (and within-doc repeats) cut") {
+    // 16-word segments: A = w1..w16, B = x1..x16. doc 1 = A B;
+    // doc 2 = B A (both segments already seen → fully removed);
+    // doc 3 = A A (within-doc repeat of an already-seen segment).
+    val segA = (1 to 16).map(i => s"w$i").mkString(" ")
+    val segB = (1 to 16).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$segA $segB"),
+      (2L, s"$segB $segA"),
+      (3L, s"$segA $segA")).toDF("doc_id", "text")
+    val got = ops.Text.dedupLinesCore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 2L, s"$segA $segB")), "doc 1 owns both first occurrences: " + got(1L))
+    assert(got(2L) == ((2L, 0L, "")), "doc 2 is entirely pre-seen: " + got(2L))
+    assert(got(3L) == ((2L, 0L, "")), "within-doc repeats of seen segments cut too: " + got(3L))
+  }
 }

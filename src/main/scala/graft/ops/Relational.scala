@@ -218,6 +218,96 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** TPC-H Q4-shaped order-priority check (r5 wave 16): per-priority
+    * count of orders in a half-year window with at least one lineitem
+    * shipped more than 90 days after the order date. The EXISTS
+    * renders as ONE left-semi join: the date window prunes orders at
+    * the scan, the orderkey equi-pair carries the shuffle, and the
+    * `l_shipdate > o_orderdate + 90 days` inequality rides the join as
+    * a residual predicate — semi-join probes stop at the first
+    * qualifying lineitem, so at 100 TB no per-order lineitem list is
+    * ever materialized and the output of the join is at most the
+    * pruned orders slice. */
+  def tpchPriority(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q10-shaped returned-item report: top-20 customers by
+    * revenue lost to returns in one order quarter. Scan-pruned facts
+    * (quarter on orders, `l_returnflag = 'R'` on lineitem) meet in two
+    * FK shuffles; the nation dim broadcasts; the top-20 plans
+    * TakeOrderedAndProject over the per-customer rollup — per-partition
+    * heaps, never a global sort. Revenue follows the family contract:
+    * round at 4 after the sum, order by the rounded value with the
+    * unique custkey as tiebreak. */
+  def tpchReturned(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_returned"),
+        round(first(col("c_acctbal")), 2).as("acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q19-shaped disjunctive-predicate revenue: OR-of-ANDs
+    * branches mixing part attributes and lineitem quantity, reported
+    * per branch (first-match CASE). The part side is pre-filtered to
+    * the UNION of the branches' part-only conjuncts BEFORE the
+    * broadcast — at 100 TB the broadcast ships only parts any branch
+    * could accept, and the lineitem scan keeps its own pushable
+    * quantity bound (all branches imply l_quantity >= 1, branch 3's
+    * >= 25 stays a residual). The full disjunct then evaluates
+    * post-join where both sides' columns exist. */
+  def tpchDisjunct(s: SparkSession, d: String): DataFrame = {
+    val b1 = col("p_type") === "PROMO" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1.0, 20.0)
+    val b2 = col("p_type") === "ECONOMY" && col("p_size").between(10, 30) &&
+      col("l_quantity").between(10.0, 35.0)
+    val b3 = col("p_brand") === "Brand#12" && col("p_size") <= 25 &&
+      col("l_quantity") >= 25.0
+    val partSide = Tables.part(s, d)
+      .filter((col("p_type") === "PROMO" && col("p_size").between(1, 15)) ||
+        (col("p_type") === "ECONOMY" && col("p_size").between(10, 30)) ||
+        (col("p_brand") === "Brand#12" && col("p_size") <= 25))
+      .select("p_partkey", "p_type", "p_brand", "p_size")
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(partSide), col("l_partkey") === col("p_partkey"))
+      .filter(b1 || b2 || b3)
+      .withColumn("branch",
+        when(b1, "promo_small").when(b2, "economy_mid").otherwise("brand12_bulk"))
+      .groupBy(col("branch"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("p_partkey")).as("n_parts"))
+      .orderBy(col("branch"))
+  }
+
   /** TPC-H Q3-shaped shipping priority (SURVEY J11 family): top-10
     * unshipped-revenue orders for one market segment around a cutoff
     * date. Both date predicates fold onto their scans (orders placed
@@ -1245,6 +1335,9 @@ object Relational {
     "q_join_inner_bucketed" -> joinInnerBucketed,
     "q_join_broadcast"    -> joinBroadcast,
     "q_tpch_regional"     -> tpchRegional,
+    "q_tpch_priority"     -> tpchPriority,
+    "q_tpch_returned"     -> tpchReturned,
+    "q_tpch_disjunct"     -> tpchDisjunct,
     "q_tpch_shipping"     -> tpchShipping,
     "q_tpch_promo"        -> tpchPromo,
     "q_tpch_bigorders"    -> tpchBigOrders,
@@ -1778,6 +1871,45 @@ object Relational {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1997
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    // stated as EXISTS on purpose: the engine plans the left-semi form
+    "q_tpch_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_returned,
+         round(any_value(c_acctbal), 2) AS acctbal
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_tpch_disjunct" ->
+      """SELECT CASE WHEN p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 1.0 AND 20.0 THEN 'promo_small'
+                 WHEN p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+                      AND l_quantity BETWEEN 10.0 AND 35.0 THEN 'economy_mid'
+                 ELSE 'brand12_bulk' END AS branch,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_items,
+         count(DISTINCT p_partkey) AS n_parts
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1.0 AND 20.0)
+            OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10.0 AND 35.0)
+            OR (p_brand = 'Brand#12' AND p_size <= 25 AND l_quantity >= 25.0)
+         GROUP BY 1 ORDER BY branch""",
     "q_tpch_shipping" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
          round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,

@@ -91,6 +91,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("tpch priority: EXISTS plans as one left-semi hash join, date window pushed to orders") {
+    val df = SparkEntry.queries("q_tpch_priority")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the orderkey equi-pair must carry the join; the 90-day bound is a residual:\n$p")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(f => f.schema.fieldNames.contains("o_orderdate") &&
+        f.metadata.getOrElse("PushedFilters", "").contains("GreaterThanOrEqual")),
+      s"orders date window must push to the scan:\n$p")
+  }
+
+  test("tpch returned/disjunct: heap top-20, part side pre-filtered before broadcast") {
+    val ret = SparkEntry.queries("q_tpch_returned")(spark, sf0001)
+    val pr = ret.queryExecution.executedPlan.toString
+    assert(pr.contains("TakeOrderedAndProject"), pr)
+    assert(!pr.contains("Exchange rangepartitioning"), "top-20 must never global-sort: " + pr)
+    val retScans = ret.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(retScans.exists(_.metadata.getOrElse("PushedFilters", "")
+        .contains("EqualTo(l_returnflag,R)")),
+      s"returnflag must push to the lineitem scan:\n$pr")
+
+    val dis = SparkEntry.queries("q_tpch_disjunct")(spark, sf0001)
+    val pd = dis.queryExecution.executedPlan.toString
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    val disScans = dis.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the union-of-branches part prefilter must reach the part scan as
+    // a pushed Or — the broadcast ships only branch-eligible parts
+    assert(disScans.exists(_.metadata.getOrElse("PushedFilters", "").contains("Or(")),
+      s"part-side OR prefilter must push into the part scan:\n$pd")
+  }
+
   test("tpch shipping: top-10 is TakeOrderedAndProject, both date filters reach their scans") {
     val df = SparkEntry.queries("q_tpch_shipping")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString

@@ -120,6 +120,30 @@ class RelationalSpec extends SparkSpec {
     assert(qtys.forall(q => q == math.floor(q)), "integral quantity sums")
   }
 
+  test("TPC-H wave 16: priority EXISTS semantics, returned top-20 ordering, disjunct branch partition") {
+    val prio = ops.Relational.tpchPriority(spark, sf0001).collect()
+    assert(prio.nonEmpty && prio.length <= 5)
+    // count only orders in the window; priorities arrive sorted
+    val names = prio.map(_.getString(0)).toSeq
+    assert(names == names.sorted, names.toString)
+    assert(prio.forall(_.getLong(1) > 0))
+
+    val ret = ops.Relational.tpchReturned(spark, sf0001).collect()
+    assert(ret.length <= 20)
+    val revs = ret.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "revenue non-increasing")
+    assert(ret.map(_.getLong(0)).distinct.length == ret.length, "one row per customer")
+
+    val dis = ops.Relational.tpchDisjunct(spark, sf0001).collect()
+    val branches = dis.map(_.getString(0)).toSet
+    assert(branches.subsetOf(Set("promo_small", "economy_mid", "brand12_bulk")), branches.toString)
+    // first-match CASE partitions the rows: every branch row has items,
+    // and parts never exceed items
+    dis.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) <= r.getLong(2), r.toString)
+    }
+  }
+
   test("pagerank text sink round-trips (reference saveAsTextFile, S5)") {
     val ranks = ops.PageRank.run(
       ops.PageRank.parseEdgeLines(

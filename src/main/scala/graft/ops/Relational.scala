@@ -308,6 +308,69 @@ object Relational {
       .orderBy(col("branch"))
   }
 
+  /** TPC-H Q22-shaped dormant high-balance customers: per nation, the
+    * customers whose balance beats the global positive-balance average
+    * yet placed NO order since 2000. The scalar average is ONE exact
+    * 1-row aggregate (decimal cents → floor-div 1e-4 units, the
+    * [[correlatedAvg]] tie-free contract) broadcast into a filter —
+    * never a per-row subquery; the "no recent order" is a left-anti
+    * join against the date-pruned orders slice. At 100 TB: customer
+    * shuffles once for the anti join, orders only contributes its
+    * post-2000 keys, and the balance rollup is exact integer cents. */
+  def tpchChurn(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val bar = cust.filter(col("c_acctbal") > 0.0)
+      .agg(
+        (sum(col("c_acctbal").cast("decimal(18,2)")) * 100).cast("long").as("cents"),
+        count(lit(1)).as("n"))
+      .select((expr("(cents * 100) div n") / lit(10000.0)).as("bal_floor"))
+    cust.crossJoin(broadcast(bar))
+      .filter(col("c_acctbal") > col("bal_floor"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        (sum(col("c_acctbal").cast("decimal(18,2)")) * 100).cast("long").as("bal_cents"))
+      .orderBy(col("n_name"))
+  }
+
+  /** TPC-H Q2-shaped cheapest-supplier-per-part: for each size-15
+    * part, the supplier with the lowest observed per-unit price and a
+    * deterministic suppkey tiebreak. Per-unit cost is exact integer
+    * arithmetic end-to-end (price cents div integral quantity — no
+    * double division to straddle a floor boundary cross-engine). The
+    * part filter semi-reduces lineitem BEFORE the rollup via a
+    * broadcast — at 100 TB only the ~2% qualifying slice enters the
+    * one (partkey, suppkey) shuffle, and the winner-per-part rank
+    * window rides the same partitioning (no second exchange). */
+  def tpchMinCost(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.part(s, d).filter(col("p_size") === 15)
+      .select("p_partkey", "p_name")
+    val perSupp = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)" +
+          " div cast(l_quantity as bigint)").as("unit_cents"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(col("unit_cents")).as("unit_cents"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("unit_cents").asc, col("l_suppkey").asc)
+    perSupp.withColumn("rn", row_number().over(byPart))
+      .filter(col("rn") === 1)
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_suppkey"), col("s_name"), col("unit_cents"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** TPC-H Q3-shaped shipping priority (SURVEY J11 family): top-10
     * unshipped-revenue orders for one market segment around a cutoff
     * date. Both date predicates fold onto their scans (orders placed
@@ -1338,6 +1401,8 @@ object Relational {
     "q_tpch_priority"     -> tpchPriority,
     "q_tpch_returned"     -> tpchReturned,
     "q_tpch_disjunct"     -> tpchDisjunct,
+    "q_tpch_churn"        -> tpchChurn,
+    "q_tpch_mincost"      -> tpchMinCost,
     "q_tpch_shipping"     -> tpchShipping,
     "q_tpch_promo"        -> tpchPromo,
     "q_tpch_bigorders"    -> tpchBigOrders,
@@ -1871,6 +1936,34 @@ object Relational {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1997
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    // scalar avg stated as a subquery; NOT EXISTS stated correlated —
+    // the engine plans broadcast-filter + left-anti. Exact cents both
+    // ends (see the correlatedAvg tie contract).
+    "q_tpch_churn" ->
+      """WITH g AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+                    count(*) AS n
+                    FROM customer WHERE c_acctbal > 0.0)
+         SELECT n_name, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS bal_cents
+         FROM customer JOIN nation ON c_nationkey = n_nationkey, g
+         WHERE c_acctbal > ((g.cents * 100) // g.n) / 10000.0
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY n_name ORDER BY n_name""",
+    // exact integer unit cost: price cents // integral quantity
+    "q_tpch_mincost" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_size = 15),
+         c AS (SELECT l_partkey, p_name, l_suppkey,
+                 min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     // CAST(l_quantity AS BIGINT)) AS unit_cents
+               FROM lineitem JOIN p ON l_partkey = p_partkey
+               GROUP BY 1, 2, 3),
+         r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY unit_cents, l_suppkey) AS rn FROM c)
+         SELECT l_partkey AS p_partkey, p_name, s_suppkey, s_name, unit_cents
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rn = 1 ORDER BY p_partkey""",
     // stated as EXISTS on purpose: the engine plans the left-semi form
     "q_tpch_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders

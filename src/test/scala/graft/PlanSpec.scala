@@ -129,6 +129,26 @@ class PlanSpec extends SparkSpec {
       s"part-side OR prefilter must push into the part scan:\n$pd")
   }
 
+  test("tpch churn/mincost: scalar avg broadcasts, anti join carries the NOT EXISTS, parts semi-reduce the fact") {
+    val ch = SparkEntry.queries("q_tpch_churn")(spark, sf0001)
+    val pc = ch.queryExecution.executedPlan.toString
+    assert(pc.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$pc")
+    // the 1-row global average arrives via broadcast, never a per-row
+    // subquery or a shuffled join
+    assert(pc.contains("BroadcastNestedLoopJoin") || pc.contains("BroadcastExchange"), pc)
+
+    val mc = SparkEntry.queries("q_tpch_mincost")(spark, sf0001)
+    val pm = mc.queryExecution.executedPlan.toString
+    assert(pm.contains("BroadcastHashJoin"),
+      s"the size-15 part filter must broadcast into lineitem before the rollup:\n$pm")
+    val scans = mc.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "")
+        .contains("EqualTo(p_size,15)")),
+      s"part size filter must push to the part scan:\n$pm")
+  }
+
   test("tpch shipping: top-10 is TakeOrderedAndProject, both date filters reach their scans") {
     val df = SparkEntry.queries("q_tpch_shipping")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString

@@ -144,6 +144,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H wave 17: churn threshold semantics, mincost winner uniqueness and tiebreak") {
+    val churn = ops.Relational.tpchChurn(spark, sf0001).collect()
+    assert(churn.nonEmpty)
+    churn.foreach { r =>
+      assert(r.getLong(1) > 0, r.toString)
+      // every qualifying customer beats the positive-balance average,
+      // so each nation's mean balance must too (cents / count > 0)
+      assert(r.getLong(2) > 0, r.toString)
+    }
+
+    val mc = ops.Relational.tpchMinCost(spark, sf0001).collect()
+    assert(mc.nonEmpty)
+    assert(mc.map(_.getLong(0)).distinct.length == mc.length, "one winner per part")
+    assert(mc.forall(_.getLong(4) > 0), "positive unit cents")
+    // the (unit_cents, suppkey) tiebreak is total → re-running yields
+    // the identical winner set
+    val again = ops.Relational.tpchMinCost(spark, sf0001).collect()
+    assert(mc.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+
   test("pagerank text sink round-trips (reference saveAsTextFile, S5)") {
     val ranks = ops.PageRank.run(
       ops.PageRank.parseEdgeLines(

@@ -379,7 +379,54 @@ object Corpus {
       .orderBy(col("source"), col("draw_rank"))
   }
 
+  /** Hashed-feature bucket count for [[dsirWeights]]. */
+  private[ops] val DsirBuckets = 256L
+
+  /** DSIR-style importance weighting (T45, r5 wave 18; Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much more likely its
+    * hashed-unigram features are under a TARGET distribution (here:
+    * the `src0` slice standing in for "high-quality reference data")
+    * than under the raw corpus. log w(doc) = Σ_tokens [ln p_tgt(b) −
+    * ln p_raw(b)] over B=256 hash buckets with +1 smoothing; docs
+    * with positive log-weight resemble the target more than the
+    * average corpus doc and survive the resampling gate.
+    *
+    * The scale story IS the bucket table: both distributions compress
+    * to B=256 rows regardless of corpus size, so the expensive half
+    * is one token-bucket aggregate (map-side combinable) and the
+    * bucket table broadcasts back onto the token stream — the corpus
+    * text itself never shuffles; the only per-doc wide op is the
+    * final doc_id rollup. Every ln sees an integer-valued operand
+    * (counts + smoothing constants), so both engines feed identical
+    * doubles into identical ln calls (the PMI/entropy precedent). */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("b", graft.functions.PortableStringHash
+        .portableHash(col("w"), Text.HashMod) % DsirBuckets)
+    val buckets = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("raw_c"),
+        count(when(col("source") === "src0", 1)).as("tgt_c"))
+    val totals = toks.agg(count(lit(1)).as("n_raw"),
+      count(when(col("source") === "src0", 1)).as("n_tgt"))
+    toks.join(broadcast(buckets), "b")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(
+          log(col("tgt_c") + lit(1.0)) - log(col("n_tgt") + lit(DsirBuckets.toDouble)) -
+            log(col("raw_c") + lit(1.0)) + log(col("n_raw") + lit(DsirBuckets.toDouble))), 4)
+          .as("logw"))
+      .withColumn("keep", col("logw") > 0.0)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> ((s: SparkSession, d: String) =>
+      dsirWeights(Tables.documents(s, d))),
     "q_sample_per_group" -> ((s: SparkSession, d: String) =>
       samplePerGroup(Tables.documents(s, d))),
     "q_split" -> ((s: SparkSession, d: String) =>
@@ -403,6 +450,27 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // +1-smoothed bucket ratios; every ln operand is integer-valued
+    "q_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, source,
+           list_reduce(list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT)),
+             (a, v) -> (a * 31 + v) % 1000003) % 256 AS b
+           FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+           WHERE w != ''),
+         bc AS (SELECT b, CAST(count(*) AS BIGINT) AS raw_c,
+                  CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS tgt_c
+                FROM t GROUP BY b),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_raw,
+                 CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS n_tgt
+               FROM t)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(sum(ln(tgt_c + 1.0) - ln(n_tgt + 256.0)
+                     - ln(raw_c + 1.0) + ln(n_raw + 256.0)), 4) AS logw,
+           round(sum(ln(tgt_c + 1.0) - ln(n_tgt + 256.0)
+                     - ln(raw_c + 1.0) + ln(n_raw + 256.0)), 4) > 0.0 AS keep
+         FROM t JOIN bc USING (b) CROSS JOIN g
+         GROUP BY doc_id ORDER BY doc_id""",
     // same mixed-hash rank, same doc_id tiebreak
     "q_sample_per_group" ->
       """WITH h AS (SELECT doc_id, source, n_chars,

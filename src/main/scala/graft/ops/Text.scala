@@ -144,6 +144,33 @@ object Text {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Soft dedup by downweighting (T44, r5 wave 18): instead of
+    * DELETING duplicate documents, weight every copy by 1/k where k is
+    * its text's global copy count — the repetition-aware sampling
+    * weight pipelines use when duplicates carry signal (popular ≠
+    * redundant) but must not dominate the token budget. Weights are
+    * EXACT integer millionths (`1000000 div k` — no double division
+    * whose sum order could diverge cross-engine), reported per source
+    * as effective vs raw document mass. Shape: one digest-keyed window
+    * count (32-byte fingerprints shuffle, text never does) + one
+    * source rollup. */
+  def dedupSoft(s: SparkSession, d: String): DataFrame =
+    dedupSoftCore(Tables.documents(s, d))
+
+  /** Downweighting over any `(doc_id, source, text)` relation —
+    * DataFrame-parameterized so TextSpec can pin the 1/k arithmetic on
+    * planted duplicate groups (the harness corpus is all-singleton). */
+  private[graft] def dedupSoftCore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("fp"))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .withColumn("w_millionths", expr("1000000L div n_copies"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        sum(col("w_millionths")).as("eff_millionths"))
+      .orderBy(col("source"))
+
   /** Normalization-then-hash exact dedup (T41, r5 wave 13): the
     * "fuzzy exact" pass every pretraining recipe runs between strict
     * sha2 (T3) and MinHash (J7) — lowercase, strip non-alphanumerics,
@@ -1295,6 +1322,7 @@ object Text {
     "q_bm25"          -> bm25,
     "q_dedup_exact"   -> dedupExact,
     "q_dedup_normalized" -> dedupNormalized,
+    "q_dedup_soft"       -> dedupSoft,
     "q_dedup_lines"   -> dedupLines,
     "q_dedup_ngram"   -> dedupNgram,
     "q_dedup_ngram_idf" -> dedupNgramIdf,
@@ -1649,6 +1677,14 @@ object Text {
              '  +', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY keep_id""",
+    // exact integer millionths: 1000000 // global copy count
+    "q_dedup_soft" ->
+      """WITH f AS (SELECT doc_id, source, sha256(text) AS fp FROM documents),
+         c AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n_copies FROM f)
+         SELECT source, count(*) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+           CAST(sum(1000000 // n_copies) AS BIGINT) AS eff_millionths
+         FROM c GROUP BY source ORDER BY source""",
     "q_pmi" ->
       """WITH w AS (SELECT DISTINCT doc_id, w FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) x

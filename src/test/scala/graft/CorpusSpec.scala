@@ -14,6 +14,37 @@ class CorpusSpec extends SparkSpec {
     rows.toDF("doc_id", "text").withColumn("lang", lit("en"))
       .withColumn("source", lit("s"))
 
+  test("dsir weights: target-vocab docs score positive, off-target negative, smoothing exact") {
+    // target source "src0" speaks {qa qb qc}; the raw majority speaks
+    // {ra rb rc}. A doc written in target vocabulary must get
+    // logw > 0 (resembles the target more than the raw mix), an
+    // off-target doc logw < 0, regardless of which source it sits in.
+    // docs must be big enough that the +1/+B smoothing doesn't drown
+    // the signal (B=256 sits in every denominator)
+    // vocab chosen collision-free under charHash mod 256: qa/qb/qc →
+    // buckets 16/17/18, ra/rb/rc → 47/48/49 (aa vs yy would collide!)
+    val tgt = Seq.fill(10)("qa qb qc").mkString(" ")
+    val raw = Seq.fill(10)("ra rb rc").mkString(" ")
+    val corpus = Seq(
+      (1L, tgt, "src0"),
+      (2L, tgt, "src0"),
+      (3L, raw, "src1"),
+      (4L, raw, "src1"),
+      (5L, raw, "src1"),
+      (6L, "qa qb qc", "src1"), // target-like text in a raw source
+      (7L, "ra rb rc", "src0")  // raw-like text in the target source
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.dsirWeights(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(6)._1 == 3)
+    assert(got(6)._2 > 0 && got(6)._3, s"target-vocab doc must keep: ${got(6)}")
+    assert(got(7)._2 < 0 && !got(7)._3, s"raw-vocab doc must drop: ${got(7)}")
+    // weights depend only on text, not on the doc's own source
+    assert(got(1)._2 > 0 && got(3)._2 < 0)
+    assert(math.abs(got(1)._2 - 10 * got(6)._2) < 1e-2,
+      s"log-weights are additive per token: 10x the tokens, 10x the weight: ${got(1)} vs ${got(6)}")
+  }
+
   test("repetition profile matches hand computation") {
     // "a a a b": 4 words, 2 distinct -> dup 0.5; top word a=3/4;
     // bigrams [a a, a a, a b]: top 2/3

@@ -353,6 +353,20 @@ class TextSpec extends SparkSpec {
     assert(strict == 4, s"strict sha2 must keep all 4 apart, got $strict groups")
   }
 
+  test("soft dedup: copies downweight to exact 1/k millionths, uniques keep full mass") {
+    // text T has 3 global copies (2 in s1, 1 in s2) → each carries
+    // floor(1e6/3) = 333333; U is unique in s2 → 1000000
+    val docs = Seq(
+      (1L, "s1", "T T T"),
+      (2L, "s1", "T T T"),
+      (3L, "s2", "T T T"),
+      (4L, "s2", "U U U")).toDF("doc_id", "source", "text")
+    val got = ops.Text.dedupSoftCore(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("s1") == ((2L, 1L, 666666L)), got.toString)
+    assert(got("s2") == ((2L, 2L, 1333333L)), got.toString)
+  }
+
   test("line dedup: global first occurrence survives, later copies (and within-doc repeats) cut") {
     // 16-word segments: A = w1..w16, B = x1..x16. doc 1 = A B;
     // doc 2 = B A (both segments already seen → fully removed);

@@ -738,7 +738,40 @@ object Events {
       .orderBy(col("d"))
   }
 
+  /** Per-user inter-arrival profile (r5 wave 19): the engagement-
+    * cadence readout — for every user with ≥ 2 events, the count,
+    * min/max/mean gap between consecutive events, all in EXACT
+    * integer microseconds (unix_micros differences; the mean is an
+    * integer floor-div, so no double summation order or .5-tie can
+    * diverge cross-engine), plus a burstiness flag (min gap under a
+    * minute while the mean exceeds an hour). One user-partitioned lag
+    * window + one rollup on the SAME key — the window's exchange
+    * satisfies the groupBy's distribution, so the whole profile is a
+    * single shuffle at any event volume. */
+  def interarrival(s: SparkSession, d: String): DataFrame =
+    interarrivalCore(Tables.events(s, d))
+
+  /** Profile over any events relation — DataFrame-parameterized so
+    * AnalyticsSpec can pin the gap arithmetic and the single-event
+    * dropout by hand. */
+  def interarrivalCore(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        expr("sum(gap_us) div count(*)").as("avg_gap_us"))
+      .withColumn("bursty",
+        col("min_gap_us") < 60L * 1000000L && col("avg_gap_us") > 3600L * 1000000L)
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interarrival"    -> interarrival,
     "q_rolling_zscore"  -> rollingZscore,
     "q_cume_distinct"   -> cumulativeDistinct,
     "q_rolling_active"  -> rollingActive,
@@ -770,6 +803,19 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer micros; mean is an integer floor-div
+    "q_interarrival" ->
+      """WITH g AS (SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts), 1)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT user_id, count(*) AS n_gaps,
+           min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) // count(*) AS avg_gap_us,
+           min(gap_us) < 60000000 AND
+             (CAST(sum(gap_us) AS BIGINT) // count(*)) > 3600000000 AS bursty
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
     // same 1e-4 integer quantization, same exact-integer frame sums,
     // same single division — see the engine-side portability comment
     "q_rolling_zscore" ->

@@ -383,7 +383,50 @@ object Graph {
       .orderBy(col("a"), col("rank"))
   }
 
+  /** HITS hubs & authorities (r5 wave 19; Kleinberg JACM 1999): the
+    * other classic iterative eigenvector ranking, on the directed
+    * customer→supplier star where it's genuinely bipartite — hub
+    * score = how broadly a customer buys, authority = how much hub
+    * mass a supplier attracts. 8 power iterations of a = AᵀH, h = Aa
+    * with parallel edges at their multiplicity, normalized ONCE at
+    * the end (scale factors out of the fixpoint direction, and
+    * end-normalization keeps the loop pure multiply-accumulate — no
+    * per-iteration division whose rounding could compound
+    * cross-engine). Same scale mechanics as the PageRank family:
+    * flat edges persisted once, size-gated score-vector broadcast
+    * (zero per-iteration shuffles under the gate), lineage cut +
+    * stats reset per half-step, totals as 1-row broadcasts. */
+  def hits(s: SparkSession, d: String): DataFrame =
+    hitsCore(PageRank.starEdgesDirected(s, d), 8)
+
+  def hitsCore(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.persist()
+    val doBroadcast = PageRank.chooseBroadcast(e)
+    def gate(df: DataFrame) = if (doBroadcast) broadcast(df) else df
+    def cut(df: DataFrame) =
+      org.apache.spark.sql.GraftColumnBridge.freshLeaf(df.localCheckpoint())
+    var h = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      a = cut(e.join(gate(h), col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a")))
+      h = cut(e.join(gate(a), e("dst") === a("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("node"), col("h")))
+    }
+    val hubs = h.crossJoin(broadcast(h.agg(sum(col("h")).as("tot"))))
+      .select(lit("hub").as("kind"), col("node"),
+        round(col("h") / col("tot"), 6).as("score"))
+    val auths = a.crossJoin(broadcast(a.agg(sum(col("a")).as("tot"))))
+      .select(lit("auth").as("kind"), col("dst").as("node"),
+        round(col("a") / col("tot"), 6).as("score"))
+    e.unpersist()
+    auths.unionByName(hubs).orderBy(col("kind"), col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hits" -> hits,
     "q_link_predict" -> linkPrediction,
     "q_triangles" -> triangles,
     "q_kcore"     -> kcore,
@@ -455,7 +498,30 @@ object Graph {
          round(sum(c / CAST(dist AS DOUBLE)), 6) AS harmonic
        FROM g ORDER BY n_reached"""
 
+  /** 8-iteration HITS unroll: a = AᵀH then h = Aa per round, every
+    * intermediate MATERIALIZED (the PageRank-oracle lesson), one
+    * normalization division at the very end. */
+  private val hitsOracle: String = {
+    val iters = (1 to 8).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT dst, sum(h) AS a
+            FROM edges JOIN h${i - 1} ON src = node GROUP BY dst),
+         h$i AS MATERIALIZED (SELECT src AS node, sum(a) AS h
+            FROM edges e JOIN a$i ON e.dst = a$i.dst GROUP BY src)"""
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+         SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS h FROM edges),
+       $iters
+       SELECT 'auth' AS kind, dst AS node,
+         round(a / (SELECT sum(a) FROM a8), 6) AS score FROM a8
+       UNION ALL
+       SELECT 'hub', node, round(h / (SELECT sum(h) FROM h8), 6) FROM h8
+       ORDER BY kind, node"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_hits" -> hitsOracle,
     // same quantized integer weights (floor(1e6/ln deg) — identical
     // double division then floor), same exact-long score sums, same
     // canonical-pair exclusion and per-focal total-order rank

@@ -11,6 +11,34 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("interarrival: exact gap micros, integer mean, single-event users drop") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:00:10"), 2L),
+      (1L, ts("2024-01-01 00:01:10"), 3L),
+      (2L, ts("2024-01-01 05:00:00"), 4L) // single event → no gaps
+    ).toDF("user_id", "ts", "event_id")
+    val got = ops.Events.interarrivalCore(ev).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 10000000L && r.getLong(3) == 60000000L)
+    assert(r.getLong(4) == 35000000L) // (10s + 60s) / 2 exactly
+    assert(!r.getBoolean(5))
+  }
+
+  test("interarrival: equal-ts events tiebreak on event_id, zero gap is legal") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 2L),
+      (7L, ts("2024-01-01 00:00:00"), 1L),
+      (7L, ts("2024-01-01 02:00:01"), 3L)
+    ).toDF("user_id", "ts", "event_id")
+    val r = ops.Events.interarrivalCore(ev).collect().head
+    assert(r.getLong(2) == 0L, "duplicate-ts gap must be 0: " + r)
+    assert(r.getLong(4) == 3600500000L)
+    assert(r.getBoolean(5), "0s min + >1h mean = bursty: " + r)
+  }
+
   test("psi drift: empty-bin and surplus-bin cells carry all the signal") {
     // ref half (us 0..9): values 10..100 → fences 10..90, one value
     // per decile bin; cur half (us 91..100): values 15..105 — every

@@ -12,6 +12,27 @@ class GraphSpec extends SparkSpec {
   private def edges(es: (Long, Long)*): DataFrame =
     es.toDF("u", "v")
 
+  test("HITS: bipartite ordering, L1 normalization, multiplicity counted") {
+    // c1→{s1,s2}, c2→{s1}: s1 draws from both hubs → top authority;
+    // c1 spreads over both authorities → top hub. Scores are L1-
+    // normalized per kind (each side sums to 1 up to the 1e-6 round).
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hitsCore(e, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got(("auth", 10L)) > got(("auth", 11L)), got.toString)
+    assert(got(("hub", 1L)) > got(("hub", 2L)), got.toString)
+    Seq("auth", "hub").foreach { k =>
+      val s = got.collect { case ((`k`, _), v) => v }.sum
+      assert(math.abs(s - 1.0) < 1e-5, s"$k scores must sum to 1: $s")
+    }
+    // a parallel edge is weight 2, not a set: doubling c2→s1 must
+    // strictly raise s1's share
+    val e2 = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 10L)).toDF("src", "dst")
+    val got2 = Graph.hitsCore(e2, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got2(("auth", 10L)) > got(("auth", 10L)), s"$got2 vs $got")
+  }
+
   test("centrality: closed forms on a hand-solved path graph") {
     // BFS relation of path 0-1-2-3 from source 0: n_reached = 3,
     // ecc = 3, Σd = 6, closeness = 3/6, harmonic = 1 + 1/2 + 1/3

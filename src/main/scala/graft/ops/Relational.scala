@@ -308,6 +308,85 @@ object Relational {
       .orderBy(col("branch"))
   }
 
+  /** TPC-H Q13-shaped customer order-count distribution: how many
+    * customers placed exactly k qualifying orders, INCLUDING k = 0 —
+    * which is why the priority predicate must ride the LEFT join's ON
+    * clause, not a WHERE (a post-join filter would silently delete
+    * the zero-order customers the query exists to count). Two
+    * aggregations: the per-customer count shuffles on custkey, the
+    * k-histogram is a ≤|k|-row rollup. At 100 TB orders pre-filters
+    * before the join and customer shuffles once. */
+  def tpchCustDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("n_cust").desc, col("n_orders").desc)
+
+  /** Exact per-group percentile report (SURVEY A-family closing the
+    * sketch/exact pair from the other side): p50/p90/p99 of order
+    * value per priority as TYPE-1 (lower-value) quantiles over exact
+    * integer cents — the value AT sorted position ceil(q·n), never an
+    * interpolation (interpolated quantiles divide doubles; position
+    * selection is pure integer arithmetic, so both engines pick the
+    * identical cell — the r3 half-cent-flip lesson institutionalized).
+    * One rank window per priority partition; the rollup rides the
+    * same partitioning, so the whole report is a single shuffle. */
+  def quantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(first(col("n")).as("n_orders"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
+        min(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents"))).as("p90_cents"),
+        min(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Tukey-fence (IQR) outlier screen per event type — the boxplot
+    * companion to the MAD screen (A11): exact type-1 quartiles by
+    * integer position selection, fences q1 − 1.5·IQR / q3 + 1.5·IQR
+    * computed from those identical doubles on both engines, outliers
+    * counted strictly outside the fences. NULL values are excluded
+    * up front (loudly, as a counted column — not silently by the
+    * window). Single shuffle: quartile window + rollup on the same
+    * event_type partitioning. */
+  def iqrOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
+    val ranked = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    ranked
+      .withColumn("q1", min(when(col("rn") === expr("(n + 3) div 4"), col("value")))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("q3", min(when(col("rn") === expr("(3 * n + 3) div 4"), col("value")))
+        .over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n_values"),
+        round(first(col("q1")), 6).as("q1"),
+        round(first(col("q3")), 6).as("q3"),
+        count(when(
+          col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1")), 1))
+          .as("n_low"),
+        count(when(
+          col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")), 1))
+          .as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
   /** TPC-H Q22-shaped dormant high-balance customers: per nation, the
     * customers whose balance beats the global positive-balance average
     * yet placed NO order since 2000. The scalar average is ONE exact
@@ -1403,6 +1482,9 @@ object Relational {
     "q_tpch_disjunct"     -> tpchDisjunct,
     "q_tpch_churn"        -> tpchChurn,
     "q_tpch_mincost"      -> tpchMinCost,
+    "q_tpch_custdist"     -> tpchCustDist,
+    "q_quantiles"         -> quantiles,
+    "q_iqr_outliers"      -> iqrOutliers,
     "q_tpch_shipping"     -> tpchShipping,
     "q_tpch_promo"        -> tpchPromo,
     "q_tpch_bigorders"    -> tpchBigOrders,
@@ -1936,6 +2018,46 @@ object Relational {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1997
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    // the priority predicate rides the LEFT join's ON clause so
+    // zero-order customers survive into the k=0 bucket
+    "q_tpch_custdist" ->
+      """WITH c AS (SELECT c_custkey, count(o_custkey) AS n_orders
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+           GROUP BY c_custkey)
+         SELECT n_orders, count(*) AS n_cust FROM c
+         GROUP BY n_orders ORDER BY n_cust DESC, n_orders DESC""",
+    // TYPE-1 quantiles: the value AT position ceil(q*n) — integer
+    // position selection over integer cents, no interpolation
+    "q_quantiles" ->
+      """WITH r AS (SELECT o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rn,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+         SELECT o_orderpriority, CAST(any_value(n) AS BIGINT) AS n_orders,
+           min(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+           min(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents,
+           min(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99_cents
+         FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // exact type-1 quartiles; fences computed from identical doubles
+    "q_iqr_outliers" ->
+      """WITH r AS (SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL),
+         q AS (SELECT *,
+           min(CASE WHEN rn = (n + 3) // 4 THEN value END)
+             OVER (PARTITION BY event_type) AS q1,
+           min(CASE WHEN rn = (3 * n + 3) // 4 THEN value END)
+             OVER (PARTITION BY event_type) AS q3
+           FROM r)
+         SELECT event_type, CAST(any_value(n) AS BIGINT) AS n_values,
+           round(any_value(q1), 6) AS q1, round(any_value(q3), 6) AS q3,
+           count(CASE WHEN value < q1 - 1.5 * (q3 - q1) THEN 1 END) AS n_low,
+           count(CASE WHEN value > q3 + 1.5 * (q3 - q1) THEN 1 END) AS n_high
+         FROM q GROUP BY event_type ORDER BY event_type""",
     // scalar avg stated as a subquery; NOT EXISTS stated correlated —
     // the engine plans broadcast-filter + left-anti. Exact cents both
     // ends (see the correlatedAvg tie contract).

@@ -165,6 +165,30 @@ class RelationalSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
   }
 
+  test("wave 20: custdist conserves customers, quantiles are ordered positions, IQR fences bound") {
+    val cd = ops.Relational.tpchCustDist(spark, sf0001).collect()
+    val nCust = Tables.customer(spark, sf0001).count()
+    assert(cd.map(_.getLong(1)).sum == nCust, "every customer lands in exactly one bucket")
+    val nQual = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") =!= "5-LOW").count()
+    assert(cd.map(r => r.getLong(0) * r.getLong(1)).sum == nQual,
+      "bucket-weighted counts reproduce the qualifying order total")
+
+    val qs = ops.Relational.quantiles(spark, sf0001).collect()
+    qs.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4),
+        s"p50 <= p90 <= p99: $r")
+    }
+    assert(qs.map(_.getLong(1)).sum == Tables.orders(spark, sf0001).count())
+
+    val iqr = ops.Relational.iqrOutliers(spark, sf0001).collect()
+    iqr.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), s"q1 <= q3: $r")
+      assert(r.getLong(4) + r.getLong(5) < r.getLong(1),
+        s"fences must keep the interquartile mass inside: $r")
+    }
+  }
+
   test("pagerank text sink round-trips (reference saveAsTextFile, S5)") {
     val ranks = ops.PageRank.run(
       ops.PageRank.parseEdgeLines(

@@ -424,7 +424,37 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Curriculum batching (T46, r5 wave 21; Bengio et al. ICML 2009
+    * applied to corpus prep): order each source's documents easy →
+    * hard by a difficulty proxy (mean word length in exact integer
+    * millis — `n_chars·1000 div n_tokens`) and cut the ordering into
+    * contiguous 32-doc batches, reporting per-batch difficulty bounds
+    * and token mass. The curriculum is PER SOURCE on purpose: the
+    * ordering window partitions by source, so at 100 TB each shard
+    * sorts independently — a single global curriculum would be one
+    * unpartitioned window (the exact shape the PlanAudit gate
+    * exists to forbid). Batch difficulty must be monotone within a
+    * source by construction — CorpusSpec pins it. */
+  def curriculum(docs: DataFrame, batchSize: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("diff_milli").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("diff_milli", expr("(n_chars * 1000) div n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
+      .groupBy(col("source"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("diff_milli")).as("min_diff"),
+        max(col("diff_milli")).as("max_diff"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("batch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curriculum" -> ((s: SparkSession, d: String) =>
+      curriculum(Tables.documents(s, d))),
     "q_dsir_weights" -> ((s: SparkSession, d: String) =>
       dsirWeights(Tables.documents(s, d))),
     "q_sample_per_group" -> ((s: SparkSession, d: String) =>
@@ -450,6 +480,18 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer difficulty proxy and contiguous 32-doc cuts
+    "q_curriculum" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+           len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         r AS (SELECT *, (n_chars * 1000) // n_tokens AS diff_milli FROM t),
+         b AS (SELECT *, (row_number() OVER (PARTITION BY source
+                 ORDER BY diff_milli, doc_id) - 1) // 32 AS batch FROM r)
+         SELECT source, batch, count(*) AS n_docs,
+           min(diff_milli) AS min_diff, max(diff_milli) AS max_diff,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM b GROUP BY source, batch ORDER BY source, batch""",
     // +1-smoothed bucket ratios; every ln operand is integer-valued
     "q_dsir_weights" ->
       """WITH t AS (SELECT doc_id, source,

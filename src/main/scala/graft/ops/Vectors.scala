@@ -459,7 +459,56 @@ object Vectors {
     kmeansAssign(Tables.embeddings(s, d))
       .select(col("vec_id"), col("v"), col("cluster"))
 
+  /** MMR diverse re-ranking (V8, r5 wave 21; Carbonell & Goldstein
+    * SIGIR 1998): serve 3 results that are RELEVANT but not redundant
+    * — greedy argmax of λ·cos(d,q) − (1−λ)·max_{s∈S} cos(d,s) with
+    * λ = 0.7 over the brute-force top-10 candidates (the first pick's
+    * empty-set diversity term is 0). The re-rank stage is bounded by
+    * construction: candidates are ≤ 10 rows regardless of corpus
+    * size, so the 3-step greedy unroll runs entirely on broadcast
+    * relations — the only corpus-wide work is the top-10 scan
+    * itself, identical to V1's TakeOrdered shape. Ties break on
+    * vec_id; every comparison sees identical doubles cross-engine
+    * (same cosine fold, same λ arithmetic). */
+  def vectorMmr(s: SparkSession, d: String): DataFrame =
+    vectorMmrCore(Tables.embeddings(s, d), qvec)
+
+  /** Greedy MMR over any `(vec_id, embedding)` relation and query
+    * vector — parameterized so VectorsSpec can pin the selection
+    * order and the λ arithmetic on hand-built low-dim vectors. */
+  private[graft] def vectorMmrCore(emb: DataFrame, qv: Column): DataFrame = {
+    val lam = lit(0.7)
+    val cand = emb
+      .select(col("vec_id"), darr.as("v"), cosine(darr, qv).as("cos_q"))
+      .orderBy(col("cos_q").desc, col("vec_id").asc).limit(10)
+      .persist() // ≤10 rows, reused across the 3 greedy steps
+    var selected = cand
+      .orderBy(col("cos_q").desc, col("vec_id").asc).limit(1)
+      .select(lit(1).as("pick"), col("vec_id"), col("v"), col("cos_q"),
+        (lam * col("cos_q")).as("mmr"))
+    for (step <- 2 to 3) {
+      val selSide = selected.select(col("vec_id").as("sid"), col("v").as("sv"))
+      val next = cand
+        .join(broadcast(selSide), col("vec_id") === col("sid"), "left_anti")
+        .crossJoin(broadcast(selSide))
+        .groupBy(col("vec_id"), col("v"), col("cos_q"))
+        .agg(max(cosine(col("v"), col("sv"))).as("msim"))
+        .select(lit(step).as("pick"), col("vec_id"), col("v"), col("cos_q"),
+          (lam * col("cos_q") - (lit(1.0) - lam) * col("msim")).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+      selected = selected.unionByName(next)
+    }
+    // eager checkpoint cuts the lineage back to cand, so the cache
+    // can be released before the caller's action re-executes the plan
+    val fin = org.apache.spark.sql.GraftColumnBridge.freshLeaf(selected.localCheckpoint())
+    cand.unpersist()
+    fin.select(col("pick"), col("vec_id"),
+        round(col("cos_q"), 6).as("cos_q"), round(col("mmr"), 6).as("mmr"))
+      .orderBy(col("pick"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vector_mmr" -> vectorMmr,
     "q_dedup_semantic" -> dedupSemantic,
     "q_kmeans" -> kmeans,
     "q_embed_normalize" -> embedNormalize,
@@ -537,6 +586,39 @@ object Vectors {
        SELECT vec_id, cluster, round(dist, 6) AS dist FROM a3 ORDER BY vec_id"""
 
   val oracles: Map[String, String] = Map(
+    // the greedy unroll replayed step by step; the diversity weight is
+    // spelled (1.0 - CAST(0.7 AS DOUBLE)) because the engine computes
+    // 1.0 - 0.7 in doubles (≠ a 0.3 literal by one ulp)
+    "q_vector_mmr" ->
+      s"""WITH e AS (SELECT vec_id, ${sqlDarr("embedding")} AS v,
+                     $sqlQvec AS q FROM embeddings),
+         sc AS (SELECT vec_id, v, ${sqlCos("v", "q")} AS cos_q FROM e),
+         c AS MATERIALIZED (SELECT vec_id, v, cos_q FROM sc
+              ORDER BY cos_q DESC, vec_id LIMIT 10),
+         p1 AS (SELECT vec_id, v, cos_q, CAST(0.7 AS DOUBLE) * cos_q AS mmr
+              FROM c ORDER BY cos_q DESC, vec_id LIMIT 1),
+         m2 AS (SELECT c.vec_id, max(${sqlCos("c.v", "s.v")}) AS msim
+              FROM c CROSS JOIN p1 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM p1) GROUP BY c.vec_id),
+         p2 AS (SELECT c.vec_id, c.v, c.cos_q,
+                CAST(0.7 AS DOUBLE) * c.cos_q
+                  - (1.0 - CAST(0.7 AS DOUBLE)) * m2.msim AS mmr
+              FROM m2 JOIN c ON m2.vec_id = c.vec_id
+              ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         s2 AS (SELECT vec_id, v FROM p1 UNION ALL SELECT vec_id, v FROM p2),
+         m3 AS (SELECT c.vec_id, max(${sqlCos("c.v", "s.v")}) AS msim
+              FROM c CROSS JOIN s2 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM s2) GROUP BY c.vec_id),
+         p3 AS (SELECT c.vec_id, c.v, c.cos_q,
+                CAST(0.7 AS DOUBLE) * c.cos_q
+                  - (1.0 - CAST(0.7 AS DOUBLE)) * m3.msim AS mmr
+              FROM m3 JOIN c ON m3.vec_id = c.vec_id
+              ORDER BY mmr DESC, c.vec_id LIMIT 1)
+         SELECT 1 AS pick, vec_id, round(cos_q, 6) AS cos_q,
+                round(mmr, 6) AS mmr FROM p1
+         UNION ALL SELECT 2, vec_id, round(cos_q, 6), round(mmr, 6) FROM p2
+         UNION ALL SELECT 3, vec_id, round(cos_q, 6), round(mmr, 6) FROM p3
+         ORDER BY pick""",
     "q_kmeans" -> kmeansOracle,
     // the k-means CTE chain VERBATIM (shared val — assignments cannot
     // drift from q_kmeans), then the q_dedup_embed SRP machinery with

@@ -45,6 +45,33 @@ class CorpusSpec extends SparkSpec {
       s"log-weights are additive per token: 10x the tokens, 10x the weight: ${got(1)} vs ${got(6)}")
   }
 
+  test("curriculum: batches cut at 32, difficulty monotone within each source") {
+    val cur = Corpus.curriculum(Tables.documents(spark, sf0001)).collect()
+    assert(cur.nonEmpty)
+    cur.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // all batches full except possibly the last
+      sorted.init.foreach(r => assert(r.getLong(2) == 32L, s"$src: $r"))
+      assert(sorted.last.getLong(2) <= 32L)
+      // easy → hard: batch b's max difficulty ≤ batch b+1's min
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) <= b.getLong(3), s"$src: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("curriculum difficulty proxy is exact integer millis") {
+    val d = docs(1L -> "abc de", 2L -> "a b c d")
+    // doc 1: 6 chars, 2 tokens → 3000; doc 2: 7 chars, 4 tokens → 1750
+    val got = Corpus.curriculum(
+        d.withColumn("n_chars", length(col("text"))), batchSize = 1)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(5)))).toMap
+    assert(got(0L) == ((1750L, 4L)), got.toString) // easier doc batches first
+    assert(got(1L) == ((3000L, 2L)), got.toString)
+  }
+
   test("repetition profile matches hand computation") {
     // "a a a b": 4 words, 2 distinct -> dup 0.5; top word a=3/4;
     // bigrams [a a, a a, a b]: top 2/3

@@ -22,6 +22,39 @@ class VectorsSpec extends SparkSpec {
       .toDF("vec_id", "label", "embedding")
   }
 
+  test("MMR: greedy order and λ arithmetic on hand-built vectors") {
+    // q = e1. id1 = e1 (cos 1), id2 = e1 exact duplicate, id3 = (.6,.8)
+    // (cos .6). Step 1 picks id1 (tiebreak on vec_id); step 2: dup mmr
+    // = .7 − (1−.7)·1 = .4 beats id3's .7·.6 − .3·.6 = .24 (with λ=.7
+    // an exact duplicate of a perfect hit still outranks a cos-.6
+    // result — MMR trades off, it doesn't hard-dedup); step 3 takes
+    // the remaining id3 at .24.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val qv = array(lit(1.0), lit(0.0))
+    val got = ops.Vectors.vectorMmrCore(emb, qv).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L), got.mkString(";"))
+    assert(got(0)._4 == 0.7 && got(1)._4 == 0.4, got.mkString(";"))
+    assert(math.abs(got(2)._4 - 0.24) < 1e-6, got.mkString(";"))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+  }
+
+  test("MMR on the harness embeddings: pick 1 is the brute-force argmax, picks distinct") {
+    val mmr = ops.Vectors.vectorMmr(spark, sf0001).collect()
+    assert(mmr.length == 3)
+    assert(mmr.map(_.getLong(1)).distinct.length == 3)
+    val top1 = ops.Vectors.vectorTopk(spark, sf0001).limit(1).collect().head.getLong(0)
+    assert(mmr.head.getLong(1) == top1, "first MMR pick must be the plain top-1")
+    // mmr = λ·cos_q − (1−λ)·msim with msim ∈ [−1, 1] (negative for
+    // anti-correlated picks), so it may sit ABOVE λ·cos_q — but never
+    // outside the ±(1−λ) band around it
+    mmr.foreach(r => assert(
+      math.abs(r.getDouble(3) - 0.7 * r.getDouble(2)) <= 0.3 + 1e-9, r.toString))
+  }
+
   test("SRP-LSH finds a planted far-id duplicate that id-block banding provably misses") {
     val srp = ops.Vectors.srpPairs(plantedCorpus, 0.9)
       .select("va", "vb").as[(Long, Long)].collect().toSet

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.streaming.Streaming
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -770,7 +770,63 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Snapshot reconciliation diff (r5 wave 22): the data-engineering
+    * "what changed between loads" readout — per-user activity in the
+    * first vs second half of the month, reconciled by FULL OUTER
+    * join into added / removed / changed / same. Value mass is exact
+    * integer cents (decimal sum → long), so `changed` is an exact
+    * integer comparison, never a double epsilon; the join's null
+    * sides are the classification signal (the one join type the
+    * engine's J4 family didn't yet declare). One shuffle per
+    * half-aggregate + the user-keyed join. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame =
+    snapshotDiffCore(Tables.events(s, d))
+
+  def snapshotDiffCore(ev: DataFrame): DataFrame = {
+    val mid = lit("2024-01-16 00:00:00").cast("timestamp")
+    def half(pred: Column, pfx: String) = ev.filter(pred)
+      .groupBy(col("user_id").as(s"${pfx}_uid"))
+      .agg(count(lit(1)).as(s"${pfx}_n"),
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as(s"${pfx}_cents"))
+    half(col("ts") < mid, "a")
+      .join(half(col("ts") >= mid, "b"), col("a_uid") === col("b_uid"), "full_outer")
+      .select(
+        coalesce(col("a_uid"), col("b_uid")).as("user_id"),
+        coalesce(col("a_n"), lit(0L)).as("n_first"),
+        coalesce(col("b_n"), lit(0L)).as("n_second"),
+        col("a_cents"), col("b_cents"),
+        when(col("a_uid").isNull, "added")
+          .when(col("b_uid").isNull, "removed")
+          .when(col("a_cents") === col("b_cents"), "same")
+          .otherwise("changed").as("status"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Hopping trending top-k (r5 wave 22): the dashboard staple — per
+    * day, the 3 most frequent event types with a total-order tiebreak
+    * (count desc, type asc). The rank window partitions by day over
+    * the POST-aggregation (day × type) relation — bounded at
+    * |days|·|types| rows, so the window never touches event volume;
+    * the one wide op over facts is the (day, type) count, which is
+    * map-side combinable. */
+  def trending(s: SparkSession, d: String): DataFrame =
+    trendingCore(Tables.events(s, d))
+
+  def trendingCore(ev: DataFrame): DataFrame = {
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    ev.select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rnk", row_number().over(byDay))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("day"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff"   -> snapshotDiff,
+    "q_trending"        -> trending,
     "q_interarrival"    -> interarrival,
     "q_rolling_zscore"  -> rollingZscore,
     "q_cume_distinct"   -> cumulativeDistinct,
@@ -803,6 +859,33 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer cents both sides of the FULL OUTER reconciliation
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT user_id AS a_uid, count(*) AS a_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS a_cents
+           FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+           GROUP BY user_id),
+         b AS (SELECT user_id AS b_uid, count(*) AS b_n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS b_cents
+           FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+           GROUP BY user_id)
+         SELECT coalesce(a_uid, b_uid) AS user_id,
+           coalesce(a_n, 0) AS n_first, coalesce(b_n, 0) AS n_second,
+           a_cents, b_cents,
+           CASE WHEN a_uid IS NULL THEN 'added'
+                WHEN b_uid IS NULL THEN 'removed'
+                WHEN a_cents = b_cents THEN 'same'
+                ELSE 'changed' END AS status
+         FROM a FULL OUTER JOIN b ON a_uid = b_uid
+         ORDER BY user_id""",
+    "q_trending" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY day
+           ORDER BY n_events DESC, event_type) AS INT) AS rnk FROM c)
+         SELECT day, event_type, n_events, rnk FROM r
+         WHERE rnk <= 3 ORDER BY day, rnk""",
     // exact integer micros; mean is an integer floor-div
     "q_interarrival" ->
       """WITH g AS (SELECT user_id,

@@ -11,6 +11,34 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("snapshot diff: added/removed/changed/same classify on exact cents") {
+    val ev = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 10.00),  // both halves, same cents
+      (1L, ts("2024-01-20 00:00:00"), 10.00),
+      (2L, ts("2024-01-10 00:00:00"), 10.00),  // both halves, changed
+      (2L, ts("2024-01-20 00:00:00"), 10.01),
+      (3L, ts("2024-01-20 00:00:00"), 5.00),   // second half only → added
+      (4L, ts("2024-01-10 00:00:00"), 5.00)    // first half only → removed
+    ).toDF("user_id", "ts", "value")
+    val got = ops.Events.snapshotDiffCore(ev).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got == Map(1L -> "same", 2L -> "changed", 3L -> "added", 4L -> "removed"), got.toString)
+  }
+
+  test("trending: top-3 per day with total-order tiebreak") {
+    val ev = Seq(
+      (ts("2024-01-01 01:00:00"), "b"), (ts("2024-01-01 02:00:00"), "b"),
+      (ts("2024-01-01 03:00:00"), "a"), (ts("2024-01-01 04:00:00"), "a"),
+      (ts("2024-01-01 05:00:00"), "c"),
+      (ts("2024-01-01 06:00:00"), "d")
+    ).toDF("ts", "event_type")
+    val got = ops.Events.trendingCore(ev).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    // counts tie at 2 for a/b → type asc breaks it; c/d tie at 1 →
+    // 'c' takes rank 3, 'd' is cut
+    assert(got.toSeq == Seq(("a", 2L, 1), ("b", 2L, 2), ("c", 1L, 3)), got.mkString(";"))
+  }
+
   test("interarrival: exact gap micros, integer mean, single-event users drop") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L),

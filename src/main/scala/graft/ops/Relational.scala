@@ -308,6 +308,25 @@ object Relational {
       .orderBy(col("branch"))
   }
 
+  /** TPC-H Q6-shaped revenue forecast: THE predicate-pushdown
+    * microbenchmark — one conjunctive filter (ship year, discount
+    * band, quantity cap) over lineitem, one unconditional aggregate,
+    * no join, no shuffle beyond the final 1-row combine. All three
+    * predicates must reach the parquet scan (PlanSpec pins the pushed
+    * bounds); at 100 TB this query is pure scan bandwidth — row-group
+    * statistics prune most of the file before a byte decompresses.
+    * The discount band is stated in exact hundredths (the data is
+    * 2-decimal) so neither engine tests a double against an open
+    * boundary. */
+  def tpchForecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1997 &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q13-shaped customer order-count distribution: how many
     * customers placed exactly k qualifying orders, INCLUDING k = 0 —
     * which is why the priority predicate must ride the LEFT join's ON
@@ -1483,6 +1502,7 @@ object Relational {
     "q_tpch_churn"        -> tpchChurn,
     "q_tpch_mincost"      -> tpchMinCost,
     "q_tpch_custdist"     -> tpchCustDist,
+    "q_tpch_forecast"     -> tpchForecast,
     "q_quantiles"         -> quantiles,
     "q_iqr_outliers"      -> iqrOutliers,
     "q_tpch_shipping"     -> tpchShipping,
@@ -2018,6 +2038,13 @@ object Relational {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1997
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_tpch_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         WHERE year(l_shipdate) = 1997
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24.0""",
     // the priority predicate rides the LEFT join's ON clause so
     // zero-order customers survive into the k=0 bucket
     "q_tpch_custdist" ->

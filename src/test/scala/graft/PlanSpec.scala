@@ -149,6 +149,19 @@ class PlanSpec extends SparkSpec {
       s"part size filter must push to the part scan:\n$pm")
   }
 
+  test("tpch forecast: all three predicates push to the scan, no shuffle before the 1-row combine") {
+    val df = SparkEntry.queries("q_tpch_forecast")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+      s"Q6 is scan + partial agg + 1-row combine only:\n$p")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("l_discount") && pushed.contains("LessThan(l_quantity,24.0)"),
+      s"discount band + quantity cap must reach the scan: $pushed")
+  }
+
   test("tpch shipping: top-10 is TakeOrderedAndProject, both date filters reach their scans") {
     val df = SparkEntry.queries("q_tpch_shipping")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString

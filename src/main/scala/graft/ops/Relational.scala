@@ -1461,6 +1461,173 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  /** TPC-H Q7-shaped volume shipping between two nations: revenue
+    * flowing supplier-nation → customer-nation per ship year, both
+    * directions of the NATION_3/NATION_7 pair. The scale-critical
+    * move is pruning BEFORE the facts: supplier and customer are each
+    * pre-joined to the 2-row nation slice, so only the ~2/25 of keys
+    * that can possibly qualify enter the lineitem/orders shuffles —
+    * the pruned supplier key set broadcasts into lineitem and the
+    * pruned customer set broadcasts into orders. The OR-of-pairs
+    * filter lands on two tiny joined columns, never on a fact scan. */
+  def tpchVolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val nations = Tables.nation(s, d)
+      .filter(col("n_name").isin(pair: _*))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")).between(1996, 1997))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8-shaped market share: within the AMERICA customer market
+    * and the STANDARD part segment, NATION_5-supplied revenue share
+    * per order year. Both "who buys" (region via customer) and "what"
+    * (part type) prune fact input before the shuffles; "who supplies"
+    * (the share split) must NOT prune — every supplier's revenue is
+    * the denominator — so the supplier-nation tag rides a broadcast
+    * dim join and the share is a conditional aggregate. Numerator and
+    * denominator round at 4 before the one division (identical double
+    * operands cross-engine); the share re-rounds at 6. */
+  def tpchMarketShare(s: SparkSession, d: String): DataFrame = {
+    val americaCust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "AMERICA")
+          .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val stdParts = Tables.part(s, d)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(stdParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+          .join(americaCust, col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_5", rev)
+          .otherwise(0.0)), 4).as("nation_rev"),
+        round(sum(rev), 4).as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .withColumn("mkt_share",
+        round(col("nation_rev") / col("total_rev"), 6))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9-shaped product-line profit: per supplier nation and
+    * order year, profit over "%widget%" parts. The harness schema has
+    * no partsupp, so supply cost is defined as 60% of p_retailprice —
+    * the Q9 SHAPE (name-LIKE part prune, profit = revenue − cost·qty,
+    * nation×year rollup) is what's exercised, not the TPC-H numbers.
+    * The LIKE prune broadcasts into lineitem ahead of the orders
+    * shuffle; l_quantity is integral so cost·qty keeps cent
+    * precision; the one agg rounds at 4. */
+  def tpchProfit(s: SparkSession, d: String): DataFrame = {
+    val widget = Tables.part(s, d)
+      .filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")), 4)
+          .as("profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q15-shaped top supplier(s): suppliers whose revenue over
+    * one ship quarter equals the global maximum. Revenue is summed as
+    * EXACT integer cents (doubles differ by accumulation order across
+    * engines, and max-equality amplifies any divergence into a
+    * row-set change), so the max comparison is exact on both engines.
+    * The max itself is an unpartitioned window over the per-supplier
+    * rollup — a bounded post-aggregation relation (PlanSpec's gate
+    * allows exactly this placement), one row per supplier, never the
+    * fact table. */
+  def tpchTopSupplier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSupp = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)").as("rev"))
+      .groupBy(col("l_suppkey"))
+      .agg((sum(col("rev")) * 10000).cast("long").as("rev_e4"))
+    perSupp
+      .withColumn("max_rev_e4", max(col("rev_e4")).over(Window.partitionBy()))
+      .filter(col("rev_e4") === col("max_rev_e4"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_e4"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems of Brand#12
+    * parts whose quantity sits below 20% of that part's average
+    * quantity — the per-group scalar-subquery shape, planned as ONE
+    * window over the brand-pruned slice instead of a re-aggregating
+    * self-join. l_quantity is integral, so the threshold compare is
+    * exact cross-multiplied integer math (5·qty·n < Σqty): no
+    * double average ever exists to diverge between engines. The
+    * brand prune broadcasts into lineitem, so at 100 TB the window
+    * partitions only the ~1/25 brand slice. */
+  def tpchSmallQty(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val brand = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#12").select("p_partkey")
+    val perPart = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .withColumn("sum_qty", sum(col("l_quantity").cast("long")).over(perPart))
+      .withColumn("n_li", count(lit(1)).over(perPart))
+      .filter(col("l_quantity").cast("long") * 5 * col("n_li") < col("sum_qty"))
+      .agg(
+        round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_small"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile"           -> profile,
     "q_quantile_norm"     -> quantileNorm,
@@ -1503,6 +1670,11 @@ object Relational {
     "q_tpch_mincost"      -> tpchMinCost,
     "q_tpch_custdist"     -> tpchCustDist,
     "q_tpch_forecast"     -> tpchForecast,
+    "q_tpch_volume"       -> tpchVolumeShipping,
+    "q_tpch_mktshare"     -> tpchMarketShare,
+    "q_tpch_profit"       -> tpchProfit,
+    "q_tpch_topsupplier"  -> tpchTopSupplier,
+    "q_tpch_smallqty"     -> tpchSmallQty,
     "q_quantiles"         -> quantiles,
     "q_iqr_outliers"      -> iqrOutliers,
     "q_tpch_shipping"     -> tpchShipping,
@@ -2044,7 +2216,8 @@ object Relational {
          FROM lineitem
          WHERE year(l_shipdate) = 1997
            AND l_discount BETWEEN 0.05 AND 0.07
-           AND l_quantity < 24.0""",
+           AND l_quantity < 24.0
+         ORDER BY revenue""",
     // the priority predicate rides the LEFT join's ON clause so
     // zero-order customers survive into the k=0 bucket
     "q_tpch_custdist" ->
@@ -2123,6 +2296,83 @@ object Relational {
                        WHERE l.l_orderkey = o.o_orderkey
                          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+           AND sn.n_name IN ('NATION_3', 'NATION_7')
+           AND cn.n_name IN ('NATION_3', 'NATION_7')
+           AND sn.n_name <> cn.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // numerator/denominator each rounded at 4 BEFORE the division
+    "q_tpch_mktshare" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                        THEN l_extendedprice * (1.0 - l_discount)
+                        ELSE 0.0 END), 4) AS nation_rev,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_rev,
+         count(*) AS n_items,
+         round(round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END), 4)
+               / round(sum(l_extendedprice * (1.0 - l_discount)), 4), 6)
+           AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+         GROUP BY 1 ORDER BY 1""",
+    "q_tpch_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         round(sum(l_extendedprice * (1.0 - l_discount)
+                   - 0.6 * p_retailprice * l_quantity), 4) AS profit,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    // exact integer 1e-4 units so the max-equality row set is stable
+    "q_tpch_topsupplier" ->
+      """WITH r AS (SELECT l_suppkey,
+                    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                  AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                      AND l_shipdate < TIMESTAMP '1997-04-01'
+                    GROUP BY 1)
+         SELECT s_suppkey, s_name, rev_e4
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE rev_e4 = (SELECT max(rev_e4) FROM r)
+         ORDER BY s_suppkey""",
+    // threshold as exact cross-multiplied integers: 5·qty·n < Σqty
+    "q_tpch_smallqty" ->
+      """WITH b AS (SELECT l_partkey, l_quantity, l_extendedprice,
+                    sum(CAST(l_quantity AS BIGINT))
+                      OVER (PARTITION BY l_partkey) AS sum_qty,
+                    count(*) OVER (PARTITION BY l_partkey) AS n_li
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_brand = 'Brand#12')
+         SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_small,
+           count(DISTINCT l_partkey) AS n_parts
+         FROM b WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
+         ORDER BY avg_yearly""",
     "q_tpch_returned" ->
       """SELECT c_custkey, c_name, n_name,
          round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,

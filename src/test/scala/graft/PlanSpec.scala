@@ -175,6 +175,52 @@ class PlanSpec extends SparkSpec {
       .contains("IsNotNull")) >= 2, p)
   }
 
+  test("tpch volume: nation prune broadcasts into BOTH fact sides before their join") {
+    // Q7's scale property: only the 2-nation supplier/customer key
+    // slices enter the lineitem⋈orders shuffle. Pin: ≥3 broadcast
+    // joins (nations→supplier, nations→customer, pruned dims→facts)
+    // and the n_name IN filter never lands on a parquet fact scan.
+    val df = SparkEntry.queries("q_tpch_volume")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val factFilters = scans.filter(_.tableIdentifier.isEmpty)
+      .filter(s => s.schema.fieldNames.contains("l_orderkey") ||
+        s.schema.fieldNames.contains("o_orderkey"))
+      .map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(!factFilters.contains("n_name"),
+      s"nation filter must stay on the dim side: $factFilters")
+  }
+
+  test("tpch top-supplier: the global max sits on the per-supplier rollup, not the facts") {
+    // the unpartitioned window gate (below) admits this plan only
+    // because the window's child aggregates first; pin the stronger
+    // fact: exactly one lineitem scan, ship-quarter pushed to it.
+    val df = SparkEntry.queries("q_tpch_topsupplier")(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val li = scans.filter(_.schema.fieldNames.contains("l_suppkey"))
+    assert(li.size == 1, s"lineitem must be scanned once: ${scans.size}")
+    assert(li.head.metadata.getOrElse("PushedFilters", "")
+      .contains("l_shipdate"), li.head.metadata.toString)
+  }
+
+  test("tpch small-qty: per-part threshold is one partitioned window, no re-agg self-join") {
+    val df = SparkEntry.queries("q_tpch_smallqty")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // one hash exchange on l_partkey for the window; the brand prune
+    // broadcasts; no second lineitem aggregation feeding a join
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty), p)
+  }
+
   test("semantic dedup: the banded within-cluster self-join reuses one computed exchange") {
     // pinned on the edges SUBPLAN: the declared query's final plan
     // can't show the reuse because Components materializes the edges

@@ -425,7 +425,82 @@ object Graph {
     auths.unionByName(hubs).orderBy(col("kind"), col("node"))
   }
 
+  /** Synchronous label-propagation rounds — fixed count so the result
+    * is a deterministic function of the graph (no convergence test to
+    * diverge on), pinned to the oracle's unroll. */
+  val LpaRounds = 5
+
+  /** Label-propagation community detection (§2.14 extension): every
+    * node starts in its own community; each synchronous round
+    * reassigns it to the most frequent label among its neighbors,
+    * ties broken toward the smaller label. Deterministic by
+    * construction (sync updates + total tie order) — the async
+    * random-order variant of the original NPC paper trades that away
+    * for fewer rounds, the wrong trade when the output feeds a
+    * hash-compared pipeline.
+    *
+    * Scale shape: per round, ONE join of the 2|E| symmetric edge list
+    * against the |V|-row label relation (label side broadcasts under
+    * the same node-count gate as PageRank's ranks; past the gate it
+    * degrades to the shuffled equi-join), then vote counting as
+    * groupBy(node, label) and the argmax as groupBy(node) over
+    * max(struct(n, −label)) — aggregations only, no per-node sort, no
+    * window over the fact-sized vote relation. Lineage is cut every
+    * round (the relations are |V|-sized; the checkpoint is cheaper
+    * than carrying 5 rounds of join plans). */
+  def labelPropagation(edges: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    val doBroadcast = sym.select(col("a")).distinct().count() <=
+      PageRank.BroadcastMaxNodes
+    def gate(df: DataFrame) = if (doBroadcast) broadcast(df) else df
+    def cut(df: DataFrame) =
+      org.apache.spark.sql.GraftColumnBridge.freshLeaf(df.localCheckpoint())
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val prev = labels
+      labels = cut(
+        sym.join(gate(labels.withColumnRenamed("node", "ln")),
+            col("b") === col("ln"))
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("n"))
+          .groupBy(col("a"))
+          .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("top"))
+          .select(col("a").as("node"), (-col("top.neg")).as("label")))
+      prev.unpersist()
+    }
+    labels
+  }
+
+  /** Repeat co-purchase edges: part pairs sharing ≥2 orders. The
+    * weight threshold is what makes community structure visible — the
+    * full co-occurrence graph is so dense LPA collapses it to one
+    * community (observed at every harness SF), while the ≥2 filter
+    * keeps ~3% of edges and yields hundreds. Same aggregation shape
+    * as [[coEdges]], one count filter on top. */
+  def repeatCoEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    li.select(col("ok"), col("l_partkey").as("u"))
+      .join(li.select(col("ok"), col("l_partkey").as("v")), Seq("ok"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+  }
+
+  /** Declared LPA query: community rollup (id = min member label,
+    * size, member span) over the repeat co-purchase graph. */
+  def communities(s: SparkSession, d: String): DataFrame =
+    labelPropagation(repeatCoEdges(s, d))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("n_nodes").desc, col("community"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_communities" -> communities,
     "q_hits" -> hits,
     "q_link_predict" -> linkPrediction,
     "q_triangles" -> triangles,
@@ -520,7 +595,32 @@ object Graph {
        ORDER BY kind, node"""
   }
 
+  /** 5-round unrolled sync LPA — same vote counting, same
+    * (count desc, label asc) tie order via row_number. */
+  private val communitiesOracle: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""v$r AS MATERIALIZED (SELECT s.a, l.label, count(*) AS n
+            FROM sym s JOIN l${r - 1} l ON s.b = l.node GROUP BY 1, 2),
+         l$r AS MATERIALIZED (SELECT a AS node, label FROM (
+            SELECT a, label, row_number() OVER (PARTITION BY a
+              ORDER BY n DESC, label) AS rn FROM v$r) t WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+         SELECT a.l_partkey AS u, b.l_partkey AS v
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+       $rounds
+       SELECT label AS community, count(*) AS n_nodes,
+         min(node) AS min_node, max(node) AS max_node
+       FROM l$LpaRounds GROUP BY label
+       ORDER BY n_nodes DESC, community"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_communities" -> communitiesOracle,
     "q_hits" -> hitsOracle,
     // same quantized integer weights (floor(1e6/ln deg) — identical
     // double division then floor), same exact-long score sums, same

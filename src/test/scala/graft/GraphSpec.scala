@@ -33,6 +33,31 @@ class GraphSpec extends SparkSpec {
     assert(got2(("auth", 10L)) > got(("auth", 10L)), s"$got2 vs $got")
   }
 
+  test("LPA: two cliques joined by a bridge resolve to two communities") {
+    // cliques {1,2,3} and {10,11,12} with bridge 3–10. Each clique
+    // node sees ≥2 same-clique votes vs ≤1 across the bridge, so mode
+    // propagation keeps the cliques internally uniform and never
+    // merges them (which label wins inside a clique depends on
+    // round-1 tie leakage across the bridge — the PARTITION is the
+    // contract, not the label value).
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val got = Graph.labelPropagation(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(got).size == 1, got.toString)
+    assert(Set(10L, 11L, 12L).map(got).size == 1, got.toString)
+    assert(got(1L) != got(10L), s"cliques must not merge: $got")
+  }
+
+  test("LPA: tie between neighbor labels breaks toward the smaller label") {
+    // path 1–2–3 after round 1: node 2 sees {1,3} once each → takes 1.
+    val got = Graph.labelPropagation(edges((1L, 2L), (2L, 3L)), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 1L, got.toString)
+    assert(got(1L) == 2L && got(3L) == 2L, // their only neighbor
+      got.toString)
+  }
+
   test("centrality: closed forms on a hand-solved path graph") {
     // BFS relation of path 0-1-2-3 from source 0: n_reached = 3,
     // ecc = 3, Σd = 6, closeness = 3/6, harmonic = 1 + 1/2 + 1/3

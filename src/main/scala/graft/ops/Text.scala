@@ -50,6 +50,51 @@ object Text {
   private[graft] def charHashHof(c: Column): Column =
     aggregate(split(c, ""), lit(0L), (a, ch) => (a * 31L + ascii(ch)) % HashMod)
 
+  /** Count-min sketch geometry: depth (independent hash rows) ×
+    * width (counters per row). 4×256 keeps the sketch at 1 KiB of
+    * longs — the point of the operator is that this size is FIXED as
+    * the corpus grows. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-min sketch vs exact heavy hitters: estimate the top-20
+    * word frequencies from a 4×256 sketch and report each estimate
+    * next to its exact count (overcount ≥ 0 is the CMS guarantee —
+    * PropertySpec-style invariant carried in the output itself).
+    *
+    * Scale shape: the sketch is built from the per-WORD exact rollup
+    * (hash each distinct word 4×, sum counts into cells), not by
+    * hashing every token instance — same cells, vocabulary-sized
+    * input. The 1024-cell sketch then broadcasts into the 20-row
+    * probe join. At 100 TB the sketch stays 1 KiB while exact
+    * per-word counting pays a full vocabulary shuffle — the output
+    * quantifies exactly what that buys (overcount) against what it
+    * costs. Hash rows are salted renderings of the engine-portable
+    * [[charHash]], so the oracle reproduces every cell bit-for-bit. */
+  def cmsTopk(s: SparkSession, d: String): DataFrame =
+    cmsTopkCore(Tables.documents(s, d))
+
+  private[graft] def cmsTopkCore(docs: DataFrame): DataFrame = {
+    def cellOf(r: Int): Column =
+      pmod(charHash(concat(lit(s"cms$r#"), col("word"))), lit(CmsWidth))
+        .cast("int")
+    val hashCols = array((0 until CmsDepth).map(cellOf): _*)
+    val exact = docs
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+    val cells = exact
+      .select(col("n_exact"), posexplode(hashCols).as(Seq("r", "c")))
+      .groupBy(col("r"), col("c")).agg(sum(col("n_exact")).as("cell_n"))
+    exact.orderBy(col("n_exact").desc, col("word")).limit(20)
+      .select(col("word"), col("n_exact"),
+        posexplode(hashCols).as(Seq("r", "c")))
+      .join(broadcast(cells), Seq("r", "c"))
+      .groupBy(col("word"), col("n_exact"))
+      .agg(min(col("cell_n")).as("n_cms"))
+      .withColumn("overcount", col("n_cms") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+
   /** Tokenize + count (T1): total and per-doc frequencies per word. */
   def wordcount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1318,6 +1363,7 @@ object Text {
     "q_entropy"       -> entropy,
     "q_chunk_docs"    -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_wordcount"     -> wordcount,
+    "q_cms_topk"      -> cmsTopk,
     "q_tfidf"         -> tfidf,
     "q_bm25"          -> bm25,
     "q_dedup_exact"   -> dedupExact,
@@ -1605,6 +1651,26 @@ object Text {
       """SELECT w AS word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          GROUP BY w ORDER BY w""",
+    // same salted portable hash per row, same word-rollup cell sums
+    "q_cms_topk" ->
+      """WITH wc AS (SELECT w AS word, count(*) AS n_exact
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         hc AS (SELECT word, n_exact, r,
+           CAST(list_reduce(list_transform(
+               string_split('cms' || CAST(r AS VARCHAR) || '#' || word, ''),
+               ch -> CAST(ascii(ch) AS BIGINT)),
+             (a, v) -> (a * 31 + v) % 1000003) % 256 AS INT) AS c
+           FROM wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+         cells AS (SELECT r, c, CAST(sum(n_exact) AS BIGINT) AS cell_n
+           FROM hc GROUP BY r, c),
+         top AS (SELECT word FROM wc ORDER BY n_exact DESC, word LIMIT 20)
+         SELECT h.word, h.n_exact,
+           CAST(min(cell_n) AS BIGINT) AS n_cms,
+           CAST(min(cell_n) - h.n_exact AS BIGINT) AS overcount
+         FROM hc h JOIN top USING (word) JOIN cells USING (r, c)
+         GROUP BY h.word, h.n_exact
+         ORDER BY h.n_exact DESC, h.word""",
     // The (1.2 + 1) and term-pivot shapes are written to force the
     // SAME IEEE operation order as the Spark expression — see bm25's
     // scaladoc on ulp-determinism of the ≤3-term sum.

@@ -11,6 +11,25 @@ class TextSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 
+  test("CMS top-k: estimates dominate exact counts; no-collision words are exact") {
+    // 3 distinct words over 4×256 cells: collisions are possible but
+    // the CMS one-sided error (n_cms ≥ n_exact) must hold regardless,
+    // and the heaviest word must rank first with the right exact count.
+    val docs = Seq((1L, "alpha alpha alpha beta"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val rows = Text.cmsTopkCore(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.head._1 == "alpha" && rows.head._2 == 4L, rows.mkString)
+    rows.foreach { case (w, exact, cms, over) =>
+      assert(cms >= exact && over == cms - exact, s"$w: $exact $cms $over")
+    }
+    // planted collision-free case: with 3 words it is overwhelmingly
+    // likely at least one row separates all three — then every
+    // estimate is exact. Verify the invariant the sketch is FOR.
+    val sep = rows.forall { case (_, exact, cms, _) => cms == exact }
+    assert(sep, s"3 words in 4x256 cells should not all collide: ${rows.mkString}")
+  }
+
   test("topic terms: integer lift arithmetic and the support floor") {
     // x: 5×apple 1×banana; y: 5×banana 1×apple → N=12, n_s=6,
     // c_apple=c_banana=6 → lift(x,apple) = 5·12/36 = 5/3

@@ -645,6 +645,39 @@ object Events {
       .orderBy(col("dow"))
   }
 
+  /** Cross-correlation of two event streams (E19, r5): Pearson r
+    * between the hourly count series of two event types over hours
+    * where either fires. The alignment is one conditional aggregation
+    * (no join of two per-type rollups — at 100 TB that join re-pays
+    * the shuffle the single groupBy already paid), and the corr is
+    * computed from the FIVE exact integer moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²), not corr()'s streaming doubles: the one division and
+    * sqrt at the end are single IEEE ops over exact-integer-valued
+    * operands, identical cross-engine. The variance terms cast to
+    * double BEFORE their product — n·Σx²·n·Σy² overflows int64 at
+    * scale while each centered term is overflow-safe. */
+  def crossCorr(s: SparkSession, d: String): DataFrame =
+    crossCorrCore(Tables.events(s, d), "click", "view")
+
+  private[graft] def crossCorrCore(ev: DataFrame, a: String,
+      b: String): DataFrame = {
+    val m = ev.filter(col("event_type").isin(a, b))
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(when(col("event_type") === a, 1)).as("x"),
+        count(when(col("event_type") === b, 1)).as("y"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.withColumn("pearson_r", round(
+      (col("n_hours") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n_hours") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n_hours") * col("syy") - col("sy") * col("sy")).cast("double")),
+      6))
+      .orderBy(col("n_hours"))
+  }
+
   /** Rolling z-score anomaly detection (E18, r5): each event scored
     * against its user's trailing 20 observations — the streaming-ish
     * outlier gauge ("is THIS value weird for THIS user?") that a
@@ -825,6 +858,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_corr"      -> crossCorr,
     "q_snapshot_diff"   -> snapshotDiff,
     "q_trending"        -> trending,
     "q_interarrival"    -> interarrival,
@@ -859,6 +893,22 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // same five exact integer moments, same double-before-product
+    "q_cross_corr" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+           count(*) FILTER (event_type = 'click') AS x,
+           count(*) FILTER (event_type = 'view') AS y
+           FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy FROM h)
+         SELECT n_hours, sx, sy, sxy, sxx, syy,
+           round(CAST(n_hours * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE) *
+                  CAST(n_hours * syy - sy * sy AS DOUBLE)), 6) AS pearson_r
+         FROM m ORDER BY n_hours""",
     // exact integer cents both sides of the FULL OUTER reconciliation
     "q_snapshot_diff" ->
       """WITH a AS (SELECT user_id AS a_uid, count(*) AS a_n,

@@ -499,8 +499,47 @@ object Graph {
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
       .orderBy(col("n_nodes").desc, col("community"))
 
+  /** Newman modularity of the LPA partition — the quality number that
+    * says whether [[communities]] found structure or noise. Q =
+    * intra/m − Σ_c d_c²/(4m²), assembled from FOUR exact integer
+    * moments (m, |C|, intra-edge count, Σ degree-sums²) so the only
+    * floating point is the final two divisions and one subtraction —
+    * identical cross-engine. All relations after the LPA rounds are
+    * |V|- or |C|-sized; the 1-row moment tables meet in broadcast
+    * cross joins. Long moments bound the operator at d_c ≲ 3×10⁹
+    * (Σd_c² < 2⁶³) — beyond that the moments want DECIMAL, noted here
+    * rather than silently wrong. */
+  def modularity(s: SparkSession, d: String): DataFrame =
+    modularityCore(repeatCoEdges(s, d))
+
+  private[graft] def modularityCore(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint()
+    val labels = labelPropagation(e)
+    val m = e.agg(count(lit(1)).as("m"))
+    val intra = e
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val dc = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .join(labels, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+    val sums = dc.agg(count(lit(1)).as("n_communities"),
+      sum(col("d_c") * col("d_c")).as("sum_deg_sq"))
+    m.crossJoin(broadcast(intra)).crossJoin(broadcast(sums))
+      .select(col("m"), col("n_communities"), col("intra_edges"),
+        col("sum_deg_sq"),
+        round(col("intra_edges").cast("double") / col("m")
+          - col("sum_deg_sq").cast("double")
+            / (lit(4.0) * col("m") * col("m")), 6).as("modularity"))
+      .orderBy(col("m"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_communities" -> communities,
+    "q_modularity" -> modularity,
     "q_hits" -> hits,
     "q_link_predict" -> linkPrediction,
     "q_triangles" -> triangles,
@@ -595,9 +634,10 @@ object Graph {
        ORDER BY kind, node"""
   }
 
-  /** 5-round unrolled sync LPA — same vote counting, same
-    * (count desc, label asc) tie order via row_number. */
-  private val communitiesOracle: String = {
+  /** Shared 5-round unrolled sync LPA chain (through l5) — same vote
+    * counting, same (count desc, label asc) tie order via
+    * row_number. */
+  private def lpaCtePrefix: String = {
     val rounds = (1 to LpaRounds).map { r =>
       s"""v$r AS MATERIALIZED (SELECT s.a, l.label, count(*) AS n
             FROM sym s JOIN l${r - 1} l ON s.b = l.node GROUP BY 1, 2),
@@ -612,15 +652,38 @@ object Graph {
          GROUP BY 1, 2 HAVING count(*) >= 2),
        sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
        l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
-       $rounds
+       $rounds"""
+  }
+
+  private val communitiesOracle: String =
+    s"""$lpaCtePrefix
        SELECT label AS community, count(*) AS n_nodes,
          min(node) AS min_node, max(node) AS max_node
        FROM l$LpaRounds GROUP BY label
        ORDER BY n_nodes DESC, community"""
-  }
+
+  // same exact-integer moments, same two-division modularity form
+  private val modularityOracle: String =
+    s"""$lpaCtePrefix,
+       deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY 1),
+       dc AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_c
+         FROM deg d JOIN l$LpaRounds l ON d.node = l.node GROUP BY 1),
+       s AS (SELECT
+         (SELECT CAST(count(*) AS BIGINT) FROM e) AS m,
+         (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_communities,
+         (SELECT CAST(count(*) AS BIGINT) FROM e
+            JOIN l$LpaRounds lu ON e.u = lu.node
+            JOIN l$LpaRounds lv ON e.v = lv.node
+            WHERE lu.label = lv.label) AS intra_edges,
+         (SELECT CAST(sum(d_c * d_c) AS BIGINT) FROM dc) AS sum_deg_sq)
+       SELECT m, n_communities, intra_edges, sum_deg_sq,
+         round(CAST(intra_edges AS DOUBLE) / m
+               - CAST(sum_deg_sq AS DOUBLE) / (4.0 * m * m), 6) AS modularity
+       FROM s ORDER BY m"""
 
   val oracles: Map[String, String] = Map(
     "q_communities" -> communitiesOracle,
+    "q_modularity" -> modularityOracle,
     "q_hits" -> hitsOracle,
     // same quantized integer weights (floor(1e6/ln deg) — identical
     // double division then floor), same exact-long score sums, same

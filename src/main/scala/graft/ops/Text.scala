@@ -95,6 +95,35 @@ object Text {
       .orderBy(col("n_exact").desc, col("word"))
   }
 
+  /** KWIC (key-word-in-context) concordance: every occurrence of the
+    * target word in a deterministic 1-in-50 doc shard, with ±2 words
+    * of context. The shape a corpus-inspection service runs at scale:
+    * tokenize → posexplode → match → slice the token array around the
+    * match position — all narrow per-row operations (the array rides
+    * along with each exploded position, so no self-join back to the
+    * document), one final order. The doc shard is key arithmetic, not
+    * a sample(): reproducible across engines and runs. */
+  def kwic(s: SparkSession, d: String): DataFrame =
+    kwicCore(Tables.documents(s, d).filter(col("doc_id") % 50 === 0),
+      "merge", 2)
+
+  private[graft] def kwicCore(docs: DataFrame, target: String,
+      ctx: Int): DataFrame = {
+    val left = least(col("pos"), lit(ctx))
+    docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(col("ws")).as(Seq("pos", "w")))
+      .filter(col("w") === target)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          slice(col("ws"), (col("pos") + 1 - left).cast("int"),
+            left.cast("int"))).as("left_ctx"),
+        concat_ws(" ",
+          slice(col("ws"), (col("pos") + 2).cast("int"), lit(ctx))).as("right_ctx"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Tokenize + count (T1): total and per-doc frequencies per word. */
   def wordcount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1364,6 +1393,7 @@ object Text {
     "q_chunk_docs"    -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_wordcount"     -> wordcount,
     "q_cms_topk"      -> cmsTopk,
+    "q_kwic"          -> kwic,
     "q_tfidf"         -> tfidf,
     "q_bm25"          -> bm25,
     "q_dedup_exact"   -> dedupExact,
@@ -1651,6 +1681,18 @@ object Text {
       """SELECT w AS word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          GROUP BY w ORDER BY w""",
+    // same 1-based slice clamping, same 0-based match position
+    "q_kwic" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents WHERE doc_id % 50 = 0),
+         p AS (SELECT doc_id, ws,
+           unnest(generate_series(1, len(ws))) AS i FROM d)
+         SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(list_slice(ws, greatest(i - 2, 1), i - 1), ' ')
+             AS left_ctx,
+           array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS right_ctx
+         FROM p WHERE ws[i] = 'merge'
+         ORDER BY doc_id, pos""",
     // same salted portable hash per row, same word-rollup cell sums
     "q_cms_topk" ->
       """WITH wc AS (SELECT w AS word, count(*) AS n_exact

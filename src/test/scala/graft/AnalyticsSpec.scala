@@ -11,6 +11,23 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("cross-corr: hand-solved perfectly-correlated hourly series give r = 1") {
+    // hours h1: (x=1, y=2), h2: (x=2, y=4) — y ≡ 2x so r = 1 exactly
+    // from the integer moments (n=2, sx=3, sy=6, sxy=10, sxx=5, syy=20).
+    val ev = Seq(
+      (ts("2024-01-01 01:10:00"), "click"), (ts("2024-01-01 01:20:00"), "view"),
+      (ts("2024-01-01 01:30:00"), "view"),
+      (ts("2024-01-01 02:10:00"), "click"), (ts("2024-01-01 02:15:00"), "click"),
+      (ts("2024-01-01 02:20:00"), "view"), (ts("2024-01-01 02:30:00"), "view"),
+      (ts("2024-01-01 02:40:00"), "view"), (ts("2024-01-01 02:50:00"), "view"),
+      (ts("2024-01-01 03:00:00"), "error") // other types never enter
+    ).toDF("ts", "event_type")
+    val r = ops.Events.crossCorrCore(ev, "click", "view").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 3L, 6L, 10L, 5L, 20L)), r.toString)
+    assert(r.getDouble(6) == 1.0, r.toString)
+  }
+
   test("snapshot diff: added/removed/changed/same classify on exact cents") {
     val ev = Seq(
       (1L, ts("2024-01-10 00:00:00"), 10.00),  // both halves, same cents

@@ -58,6 +58,18 @@ class GraphSpec extends SparkSpec {
       got.toString)
   }
 
+  test("modularity: hand-solved two disconnected triangles give Q = 0.5") {
+    // m=6, LPA keeps the triangles separate, every edge intra; each
+    // node degree 2 → d_c = 6 per community, Σd_c² = 72;
+    // Q = 6/6 − 72/(4·36) = 0.5
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val r = Graph.modularityCore(e).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L &&
+      r.getLong(2) == 6L && r.getLong(3) == 72L, r.toString)
+    assert(r.getDouble(4) == 0.5, r.toString)
+  }
+
   test("centrality: closed forms on a hand-solved path graph") {
     // BFS relation of path 0-1-2-3 from source 0: n_reached = 3,
     // ecc = 3, Σd = 6, closeness = 3/6, harmonic = 1 + 1/2 + 1/3

@@ -11,6 +11,18 @@ class TextSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 
+  test("KWIC: context slices clamp at both document edges") {
+    val docs = Seq((1L, "merge b c"), (2L, "a b merge c d"), (3L, "x y merge"))
+      .toDF("doc_id", "text")
+    val got = Text.kwicCore(docs, "merge", 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "", "b c"),       // nothing left of position 0
+      (2L, 2, "a b", "c d"),    // full ±2 window
+      (3L, 2, "x y", "")),      // nothing right of the last token
+      got.mkString)
+  }
+
   test("CMS top-k: estimates dominate exact counts; no-collision words are exact") {
     // 3 distinct words over 4×256 cells: collisions are possible but
     // the CMS one-sided error (n_cms ≥ n_exact) must hold regardless,

@@ -623,6 +623,79 @@ object Relational {
       .agg(sum(col("pn")).as("n"), round(sum(col("psum")), 2).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** HLL register count — 64 keeps the whole sketch at 64 bytes of
+    * state while the ~13% standard error (1.04/√64) stays honest in
+    * the output next to the exact count. */
+  val HllRegisters = 64
+
+  /** Hand-rolled HyperLogLog distinct-event-id estimate vs the exact
+    * count — the ORACLE-CHECKABLE face of the sketch tier
+    * ([[aggApprox]]'s approx_count_distinct is engine-internal and can
+    * only be golden-bounded; this one is reproduced register-for-
+    * register by DuckDB from the portable hash + finalizer). The
+    * mixed 31-bit value splits into register (low 6 bits) and a
+    * 25-bit rank source; rank = leading zeros + 1 via
+    * `26 − length(bin(v))` (both engines render minimal-width
+    * binary). The harmonic denominator Σ2^(−M_j) is kept EXACT by
+    * scaling to Σ2^(26−M_j) — integer shifts summed as longs, no
+    * double accumulation — so the single final division is the only
+    * float op. No small-range linear-counting correction on purpose:
+    * it needs ln(), whose last ULP is libm-specific — the raw
+    * estimate is deterministic everywhere and the output carries its
+    * own error (measured −10.6%/+7.2%/+3.9% at the three harness SFs,
+    * inside the 1.04/√64 band). The key is event_id (n ≫ 2.5m,
+    * raw-HLL regime; user_id's ~150 distinct sit in the
+    * linear-counting range where the uncorrected estimate reads low
+    * by design). Production HLL wants the full xxhash64
+    * (engine-internal, golden-bounded in aggApprox).
+    *
+    * Scale shape: one narrow hash projection, a 64-group max — the
+    * map-side partial state is 64 bytes per task regardless of input
+    * size — and a broadcast join of two 1-row aggregates. This is the
+    * sketch CMS's q_cms_topk is to frequency, for cardinality. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame =
+    hllCore(Tables.events(s, d).select(col("event_id").as("key")))
+
+  private[graft] def hllCore(ids: DataFrame): DataFrame = {
+    val h = graft.functions.PortableStringHash.portableHash(
+      concat(lit("hll#"), col("key").cast("string")), 1000003L)
+    // The polynomial hash equidistributes RESIDUES but not MAGNITUDE
+    // (sequential keys observed spanning only [587k, 988k] — zero
+    // values below 2¹⁹, so leading-zero ranks never fire). This
+    // xorshift-multiply finalizer (classic LCG constants, all
+    // arithmetic exact in 63 bits on both engines) gives the
+    // avalanche the rank bits need; register AND rank then split off
+    // the MIXED value, never the raw hash (register-from-raw-h
+    // correlates with rank and read 62% low).
+    val regs = ids.select(h.as("h"))
+      .withColumn("x", expr("h ^ shiftright(h, 15)"))
+      .withColumn("x", expr("(x * 1664525) % 2147483648"))
+      .withColumn("x", expr("x ^ shiftright(x, 13)"))
+      .withColumn("x", expr("(x * 1013904223) % 2147483648"))
+      .withColumn("x", expr("x ^ shiftright(x, 16)"))
+      .select((col("x") % HllRegisters).cast("int").as("reg"),
+        expr(s"x div $HllRegisters").as("v"))
+      .withColumn("rank",
+        when(col("v") === 0, 26).otherwise(lit(26) - length(expr("bin(v)"))))
+      .groupBy(col("reg")).agg(max(col("rank")).as("m_rank"))
+    val allRegs = ids.sparkSession.range(HllRegisters)
+      .select(col("id").cast("int").as("reg"))
+      .join(regs, Seq("reg"), "left")
+      .na.fill(0, Seq("m_rank"))
+    val s = allRegs.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - m_rank AS INT))"))
+        .as("sum_inv_e26"))
+    val exact = ids.agg(countDistinct(col("key")).as("n_exact"))
+    s.crossJoin(broadcast(exact))
+      .select(lit(HllRegisters).as("n_registers"), col("n_exact"),
+        col("sum_inv_e26"),
+        round(lit(0.709 * HllRegisters * HllRegisters * 67108864.0)
+          / col("sum_inv_e26"), 2).as("hll_estimate"))
+      .withColumn("rel_error_pct", round(
+        (col("hll_estimate") - col("n_exact")) * 100.0 / col("n_exact"), 2))
+      .orderBy(col("n_registers"))
+  }
+
   /** Sketch aggregates (A5 approx tier): HLL distinct counts and
     * t-digest-style percentiles. Engine-specific estimates → no DuckDB
     * oracle; RelationalSpec bounds them against exact values. */
@@ -1651,6 +1724,7 @@ object Relational {
     "q_agg_salted"        -> aggSalted,
     "q_agg_approx"        -> aggApprox,
     "q_agg_approx_exact"  -> aggApproxExact,
+    "q_hll_distinct"      -> hllDistinct,
     "q_pivot"             -> pivot,
     "q_join_cross"        -> joinCross,
     "q_sample"            -> sample,
@@ -2296,6 +2370,34 @@ object Relational {
                        WHERE l.l_orderkey = o.o_orderkey
                          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // same portable hash + xorshift-multiply finalizer, same exact
+    // integer Σ2^(26−M_j)
+    "q_hll_distinct" ->
+      """WITH h1 AS (SELECT list_reduce(list_transform(
+             string_split('hll#' || CAST(event_id AS VARCHAR), ''),
+             ch -> CAST(ascii(ch) AS BIGINT)),
+           (a, v) -> (a * 31 + v) % 1000003) AS h FROM events),
+         m1 AS (SELECT xor(h, h >> 15) AS x FROM h1),
+         m2 AS (SELECT xor((x * 1664525) % 2147483648,
+             ((x * 1664525) % 2147483648) >> 13) AS x FROM m1),
+         m3 AS (SELECT xor((x * 1013904223) % 2147483648,
+             ((x * 1013904223) % 2147483648) >> 16) AS x FROM m2),
+         r AS (SELECT CAST(x % 64 AS INT) AS reg, x // 64 AS v FROM m3),
+         regs AS (SELECT reg,
+           max(CASE WHEN v = 0 THEN 26 ELSE 26 - length(bin(v)) END) AS m_rank
+           FROM r GROUP BY reg),
+         allr AS (SELECT i.reg, coalesce(m_rank, 0) AS m_rank
+           FROM (SELECT unnest(generate_series(0, 63)) AS reg) i
+           LEFT JOIN regs ON i.reg = regs.reg),
+         s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (26 - m_rank)) AS BIGINT)
+           AS sum_inv_e26 FROM allr),
+         x AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+           FROM events)
+         SELECT 64 AS n_registers, n_exact, sum_inv_e26,
+           round(0.709 * 64 * 64 * 67108864.0 / sum_inv_e26, 2) AS hll_estimate,
+           round((round(0.709 * 64 * 64 * 67108864.0 / sum_inv_e26, 2) - n_exact)
+             * 100.0 / n_exact, 2) AS rel_error_pct
+         FROM s, x ORDER BY n_registers""",
     "q_tpch_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,

@@ -7,6 +7,19 @@ import java.nio.file.Files
   * estimates, no DuckDB oracle) and the reference's text sink (S5). */
 class RelationalSpec extends SparkSpec {
 
+  test("hand-rolled HLL lands inside 3 standard errors at every harness SF") {
+    // σ = 1.04/√64 = 13%; the tri-SF measured errors are −10.6%,
+    // +7.2%, +3.9% — pin the 3σ envelope so a mixer or rank
+    // regression (both observed during construction: raw-hash ranks
+    // read 96% low, raw-hash registers 62% low) fails loudly.
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val r = ops.Relational.hllDistinct(spark, sf).collect().head
+      val err = math.abs(r.getDouble(4))
+      assert(err <= 39.0, s"$sf: rel error $err% breaches 3σ = 39%: $r")
+      assert(r.getLong(1) > 0 && r.getDouble(3) > 0, r.toString)
+    }
+  }
+
   test("approx sketches stay within their error bounds of the declared exact twin") {
     // both sides are DECLARED queries: q_agg_approx (sketches, no
     // oracle by nature) and q_agg_approx_exact (oracle-checked), so

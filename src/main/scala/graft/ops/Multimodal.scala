@@ -368,7 +368,34 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Video frame EXTRACTION as pure byte-range slicing (T9 family):
+    * every 2nd frame of each video payload is cut out of the binary
+    * column by offset arithmetic (`substring` on BinaryType — no
+    * decode at all) and fingerprinted with md5. This is the shape a
+    * real container format demands at 100 TB — frame boundaries come
+    * from header metadata, the slice is a narrow per-row op on the
+    * local payload bytes, and only (id, idx, len, digest) rows —
+    * never the blobs — leave the scan. The stub "container" divides
+    * the payload into n_frames equal byte ranges; md5 crosses the
+    * oracle because the payloads are the documents' ASCII bytes, so
+    * DuckDB (whose BLOB lacks substring/md5 in this build) slices the
+    * same bytes as VARCHAR — TESTDATA-verified byte==char at every
+    * SF. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d).toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"), col("n_frames"),
+        expr("length(payload) div n_frames").cast("int").as("frame_len"))
+      .filter(col("frame_len") > 0)
+      .select(col("media_id"), col("payload"), col("frame_len"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(2))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"), col("frame_len"),
+        md5(expr("substring(payload, frame_idx * frame_len + 1, frame_len)"))
+          .as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_frames"   -> multimodalFrames,
     "q_multimodal_meta"     -> multimodalMeta,
     "q_multimodal_decode"   -> multimodalDecode,
     "q_multimodal_features" -> multimodalFeatures,
@@ -376,6 +403,20 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // byte==char on this ASCII corpus, so VARCHAR substr slices the
+    // same bytes the engine cuts from the BinaryType payload
+    "q_multimodal_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id, text,
+           length(text) AS n_bytes, 1 + n_chars % 8 AS n_frames
+           FROM documents WHERE n_chars % 3 = 0),
+         f AS (SELECT media_id, text,
+           CAST(n_bytes // n_frames AS INT) AS frame_len,
+           unnest(range(0, n_frames, 2)) AS frame_idx FROM v)
+         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, frame_len,
+           md5(substring(text, CAST(frame_idx * frame_len + 1 AS INT),
+             frame_len)) AS frame_md5
+         FROM f WHERE frame_len > 0
+         ORDER BY media_id, frame_idx""",
     // the catalog: image rows advertise the BMP's real parameters
     // (dims, closed-form file size), audio/video the stub's synthetic
     // ones; content hash is always of the SOURCE text

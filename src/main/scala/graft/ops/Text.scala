@@ -1308,6 +1308,50 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Kneser–Ney smoothed bigram model (T35, r5): the LM-quality
+    * scoring pretraining pipelines actually use — absolute
+    * discounting (d = 0.75) with the CONTINUATION back-off that makes
+    * KN the strong n-gram baseline: the back-off weight of word w is
+    * how many distinct contexts w follows, not how often it occurs
+    * (the "San Francisco" insight — "Francisco" is frequent but
+    * follows one context, so bare-"Francisco" predictions are
+    * down-weighted where an MLE back-off ([[bigramLogprobCore]])
+    * over-predicts it).
+    *
+    * Every model statistic is an exact integer (bigram counts,
+    * context totals, distinct-continuation counts — the aggregation
+    * shuffles on (prev,cur) then windows/sums per side), so
+    * P_kn(w|v) = (c−d)/c(v·) + (d·N₁₊(v·)/c(v·))·(N₁₊(·w)/N₁₊(··))
+    * is a FIXED tree of IEEE ops over identical operands cross-engine
+    * — no lockstep rounding needed before the display round. Output
+    * is the top-30 bigrams; the model itself is corpus-sized and
+    * never leaves the executors. */
+  def knBigram(s: SparkSession, d: String): DataFrame =
+    knBigramCore(Tables.documents(s, d))
+
+  private[graft] def knBigramCore(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val bi = ws.select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val cnt = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
+    val types = cnt.agg(count(lit(1)).as("n1_all"))
+    cnt
+      .withColumn("c_ctx", sum(col("c")).over(Window.partitionBy(col("prev"))))
+      .withColumn("n1_fwd", count(lit(1)).over(Window.partitionBy(col("prev"))))
+      .withColumn("n1_back", count(lit(1)).over(Window.partitionBy(col("cur"))))
+      .crossJoin(broadcast(types))
+      .withColumn("p_kn", round(
+        (col("c") - lit(0.75)) / col("c_ctx") +
+          ((lit(0.75) * col("n1_fwd")) / col("c_ctx")) *
+            (col("n1_back") / col("n1_all").cast("double")), 6))
+      .select(col("prev"), col("cur"), col("c"), col("c_ctx"),
+        col("n1_fwd"), col("n1_back"), col("p_kn"))
+      .orderBy(col("c").desc, col("prev"), col("cur")).limit(30)
+  }
+
   /** Containment dedup (T33, r4): asymmetric set containment
     * C(A→B) = |A∩B| / |A| over the capped shingle universe — the
     * doc-in-doc detector symmetric Jaccard structurally misses: a
@@ -1394,6 +1438,7 @@ object Text {
     "q_wordcount"     -> wordcount,
     "q_cms_topk"      -> cmsTopk,
     "q_kwic"          -> kwic,
+    "q_kn_bigram"     -> knBigram,
     "q_tfidf"         -> tfidf,
     "q_bm25"          -> bm25,
     "q_dedup_exact"   -> dedupExact,
@@ -1681,6 +1726,24 @@ object Text {
       """SELECT w AS word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          GROUP BY w ORDER BY w""",
+    // same exact integer model statistics, same fixed IEEE tree
+    "q_kn_bigram" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         bi AS (SELECT ws[i] AS prev, ws[i + 1] AS cur
+           FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+         cnt AS (SELECT prev, cur, count(*) AS c FROM bi GROUP BY 1, 2),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n1_all FROM cnt),
+         e AS (SELECT prev, cur, CAST(c AS BIGINT) AS c,
+           CAST(sum(c) OVER (PARTITION BY prev) AS BIGINT) AS c_ctx,
+           CAST(count(*) OVER (PARTITION BY prev) AS BIGINT) AS n1_fwd,
+           CAST(count(*) OVER (PARTITION BY cur) AS BIGINT) AS n1_back
+           FROM cnt)
+         SELECT prev, cur, c, c_ctx, n1_fwd, n1_back,
+           round((c - 0.75) / c_ctx +
+             ((0.75 * n1_fwd) / c_ctx) * (n1_back / CAST(n1_all AS DOUBLE)), 6)
+             AS p_kn
+         FROM e, t
+         ORDER BY c DESC, prev, cur LIMIT 30""",
     // same 1-based slice clamping, same 0-based match position
     "q_kwic" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -507,7 +507,57 @@ object Vectors {
       .orderBy(col("pick"))
   }
 
+  /** JL output dimension: 64 → 16 keeps the distortion spread visible
+    * (σ ≈ √(2/k) ≈ 35%) while the demonstration — norms preserved in
+    * expectation by a data-independent ±1 matrix — stays exact. */
+  private val JlK = 16
+
+  /** Scala-side evaluation of the SAME portable hash the oracle
+    * computes in SQL — through the expression's own fold, never a
+    * re-implementation (drift-proof; PortableStringHashSpec pins the
+    * expression against its HOF reference). */
+  private def jlHash(str: String): Long =
+    graft.functions.PortableStringHash(
+      org.apache.spark.sql.catalyst.expressions.Literal(str), 1000003L)
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(str))
+
+  /** The ±1 projection matrix, row j = output dim: sign(j,i) from the
+    * portable hash of "jl#j#i" — data-independent, never collected
+    * FROM data (it is 1024 compile-path constants shipped to every
+    * task as a plan literal, the [[hplane]] trick at matrix scale). */
+  private[graft] def jlSigns: Seq[Seq[Double]] =
+    (0 until JlK).map(j => (0 until 64).map(i =>
+      1.0 - 2.0 * (jlHash(s"jl#$j#$i") % 2)))
+
+  /** Johnson–Lindenstrauss random projection (V9, r5): project every
+    * embedding 64 → 16 dims through the ±1 sign matrix and report the
+    * norm-distortion ratio ‖Px‖²/(k·‖x‖²) — the invariant (≈1 in
+    * expectation) that makes dimensionality reduction safe ahead of
+    * ANN at scale: 4× less data through every shuffle and cosine for
+    * a bounded, measured recall cost. All sums are the house ordered
+    * left fold with 0.0 init (bit-identical to DuckDB's list_reduce
+    * over a 0.0-prepended list — x+0.0 is IEEE-exact for these
+    * non-negative terms), so the ratio is deterministic cross-engine
+    * with no rounding contract beyond the final display round.
+    * Per-row narrow arithmetic only — k·d multiply-adds per vector,
+    * no shuffle at all before the presentation sort. */
+  def jlProject(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
+    val ys = (0 until JlK).map(j =>
+      fold(zip_with(col("v"), typedLit(jlSigns(j)), (x, sg) => sg * x)))
+    val ny = fold(array(ys.map(y => y * y): _*))
+    val nx = fold(transform(col("v"), x => x * x))
+    e.select(col("vec_id"), nx.as("nx"), ny.as("ny"))
+      .filter(col("nx") > 0)
+      .select(col("vec_id"),
+        round(col("nx"), 6).as("norm_x"),
+        round(col("ny"), 6).as("norm_y"),
+        round(col("ny") / (lit(JlK.toDouble) * col("nx")), 6).as("distortion"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jl_project" -> jlProject,
     "q_vector_mmr" -> vectorMmr,
     "q_dedup_semantic" -> dedupSemantic,
     "q_kmeans" -> kmeans,
@@ -586,6 +636,29 @@ object Vectors {
        SELECT vec_id, cluster, round(dist, 6) AS dist FROM a3 ORDER BY vec_id"""
 
   val oracles: Map[String, String] = Map(
+    // same hash-derived ±1 signs, same 0.0-seeded ordered folds
+    "q_jl_project" ->
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         y AS (SELECT vec_id,
+           list_transform(range(0, $JlK), j ->
+             list_reduce(list_prepend(0.0, list_transform(range(0, 64), i ->
+               (1.0 - 2.0 * (list_reduce(list_transform(
+                   string_split('jl#' || CAST(j AS VARCHAR) || '#' || CAST(i AS VARCHAR), ''),
+                   ch -> CAST(ascii(ch) AS BIGINT)),
+                 (a, b) -> (a * 31 + b) % 1000003) % 2)) * v[i + 1])),
+               (a, b) -> a + b)) AS ys,
+           list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+             (a, b) -> a + b) AS nx
+           FROM e),
+         n AS (SELECT vec_id, nx,
+           list_reduce(list_prepend(0.0, list_transform(ys, t -> t * t)),
+             (a, b) -> a + b) AS ny
+           FROM y)
+         SELECT vec_id, round(nx, 6) AS norm_x, round(ny, 6) AS norm_y,
+           round(ny / ($JlK.0 * nx), 6) AS distortion
+         FROM n WHERE nx > 0 ORDER BY vec_id""",
     // the greedy unroll replayed step by step; the diversity weight is
     // spelled (1.0 - CAST(0.7 AS DOUBLE)) because the engine computes
     // 1.0 - 0.7 in doubles (≠ a 0.3 literal by one ulp)

@@ -11,6 +11,20 @@ class TextSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again"
 
+  test("Kneser-Ney bigram: hand-solved discounting and continuation back-off") {
+    // "a b a b a c": c(ab)=2 c(ba)=2 c(ac)=1; c(a·)=3 c(b·)=2;
+    // N1+(a·)=2 N1+(b·)=1; N1+(·a)=N1+(·b)=N1+(·c)=1; N1+(··)=3
+    // P(b|a) = 1.25/3 + (1.5/3)(1/3) = 0.583333
+    // P(a|b) = 1.25/2 + (0.75/2)(1/3) = 0.75
+    // P(c|a) = 0.25/3 + (1.5/3)(1/3) = 0.25
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = Text.knBigramCore(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    assert(got(("a", "b")) == 0.583333, got.toString)
+    assert(got(("b", "a")) == 0.75, got.toString)
+    assert(got(("a", "c")) == 0.25, got.toString)
+  }
+
   test("KWIC: context slices clamp at both document edges") {
     val docs = Seq((1L, "merge b c"), (2L, "a b merge c d"), (3L, "x y merge"))
       .toDF("doc_id", "text")

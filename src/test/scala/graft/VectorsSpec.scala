@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
 class VectorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("JL projection: balanced sign matrix, mean distortion near 1 on the corpus") {
+    // the ±1 matrix must be hash-derived and roughly balanced (a
+    // degenerate all-+1 row would make distortion track ‖Σx‖ instead
+    // of ‖x‖), and E[distortion] = 1 — pin the corpus mean within
+    // 4σ/√n of 1 and every row strictly positive.
+    val signs = ops.Vectors.jlSigns
+    assert(signs.size == 16 && signs.forall(_.size == 64))
+    signs.foreach { row =>
+      val pos = row.count(_ == 1.0)
+      assert(pos >= 16 && pos <= 48, s"sign row unbalanced: $pos of 64 positive")
+      assert(row.forall(s => s == 1.0 || s == -1.0))
+    }
+    val rows = SparkEntry.queries("q_jl_project")(spark, sf0001).collect()
+    val ds = rows.map(_.getDouble(3))
+    assert(ds.forall(_ > 0), "distortion must be positive")
+    val mean = ds.sum / ds.length
+    val tol = 4 * math.sqrt(2.0 / 16) / math.sqrt(ds.length.toDouble)
+    assert(math.abs(mean - 1.0) < tol + 0.05,
+      s"mean distortion $mean drifted from 1 (tol $tol, n=${ds.length})")
+  }
+
   /** 40 deterministic filler vectors plus an exact duplicate planted
     * at ids 3 and 480 — 477 ids apart, far beyond any id-adjacency
     * window. Fillers are pseudo-random unit-scale sinusoids; the

@@ -645,7 +645,7 @@ object Events {
       .orderBy(col("dow"))
   }
 
-  /** Cross-correlation of two event streams (E19, r5): Pearson r
+  /** Cross-correlation of two event streams (E25, r5): Pearson r
     * between the hourly count series of two event types over hours
     * where either fires. The alignment is one conditional aggregation
     * (no join of two per-type rollups — at 100 TB that join re-pays

@@ -1308,7 +1308,7 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  /** Kneser–Ney smoothed bigram model (T35, r5): the LM-quality
+  /** Kneser–Ney smoothed bigram model (T50, r5): the LM-quality
     * scoring pretraining pipelines actually use — absolute
     * discounting (d = 0.75) with the CONTINUATION back-off that makes
     * KN the strong n-gram baseline: the back-off weight of word w is

@@ -529,7 +529,7 @@ object Vectors {
     (0 until JlK).map(j => (0 until 64).map(i =>
       1.0 - 2.0 * (jlHash(s"jl#$j#$i") % 2)))
 
-  /** Johnson–Lindenstrauss random projection (V9, r5): project every
+  /** Johnson–Lindenstrauss random projection (V10, r5): project every
     * embedding 64 → 16 dims through the ±1 sign matrix and report the
     * norm-distortion ratio ‖Px‖²/(k·‖x‖²) — the invariant (≈1 in
     * expectation) that makes dimensionality reduction safe ahead of

@@ -134,6 +134,21 @@ class FaultToleranceSpec extends SparkSpec {
     assert(recovered == clean, s"core diverged after recovery: $recovered vs $clean")
   }
 
+  test("label propagation survives first-attempt task failures with identical communities") {
+    import graft.ops.Graph
+    // two cliques + bridge: the vote/argmax rounds run above the
+    // injected failure in the symmetric-edge materialization
+    val edges = chainPlusTriangle()
+    val clean = Graph.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    failedTasks.clear()
+    val recovered = Graph.labelPropagation(edges.filter(flakyLong(col("u"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(failedTasks.size() > 0, "injection never fired — the experiment didn't run")
+    assert(recovered == clean, s"labels diverged after recovery: $recovered vs $clean")
+  }
+
   test("personalized PageRank survives first-attempt task failures with identical ranks") {
     import spark.implicits._
     // seed-reachable chain (1→10→12) + a branch only reachable via the

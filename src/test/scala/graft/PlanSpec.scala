@@ -221,6 +221,42 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty), p)
   }
 
+  test("cms top-k: sketch cells broadcast into the probe join, word rollup computed once") {
+    val qe = SparkEntry.queries("q_cms_topk")(spark, sf0001).queryExecution
+    qe.toRdd.foreach(_ => ()) // AQE final plan shows the reuse
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // cells and the top-20 both derive from the per-word rollup; the
+    // second consumer must reuse the aggregation exchange, not re-scan
+    // and re-aggregate the corpus
+    assert(p.contains("ReusedExchange") ||
+      "Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("hll: one narrow events scan feeds the registers, no join before the 1-row combines") {
+    val df = SparkEntry.queries("q_hll_distinct")(spark, sf0001)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // registers + the exact twin: at most two pruned scans of events,
+    // each reading only event_id
+    assert(scans.size <= 2, s"${scans.size} scans")
+    scans.foreach(sc => assert(sc.schema.fieldNames.toSet == Set("event_id"),
+      s"scan must prune to event_id: ${sc.schema.fieldNames.mkString(",")}"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"only broadcast 1-row combines: $p")
+  }
+
+  test("cross-corr: single events scan, no join, alignment is one conditional aggregation") {
+    val df = SparkEntry.queries("q_cross_corr")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"alignment must not join two rollups: $p")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"${scans.size} scans")
+  }
+
   test("semantic dedup: the banded within-cluster self-join reuses one computed exchange") {
     // pinned on the edges SUBPLAN: the declared query's final plan
     // can't show the reuse because Components materializes the edges

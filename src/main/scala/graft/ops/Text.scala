@@ -1751,9 +1751,10 @@ object Text {
          p AS (SELECT doc_id, ws,
            unnest(generate_series(1, len(ws))) AS i FROM d)
          SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-           array_to_string(list_slice(ws, greatest(i - 2, 1), i - 1), ' ')
-             AS left_ctx,
-           array_to_string(list_slice(ws, i + 1, i + 2), ' ') AS right_ctx
+           coalesce(array_to_string(
+             list_slice(ws, greatest(i - 2, 1), i - 1), ' '), '') AS left_ctx,
+           coalesce(array_to_string(
+             list_slice(ws, i + 1, i + 2), ' '), '') AS right_ctx
          FROM p WHERE ws[i] = 'merge'
          ORDER BY doc_id, pos""",
     // same salted portable hash per row, same word-rollup cell sums

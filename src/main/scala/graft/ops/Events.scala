@@ -645,6 +645,51 @@ object Events {
       .orderBy(col("dow"))
   }
 
+  /** Composed event-analytics flagship (E26, r5): sessionize →
+    * per-session stats → weekly conversion funnel, ONE declared query
+    * chaining three operators the engine ships separately (the
+    * lag-gap-cumsum sessionization of ST6's batch face, the E16-style
+    * session rollup, the E1-family conversion readout) — the
+    * events-side sibling of q_pipeline_corpus. The rollup keys on the
+    * SESSION's week, not a user cohort: on this corpus every user is
+    * active from day one, so first-touch cohorting degenerates to one
+    * row (and E2 already owns cohort retention).
+    *
+    * Shuffle discipline: sessionization flags, the running session
+    * index, and the session rollup all ride ONE user_id exchange (the
+    * (user, session) grouping is satisfied by the user hash
+    * partitioning); only the ≤|weeks| weekly rollup shuffles again.
+    * Conversion = exact integer counts into one division. */
+  def pipelineEvents(s: SparkSession, d: String): DataFrame =
+    pipelineEventsCore(Tables.events(s, d))
+
+  private[graft] def pipelineEventsCore(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+    sessions
+      .groupBy(date_trunc("week", col("session_start")).cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"),
+        sum(col("n_events")).as("n_events_total"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_sessions"), 6))
+      .orderBy(col("week"))
+  }
+
   /** Cross-correlation of two event streams (E25, r5): Pearson r
     * between the hourly count series of two event types over hours
     * where either fires. The alignment is one conditional aggregation
@@ -859,6 +904,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cross_corr"      -> crossCorr,
+    "q_pipeline_events" -> pipelineEvents,
     "q_snapshot_diff"   -> snapshotDiff,
     "q_trending"        -> trending,
     "q_interarrival"    -> interarrival,
@@ -893,6 +939,31 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // same lag-gap-cumsum sessionization, same (ts, event_id) order,
+    // same exact integer conversion counts
+    "q_pipeline_events" ->
+      """WITH f AS (SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         g AS (SELECT *, CASE WHEN prev_ts IS NULL
+             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+             THEN 1 ELSE 0 END AS is_new FROM f),
+         h AS (SELECT *,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+         sess AS (SELECT user_id, session_idx,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS converted
+           FROM h GROUP BY 1, 2)
+         SELECT date_trunc('week', session_start) AS week,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(n_events) AS BIGINT) AS n_events_total,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conv_rate
+         FROM sess GROUP BY 1 ORDER BY week""",
     // same five exact integer moments, same double-before-product
     "q_cross_corr" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS h,

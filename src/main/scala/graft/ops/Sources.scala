@@ -123,6 +123,36 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order layout stats (S11, r5): interleave the bits of two
+    * cluster dimensions (user bucket, day-of-year) into one 16-bit
+    * Morton key and report each key-range bucket's (min, max) span
+    * per dimension — the multi-dimensional clustering readout behind
+    * Delta/Iceberg OPTIMIZE ZORDER. The point at 100 TB: a sort on
+    * the interleaved key keeps BOTH dimensions' min/max ranges tight
+    * in every file, so either predicate can skip most files from
+    * footer stats alone, where a single-column sort gives skipping on
+    * one dimension and full scans on the other. Everything is exact
+    * integer bit arithmetic (shifts/masks both engines share), so the
+    * bucket stats hash-match; `dim_area` = x-span × y-span is the
+    * locality figure of merit the output carries per bucket. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val zbits = (0 until 8).map { k =>
+      s"shiftleft(shiftright(x, $k) & 1, ${2 * k + 1}) + " +
+        s"shiftleft(shiftright(y, $k) & 1, ${2 * k})"
+    }.mkString(" + ")
+    graft.Tables.events(s, d)
+      .select(pmod(col("user_id"), lit(256)).cast("long").as("x"),
+        pmod(dayofyear(col("ts")), lit(256)).cast("long").as("y"))
+      .withColumn("zkey", expr(zbits))
+      .groupBy(expr("zkey div 1024").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("dim_area",
+        (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
+      .orderBy(col("bucket"))
+  }
+
   /** ORC round trip (S10, r4): the other columnar format large
     * warehouses actually hold data in (Hive-era lakes are ORC, not
     * parquet). Spark's native vectorized ORC source keeps the same
@@ -145,6 +175,7 @@ object Sources {
     "q_source_csv"   -> sourceCsvRoundtrip,
     "q_source_orc"   -> sourceOrcRoundtrip,
     "q_layout_partitioned" -> layoutPartitioned,
+    "q_zorder_layout" -> zorderLayout,
   )
 
   /** Both round trips must be lossless, so both oracles are the bare
@@ -159,5 +190,20 @@ object Sources {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_layout_partitioned" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
+    // same Morton interleave, same integer shifts/masks
+    "q_zorder_layout" ->
+      ("""WITH b AS (SELECT CAST(user_id % 256 AS BIGINT) AS x,
+           CAST(dayofyear(ts) % 256 AS BIGINT) AS y FROM events),
+         z AS (SELECT x, y, """ +
+        (0 until 8).map { k =>
+          s"(((x >> $k) & 1) << ${2 * k + 1}) + (((y >> $k) & 1) << ${2 * k})"
+        }.mkString(" + ") +
+        """ AS zkey FROM b)
+         SELECT CAST(zkey // 1024 AS INT) AS bucket,
+           count(*) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y,
+           (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS dim_area
+         FROM z GROUP BY 1 ORDER BY bucket"""),
   )
 }

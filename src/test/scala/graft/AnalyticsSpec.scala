@@ -11,6 +11,24 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("events pipeline: gap boundary splits sessions, conversion counted per session") {
+    // user 1: events at 0, 30m (merges — gap NOT strictly greater),
+    // 61m (splits: 31m > 30m) with the purchase in session 2;
+    // user 2: one unconverted event. → 3 sessions, 1 converted.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:30:00"), 2L, "view"),
+      (1L, ts("2024-01-01 11:31:00"), 3L, "purchase"),
+      (2L, ts("2024-01-01 12:00:00"), 4L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = ops.Events.pipelineEventsCore(ev).collect()
+    assert(r.length == 1, r.mkString)
+    val row = r.head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((2L, 3L, 1L, 4L)), row.toString) // users, sessions, converted, events
+    assert(row.getDouble(5) == math.rint(1.0 / 3.0 * 1e6) / 1e6, row.toString)
+  }
+
   test("cross-corr: hand-solved perfectly-correlated hourly series give r = 1") {
     // hours h1: (x=1, y=2), h2: (x=2, y=4) — y ≡ 2x so r = 1 exactly
     // from the integer moments (n=2, sx=3, sy=6, sxy=10, sxx=5, syy=20).

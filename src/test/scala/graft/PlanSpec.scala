@@ -221,6 +221,18 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty), p)
   }
 
+  test("events pipeline: sessionize + session rollup ride ONE user exchange") {
+    // the (user, session_idx) grouping must be satisfied by the
+    // window's user_id hash partitioning — a second fact-sized
+    // exchange here would double the pipeline's shuffle cost at scale
+    val df = SparkEntry.queries("q_pipeline_events")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val factExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(factExchanges == 1,
+      s"expected exactly one user_id exchange, got $factExchanges:\n$p")
+    assert(!p.contains("Join"), s"the pipeline is windows + rollups, no join: $p")
+  }
+
   test("cms top-k: sketch cells broadcast into the probe join, word rollup computed once") {
     val qe = SparkEntry.queries("q_cms_topk")(spark, sf0001).queryExecution
     qe.toRdd.foreach(_ => ()) // AQE final plan shows the reuse

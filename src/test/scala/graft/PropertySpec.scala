@@ -110,6 +110,47 @@ class PropertySpec extends SparkSpec {
     }, n = 3)
   }
 
+  test("CMS estimates dominate exact counts on any corpus (one-sided error)") {
+    check(Prop.forAll(Gen.listOfN(8, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      graft.ops.Text.cmsTopkCore(docs).collect()
+        .forall(r => r.getLong(2) >= r.getLong(1) &&
+          r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }, n = 5)
+  }
+
+  test("LPA communities partition the node set (every node, exactly one label)") {
+    val edgeGen = Gen.listOfN(12, for {
+      u <- Gen.choose(1L, 8L); v <- Gen.choose(1L, 8L) if u != v
+    } yield (math.min(u, v), math.max(u, v)))
+    check(Prop.forAll(edgeGen) { es =>
+      es.distinct match {
+        case Nil => true
+        case edges =>
+          val df = edges.toDF("u", "v")
+          val labels = graft.ops.Graph.labelPropagation(df).collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+          val nodes = edges.flatMap { case (u, v) => Seq(u, v) }.toSet
+          labels.map(_._1).toSet == nodes &&
+            labels.length == nodes.size // one label per node
+      }
+    }, n = 5)
+  }
+
+  test("KN bigram probabilities stay in (0, 1] and sum ≤ 1 per context over observed followers") {
+    check(Prop.forAll(Gen.listOfN(4, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = graft.ops.Text.knBigramCore(docs).collect()
+        .map(r => (r.getString(0), r.getDouble(6)))
+      rows.forall { case (_, p) => p > 0 && p <= 1 } &&
+        // observed-follower mass never exceeds 1 (the discount holds
+        // back exactly the continuation mass of unseen followers)
+        rows.groupBy(_._1).forall { case (_, ps) => ps.map(_._2).sum <= 1.0 + 1e-9 }
+    }, n = 5)
+  }
+
   test("chunking reconstructs the document exactly (window/overlap invariant)") {
     // chunk i covers [i*stride, i*stride + window); window > stride →
     // chunk 0 plus every later chunk minus its `window - stride`

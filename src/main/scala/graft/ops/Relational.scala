@@ -1701,7 +1701,26 @@ object Relational {
         countDistinct(col("l_partkey")).as("n_parts"))
   }
 
+  /** Pure SQL-text face (§2.6): the same engine driven through
+    * `spark.sql` over registered temp views — proof the library's
+    * surface is not DataFrame-only (a reference user migrating SQL
+    * text runs it verbatim; Catalyst plans THE SAME broadcast-join +
+    * pushed-filter shape either way, which is the point of a
+    * declarative engine). The one declared SQL-face query keeps the
+    * family's determinism contract (round-after-sum, total-order
+    * ORDER BY). */
+  def sqlFace(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    Tables.part(s, d).createOrReplaceTempView("part_v")
+    s.sql("""SELECT p_brand, count(*) AS n_items,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        WHERE p_size <= 10
+        GROUP BY p_brand ORDER BY p_brand""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_face"          -> sqlFace,
     "q_profile"           -> profile,
     "q_quantile_norm"     -> quantileNorm,
     "q_psi_drift"         -> psiDrift,
@@ -2370,6 +2389,12 @@ object Relational {
                        WHERE l.l_orderkey = o.o_orderkey
                          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_sql_face" ->
+      """SELECT p_brand, count(*) AS n_items,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 10
+         GROUP BY p_brand ORDER BY p_brand""",
     // same portable hash + xorshift-multiply finalizer, same exact
     // integer Σ2^(26−M_j)
     "q_hll_distinct" ->

@@ -350,6 +350,40 @@ class StreamingSpec extends SparkSpec {
     assert(avgs(2) == 25.0, s"row beyond 24h must be excluded: ${avgs.toSeq}")
   }
 
+  test("genuinely unbounded rate-micro-batch source streams micro-batches until stopped") {
+    // file-source streams are bounded by what's on disk; this source
+    // NEVER ends — the query consumes deterministic micro-batches
+    // (rowsPerBatch=5, values 0,1,2,... with fixed timestamps from
+    // startTimestamp) until the test stops it. The engine-side claim:
+    // the same transform functions run against a truly unbounded
+    // plan, and the harness controls lifecycle, not EOF.
+    import org.apache.spark.sql.functions._
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "5")
+      .option("startTimestamp", "0")
+      .load()
+      .select(col("timestamp").as("ts"), col("value"))
+      .withColumn("bucket", (col("value") % 5).cast("int"))
+      .writeStream.format("memory").queryName("rate_sink")
+      .outputMode("append").start()
+    try {
+      // NOT processAllAvailable(): on an unbounded rate source the
+      // available offset keeps advancing with wall time, so "all
+      // available" may never be reached — poll the sink instead.
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("rate_sink").count() < 15 &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+      }
+      val rows = spark.table("rate_sink")
+      assert(rows.count() >= 15, "three micro-batches must have arrived")
+      // deterministic content: values are exactly 0..n-1, no gaps/dups
+      val vals = rows.select(col("value")).collect().map(_.getLong(0)).sorted
+      assert(vals.toSeq == (0L until vals.length).toSeq, vals.take(20).toSeq)
+      assert(q.isActive, "the source must still be live — it is unbounded")
+    } finally q.stop()
+  }
+
   test("checkpointed query restarts exactly-once from a file source") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("ckptsrc")

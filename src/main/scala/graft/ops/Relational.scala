@@ -1701,6 +1701,169 @@ object Relational {
         countDistinct(col("l_partkey")).as("n_parts"))
   }
 
+  /** TPC-H Q11-shaped important part value (SURVEY J27): parts whose
+    * stock value for one nation's suppliers exceeds a fixed fraction
+    * of that slice's total. No partsupp in the harness schema, so
+    * "stock value" is the lineitem-observed value (price cents ×
+    * integral quantity) — the Q11 SHAPE is what's exercised: a keyed
+    * rollup gated by a GLOBAL scalar over the same rollup. The total
+    * is an agg-over-agg of the identical subplan, so Catalyst reuses
+    * the rollup exchange (ReusedExchange — same pattern PlanSpec pins
+    * for q_ewma) instead of re-scanning lineitem; the 1-row total
+    * broadcasts back. The threshold compares CROSS-MULTIPLIED exact
+    * integers (val·400 > total) — no double division to straddle a
+    * boundary cross-engine. At 100 TB the only wide op is the one
+    * partkey shuffle of the nation-pruned slice; never an
+    * unpartitioned window over the per-part rollup (parts are
+    * unbounded — that would be a single-task killer). */
+  def tpchPartValue(s: SparkSession, d: String): DataFrame = {
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val vals = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)") *
+          col("l_quantity").cast("long")).as("v"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("v")).as("val_cents"))
+    val tot = vals.agg(sum(col("val_cents")).as("tot_cents"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("val_cents") * 400 > col("tot_cents"))
+      .select(col("l_partkey").as("p_partkey"), col("val_cents"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H Q12-shaped late-shipment priority mix (SURVEY J28): among
+    * 1997 lineitems shipped more than 90 days after their order date,
+    * how many belong to high- vs low-priority orders, per return
+    * flag. (No l_shipmode/commit/receipt columns in the harness
+    * schema — ship-latency over o_orderdate carries the same
+    * "date-ordering predicate rides the join" contract.) The ship
+    * window is an explicit range so it folds onto the lineitem scan
+    * (year(ts) would not push); the +90d inequality references both
+    * sides so it evaluates as a residual on the FK join; the output
+    * is a ≤|flags|-row conditional two-bucket count — exact integers,
+    * no rounding contract. */
+  def tpchLateShip(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q16-shaped supplier count per part attribute (SURVEY J29):
+    * distinct suppliers per (brand, type, size) over a
+    * negative-attribute part slice, EXCLUDING suppliers matching a
+    * complaint predicate — the NOT IN contract: planned as a
+    * broadcast left-anti join (never a per-row subquery), with the
+    * caveat NOT IN demands (a NULL-valued exclusion list would make
+    * NOT IN empty; s_suppkey is a non-null PK, and the oracle states
+    * the same NOT IN so both engines agree on the semantics). The
+    * part slice broadcasts into lineitem before the rollup; the
+    * count-distinct pays one Expand over the pruned slice only. */
+  def tpchSuppCnt(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "ECONOMY" &&
+        col("p_size").isin(5, 15, 25, 35, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excluded = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20-shaped excess-shipment suppliers (SURVEY J30): one
+    * nation's suppliers who, for some name-LIKE part, shipped more in
+    * 1998 than half that (part, supplier) pair's all-time quantity.
+    * The nested-IN chain plans as semi-join stages: the LIKE slice
+    * broadcasts into lineitem BEFORE the pair rollup (only qualifying
+    * parts enter the one (suppkey, partkey) shuffle), the per-pair
+    * threshold is a conditional sum inside that single rollup (the
+    * correlated "half their stock" subquery folded into one grouped
+    * pass — no per-pair probe), and the surviving suppkeys left-semi
+    * into the nation-pruned supplier dim. Quantities are integral →
+    * the comparison is exact cross-multiplied integers (y·2 > total,
+    * which also implies y > 0). */
+  def tpchExcess(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val in98 = col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1999-01-01").cast("timestamp")
+    val heavy = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(in98, col("l_quantity").cast("long")).otherwise(0L)).as("y_qty"),
+        sum(col("l_quantity").cast("long")).as("tot_qty"))
+      .filter(col("y_qty") * 2 > col("tot_qty"))
+      .select("l_suppkey")
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy(col("s_name"))
+  }
+
+  /** TPC-H Q21-shaped waiting-on-supplier count (SURVEY J31): for one
+    * nation's suppliers, late lines (shipped >90 days after order
+    * date) on finished multi-supplier orders where this supplier was
+    * the ONLY late one. Q21's textbook form is two lineitem
+    * self-joins (EXISTS + NOT EXISTS); at 100 TB that is two extra
+    * full-fact shuffles, so the engine folds both into per-order
+    * aggregates instead: ONE (orderkey, suppkey) rollup (late-line
+    * count per pair), then an order-level reduction (supplier count /
+    * late-supplier count / the sole late suppkey) — the EXISTS
+    * becomes `n_supp > 1`, the NOT EXISTS becomes `n_late_supp = 1`,
+    * and `max(when(late, suppkey))` is exact because the filter pins
+    * a single late supplier. The oracle states the original
+    * correlated EXISTS/NOT EXISTS form; matching it proves the
+    * rewrite. numwait counts late LINES (Q21's l1 multiplicity), not
+    * orders. */
+  def tpchWaiting(s: SparkSession, d: String): DataFrame = {
+    val perPair = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+        .otherwise(0L)).as("late_lines"))
+    val perOrder = perPair
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("late_lines") > 0, col("l_suppkey"))).as("late_supp"),
+        sum(col("late_lines")).as("order_late_lines"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    perOrder
+      .join(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name"),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(sum(col("order_late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** Pure SQL-text face (§2.6): the same engine driven through
     * `spark.sql` over registered temp views — proof the library's
     * surface is not DataFrame-only (a reference user migrating SQL
@@ -1768,6 +1931,11 @@ object Relational {
     "q_tpch_profit"       -> tpchProfit,
     "q_tpch_topsupplier"  -> tpchTopSupplier,
     "q_tpch_smallqty"     -> tpchSmallQty,
+    "q_tpch_partvalue"    -> tpchPartValue,
+    "q_tpch_lateship"     -> tpchLateShip,
+    "q_tpch_suppcnt"      -> tpchSuppCnt,
+    "q_tpch_excess"       -> tpchExcess,
+    "q_tpch_waiting"      -> tpchWaiting,
     "q_quantiles"         -> quantiles,
     "q_iqr_outliers"      -> iqrOutliers,
     "q_tpch_shipping"     -> tpchShipping,
@@ -2500,6 +2668,81 @@ object Relational {
            count(DISTINCT l_partkey) AS n_parts
          FROM b WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
          ORDER BY avg_yearly""",
+    // stated in Q11's scalar-subquery HAVING form; the engine plans the
+    // agg-over-agg + broadcast rendering of the same contract
+    "q_tpch_partvalue" ->
+      """SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS val_cents
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3'
+         GROUP BY l_partkey
+         HAVING sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) * 400 >
+           (SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * CAST(l_quantity AS BIGINT))
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3')
+         ORDER BY p_partkey""",
+    "q_tpch_lateship" ->
+      """SELECT l_returnflag,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+    // stated in Q16's NOT IN form; the engine plans a broadcast anti join
+    "q_tpch_suppcnt" ->
+      """SELECT p_brand, p_type, p_size,
+         count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+           AND p_size IN (5, 15, 25, 35, 45)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // stated in Q20's nested-IN form; the engine plans semi-join stages
+    "q_tpch_excess" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_1'
+           AND s_suppkey IN
+             (SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                          AND l_shipdate < TIMESTAMP '1999-01-01'
+                         THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 2 >
+                     sum(CAST(l_quantity AS BIGINT)))
+         ORDER BY s_name""",
+    // stated in Q21's correlated EXISTS / NOT EXISTS form; the engine
+    // plans the per-order aggregate rewrite — matching proves it
+    "q_tpch_waiting" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE n_name = 'NATION_7' AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY s_suppkey, s_name
+         ORDER BY numwait DESC, s_name""",
     "q_tpch_returned" ->
       """SELECT c_custkey, c_name, n_name,
          round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,

@@ -202,6 +202,67 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H wave 32: partvalue threshold, lateship conservation, suppcnt exclusion, waiting rewrite vs brute force") {
+    val sf001 = "/root/testdata/sf0.01"
+
+    // Q11 shape: every survivor clears 1/400 of the slice total, and
+    // the total the engine gated on equals an independent recompute
+    val pv = ops.Relational.tpchPartValue(spark, sf001).collect()
+    assert(pv.nonEmpty)
+    val tot = pv.map(_.getLong(1)).sum // survivors only — strictly below slice total
+    val sliceTot = Tables.lineitem(spark, sf001)
+      .join(Tables.supplier(spark, sf001), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf001).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .agg(sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)" +
+        " * cast(l_quantity as bigint)")).as("t")).head.getLong(0)
+    assert(tot <= sliceTot)
+    assert(pv.forall(_.getLong(1) * 400 > sliceTot), "HAVING threshold")
+    val keys = pv.map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted && keys.distinct.length == keys.length)
+
+    // Q12 shape: the two buckets partition the late lines exactly
+    val ls = ops.Relational.tpchLateShip(spark, sf001).collect()
+    val lateTotal = Tables.lineitem(spark, sf001)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .count()
+    assert(ls.map(r => r.getLong(1) + r.getLong(2)).sum == lateTotal,
+      "high + low buckets must conserve the late-line count")
+
+    // Q16 shape: no group can count more suppliers than the non-excluded pool
+    val sc = ops.Relational.tpchSuppCnt(spark, sf001).collect()
+    val pool = Tables.supplier(spark, sf001).filter(col("s_acctbal") >= 0.0).count()
+    assert(sc.nonEmpty && sc.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= pool))
+    val cnts = sc.map(_.getLong(3))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "sorted by count desc")
+
+    // Q21 shape: the per-order aggregate rewrite must equal a literal
+    // EXISTS / NOT EXISTS evaluation brute-forced on collected rows
+    val w = ops.Relational.tpchWaiting(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nation7 = Tables.supplier(spark, sf001)
+      .join(Tables.nation(spark, sf001).filter(col("n_name") === "NATION_7"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val lines = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val brute = lines.groupBy(_._1).toSeq.flatMap { case (_, ls0) =>
+      ls0.filter(_._3).flatMap { case (_, supp, _) =>
+        val othersExist = ls0.exists(_._2 != supp)
+        val otherLate = ls0.exists(l => l._2 != supp && l._3)
+        if (othersExist && !otherLate && nation7(supp)) Some(supp) else None
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(w == brute, s"rewrite=${w.toSeq.sorted} brute=${brute.toSeq.sorted}")
+  }
+
   test("pagerank text sink round-trips (reference saveAsTextFile, S5)") {
     val ranks = ops.PageRank.run(
       ops.PageRank.parseEdgeLines(

@@ -159,6 +159,44 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** Time-decay multi-touch attribution (E-family extension): like
+    * [[attributionCore]] but recent clicks earn MORE of the purchase
+    * than stale ones — the industry-standard decay model next to the
+    * linear split (E5). Weights are EXACT DYADIC integers, never a
+    * pow() float: the 24h window quantizes into 6h half-life steps
+    * k = Δ div 6h ∈ {0..4}, weight unit wu = 16 >> k (16, 8, 4, 2, 1),
+    * credit = value·wu/Σwu per purchase — both engines divide
+    * identical operands (the q_ewma dyadic-decay precedent). Per-click
+    * credit sums round at 4 (the E5 contract). Scale shape is E5's:
+    * the touch join is user-keyed and 24h-banded, the weight
+    * normalizer is one purchase-partition window, the rollup is one
+    * grouped agg — nothing new shuffles. */
+  def attributionDecay(s: SparkSession, d: String): DataFrame =
+    attributionDecayCore(Tables.events(s, d))
+
+  /** Decay split over any events relation — DataFrame-parameterized
+    * so AnalyticsSpec can pin the half-life boundaries by hand. */
+  def attributionDecayCore(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val touches = clicks.join(buys, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+      .withColumn("wu", expr(
+        "shiftright(CAST(16 AS BIGINT), CAST((unix_micros(purchase_ts) - unix_micros(click_ts)) DIV 21600000000 AS INT))"))
+    val k = Window.partitionBy(col("purchase_id"))
+    touches
+      .withColumn("credit",
+        col("value") * col("wu") / sum(col("wu")).over(k))
+      .groupBy(col("click_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("credit")), 4).as("attributed"))
+      .orderBy(col("click_id"))
+  }
+
   /** Session path mining (E12, r4): the top event-type sequences
     * users actually walk within a session — "view>click>purchase"
     * style clickstream analysis. Sessions come from the same
@@ -761,6 +799,50 @@ object Events {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Seasonal anomaly screen (E-family extension): flag events whose
+    * value sits more than 3σ from the mean of their OWN seasonal cell
+    * (event_type × hour-of-day) — the baseline shape monitoring
+    * pipelines run before any model-based detector, where
+    * [[rollingZscoreCore]]'s trailing frame catches per-user drift
+    * this catches "a checkout worth 10× what checkouts are worth at
+    * 3am". Determinism is the integer-moments-divided-first contract
+    * ([[rollingZscoreCore]] + the assortativity mean form): values
+    * quantize to cents (u = floor(value·100) ≤ 5.7e6 here, so sxx
+    * fits int64 up to ~10⁹ rows per cell), the cell's n/Σu/Σu² are
+    * exact order-free longs, and both engines then run the identical
+    * IEEE tree mean = sx/n, var = sxx/n − mean², z = (u−mean)/√var —
+    * bit-identical doubles, so the strict |z| > 3 cut cannot straddle
+    * engines. Scale: one bounded rollup (≤ types·24 cells broadcast
+    * back over the fact), no window over the fact, no collect. */
+  def seasonalAnomaly(s: SparkSession, d: String): DataFrame =
+    seasonalAnomalyCore(Tables.events(s, d))
+
+  /** Screen over any events relation — DataFrame-parameterized so
+    * AnalyticsSpec can pin the moment arithmetic on a hand-built
+    * cell. */
+  def seasonalAnomalyCore(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("event_id"), col("event_type"),
+      hour(col("ts")).as("hr"), col("value"),
+      floor(col("value") * 100).cast("long").as("u"))
+    val cells = e.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("sx"),
+        sum(col("u") * col("u")).as("sxx"))
+      .filter(col("n") >= 30)
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("variance",
+        col("sxx").cast("double") / col("n") - col("mean") * col("mean"))
+      .filter(col("variance") > 0)
+      .select(col("event_type").as("ct"), col("hr").as("chr"),
+        col("mean"), col("variance"))
+    e.join(broadcast(cells),
+        col("event_type") === col("ct") && col("hr") === col("chr"))
+      .withColumn("z", (col("u") - col("mean")) / sqrt(col("variance")))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("hr"),
+        round(col("value"), 2).as("value"), round(col("z"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Cumulative distinct users by day (E19, r5): daily actives, daily
     * FIRST-SEEN users, and the running total of distinct users ever
     * seen — the growth-accounting readout. Running COUNT(DISTINCT) is
@@ -909,6 +991,7 @@ object Events {
     "q_trending"        -> trending,
     "q_interarrival"    -> interarrival,
     "q_rolling_zscore"  -> rollingZscore,
+    "q_seasonal_anom"   -> seasonalAnomaly,
     "q_cume_distinct"   -> cumulativeDistinct,
     "q_rolling_active"  -> rollingActive,
     "q_convert_latency" -> convertLatency,
@@ -917,6 +1000,7 @@ object Events {
     "q_drawdown"        -> drawdown,
     "q_seq_match"       -> seqMatch,
     "q_attribution"     -> attribution,
+    "q_attribution_decay" -> attributionDecay,
     "q_path_mining"     -> pathMining,
     "q_merge_upsert"    -> mergeUpsert,
     "q_scd2"            -> scd2,
@@ -1037,6 +1121,27 @@ object Events {
            abs((n * u - sx) / sqrt(n * sxx - sx * sx)) > 2.0 AS is_anomaly
          FROM w WHERE n >= 5 AND n * sxx > sx * sx
          ORDER BY user_id, event_id""",
+    // same cent quantization, same exact cell moments, same
+    // divided-first IEEE tree — z is bit-identical, so the strict
+    // |z| > 3 cut agrees by construction
+    "q_seasonal_anom" ->
+      """WITH e AS (SELECT event_id, event_type,
+             CAST(hour(ts) AS INT) AS hr, value,
+             CAST(floor(value * 100) AS BIGINT) AS u FROM events),
+         st AS (SELECT event_type, hr, count(*) AS n,
+                  CAST(sum(u) AS BIGINT) AS sx,
+                  CAST(sum(u * u) AS BIGINT) AS sxx
+                FROM e GROUP BY event_type, hr),
+         m AS (SELECT event_type, hr,
+                 CAST(sx AS DOUBLE) / n AS mean,
+                 CAST(sxx AS DOUBLE) / n -
+                   (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS variance
+               FROM st WHERE n >= 30)
+         SELECT event_id, e.event_type, e.hr, round(value, 2) AS value,
+           round((u - mean) / sqrt(variance), 4) AS z
+         FROM e JOIN m ON m.event_type = e.event_type AND m.hr = e.hr
+         WHERE variance > 0 AND abs((u - mean) / sqrt(variance)) > 3.0
+         ORDER BY event_id""",
     // cumulative distinct = running sum of first-seen counts (a user
     // contributes to exactly one day: their min)
     "q_cume_distinct" ->
@@ -1157,6 +1262,26 @@ object Events {
                 AND b.purchase_ts <= c.click_ts + INTERVAL 24 HOUR),
          w AS (SELECT click_id, user_id,
                       value / count(*) OVER (PARTITION BY purchase_id) AS credit
+               FROM t)
+         SELECT click_id, user_id, count(*) AS n_purchases,
+                round(sum(credit), 4) AS attributed
+         FROM w GROUP BY click_id, user_id ORDER BY click_id""",
+    // same dyadic weight units (16 >> (Δ div 6h)) — integer exact,
+    // never a pow() float; same value·wu/Σwu division operands
+    "q_attribution_decay" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+               FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT c.click_id, c.user_id, b.purchase_id, b.value,
+                 CAST(16 AS BIGINT) >> CAST(
+                   (epoch_us(b.purchase_ts) - epoch_us(c.click_ts))
+                     // 21600000000 AS INT) AS wu
+               FROM c JOIN b ON c.user_id = b.user_id
+                AND c.click_ts <= b.purchase_ts
+                AND b.purchase_ts <= c.click_ts + INTERVAL 24 HOUR),
+         w AS (SELECT click_id, user_id,
+                      value * wu / sum(wu) OVER (PARTITION BY purchase_id) AS credit
                FROM t)
          SELECT click_id, user_id, count(*) AS n_purchases,
                 round(sum(credit), 4) AS attributed

@@ -979,6 +979,38 @@ object Text {
     toClusters(docs, comps)
   }
 
+  /** Canonical survivor selection (T-family extension): the step a
+    * corpus dedup actually WRITES — the detection families (T3, J7,
+    * V4…) say which docs are duplicates of each other; this decides
+    * which copy survives. Clusters come from the transitive-closure
+    * portable MinHash path ([[minhashClustersClosurePortable]] — the
+    * oracle-checkable twin of the production xxhash64 route), then
+    * each cluster keeps its LONGEST member (n_chars desc, doc_id as
+    * the deterministic tie-break) — the "keep the most complete copy"
+    * convention of pretraining dedup, where near-dup clusters mix
+    * truncated and full crawls of the same page. Cluster size and the
+    * keep flag ride two windows over the SAME cluster_rep partition
+    * (cluster sizes are bounded by dup-group cardinality, never
+    * corpus-sized); everything upstream is the proven closure
+    * machinery. */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame =
+    dedupSurvivorsCore(Tables.documents(s, d))
+
+  /** Survivor selection over any `(doc_id, text, n_chars)` relation —
+    * DataFrame-parameterized so TextSpec can pin the longest-wins /
+    * tie-break / singleton-keeps contract on a planted cluster. */
+  def dedupSurvivorsCore(docs: DataFrame): DataFrame = {
+    val clusters = minhashClustersClosurePortable(docs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val part = Window.partitionBy(col("cluster_rep"))
+    val rk = row_number().over(part.orderBy(col("n_chars").desc, col("doc_id")))
+    clusters
+      .withColumn("cluster_size", count(lit(1)).over(part))
+      .withColumn("keep", rk === 1)
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Transitive-closure MinHash clustering: band buckets become star
     * edges (bucket-rep → member) and [[Components]] propagates min
     * labels to a fixed point, so chains A~B~C collapse into one
@@ -1174,6 +1206,71 @@ object Text {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("cnt") / col("n_corpus").cast("double"))), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multinomial naive-Bayes language classifier (§2.15 extension):
+    * train on the corpus's own (lang, token) counts with add-one
+    * smoothing, score every document against every class, predict by
+    * argmax — the classical supervised counterpart of [[langId]]'s
+    * stopword heuristic, and the standard cheap router in front of a
+    * neural lang-ID at corpus scale. All model statistics are INTEGER
+    * counts (class token counts, class totals, vocabulary size, doc
+    * priors), so both engines feed identical longs into identical
+    * ln((c+1)/(n_c+V)) calls — the [[entropyCore]] precedent. The
+    * log-likelihood sums per (doc, class) ride on c_dw·ln p over
+    * DISTINCT doc tokens (≤ vocab terms, not token instances);
+    * prediction takes max(struct(score, lang)) — a deterministic
+    * max-lang tie-break should two classes ever score bit-identically,
+    * mirrored by the oracle's (score DESC, lang DESC) rank.
+    *
+    * Scale: one (doc_id, word) shuffle for doc term counts, one
+    * (lang, word) rollup for the model, the smoothed |V|·k model
+    * relation joins back keyed on word (broadcast under the dimension
+    * gate at harness scale; a web-scale vocabulary degrades to the
+    * hash join on the same key), and the argmax is a per-doc k-row
+    * reduce. Nothing is collected; the text column never shuffles. */
+  def naiveBayes(s: SparkSession, d: String): DataFrame =
+    naiveBayesCore(Tables.documents(s, d))
+
+  /** Classifier over any `(doc_id, lang, text)` relation —
+    * DataFrame-parameterized so TextSpec can pin the smoothed
+    * arithmetic and the resubstitution accuracy on a hand-counted
+    * two-language corpus. */
+  def naiveBayesCore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(words(col("text"))).as("word"))
+    val dtc = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c_dw"))
+    val ctc = toks.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("c_cw"))
+    val classTot = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_tok"))
+    val vocabSize = toks.agg(countDistinct(col("word")).as("v_size"))
+    val model = dtc.select(col("word")).distinct()
+      .crossJoin(broadcast(classTot))
+      .join(ctc, Seq("word", "lang"), "left")
+      .na.fill(0L, Seq("c_cw"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("word"), col("lang"),
+        log((col("c_cw") + 1).cast("double") /
+          (col("n_tok") + col("v_size")).cast("double")).as("logp"))
+    val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+      .select(col("lang"),
+        log(col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("log_prior"))
+    val best = dtc.join(broadcast(model), "word")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c_dw") * col("logp")).as("ll"))
+      .join(broadcast(priors), "lang")
+      .select(col("doc_id"), col("lang"),
+        (col("ll") + col("log_prior")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("lang"))).as("b"))
+      .select(col("doc_id"), col("b.lang").as("pred_lang"),
+        round(col("b.score"), 4).as("score"))
+    docs.select(col("doc_id"), col("lang").as("true_lang"))
+      .join(best, "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -1433,6 +1530,7 @@ object Text {
     "q_pipeline_prep" -> pipelinePrep,
     "q_pii_redact"    -> piiRedact,
     "q_unigram_logprob" -> unigramLogprob,
+    "q_naive_bayes"   -> naiveBayes,
     "q_entropy"       -> entropy,
     "q_chunk_docs"    -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_wordcount"     -> wordcount,
@@ -1470,6 +1568,7 @@ object Text {
       minhashClustersClosure(Tables.documents(s, d))),
     "q_dedup_minhash_cc_portable" -> ((s: SparkSession, d: String) =>
       minhashClustersClosurePortable(Tables.documents(s, d))),
+    "q_dedup_survivors" -> dedupSurvivors,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_portable" -> ((s: SparkSession, d: String) =>
       simhashPortable(Tables.documents(s, d))),
@@ -1546,7 +1645,10 @@ object Text {
     * and near-dup clusters in the harness corpus are chains of depth
     * ≪ 8 (a mismatch here would mean a cluster of diameter > 8:
     * raise `rounds`, which only costs the oracle). */
-  private val portableClosureOracle: String = {
+  /** The shared 8-round min-label closure CTE (fixed point `l8`
+    * carries (doc_id, lbl)) — the oracle body behind both the cluster
+    * assignment and the survivor selection. */
+  private val portableClosureCte: String = {
     val rounds = 8
     val steps = (1 to rounds).map { k =>
       s""", b$k AS (SELECT i.band, i.band_sig, min(l.lbl) AS bl
@@ -1558,10 +1660,27 @@ object Text {
              GROUP BY l.doc_id, l.lbl)"""
     }.mkString
     s"""WITH $portableBandsCte,
-       l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)$steps
-       SELECT doc_id, lbl AS cluster_rep, lbl != doc_id AS is_dup
-       FROM l$rounds ORDER BY doc_id"""
+       l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)$steps"""
   }
+
+  private val portableClosureOracle: String =
+    s"""$portableClosureCte
+       SELECT doc_id, lbl AS cluster_rep, lbl != doc_id AS is_dup
+       FROM l8 ORDER BY doc_id"""
+
+  // same l8 fixed point, same (n_chars DESC, doc_id) longest-wins rank
+  private val survivorsOracle: String =
+    s"""$portableClosureCte,
+       sized AS (SELECT l.doc_id, l.lbl AS cluster_rep, d.n_chars
+                 FROM l8 l JOIN documents d ON d.doc_id = l.doc_id),
+       rk AS (SELECT doc_id, cluster_rep,
+                CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+                  AS cluster_size,
+                row_number() OVER (PARTITION BY cluster_rep
+                  ORDER BY n_chars DESC, doc_id) AS rn
+              FROM sized)
+       SELECT doc_id, cluster_rep, cluster_size, rn = 1 AS keep
+       FROM rk ORDER BY doc_id"""
 
   /** Generated in lockstep with [[simhashPortable]] (16 bits, 2 band
     * keys). Sums are cast back to BIGINT (DuckDB sums into HUGEINT). */
@@ -1666,6 +1785,7 @@ object Text {
          FROM starts ORDER BY doc_id, chunk_idx""",
     "q_dedup_minhash_portable" -> portableMinhashOracle,
     "q_dedup_minhash_cc_portable" -> portableClosureOracle,
+    "q_dedup_survivors" -> survivorsOracle,
     "q_dedup_simhash_portable" -> portableSimhashOracle,
     "q_pipeline_prep" ->
       """WITH survivors AS (
@@ -1722,6 +1842,38 @@ object Text {
          SELECT doc_id, count(*) AS n_tokens,
                 round(avg(ln(cnt / CAST(n_corpus AS DOUBLE))), 4) AS avg_logp
          FROM c CROSS JOIN n GROUP BY doc_id ORDER BY doc_id""",
+    // same integer model counts into identical ln((c+1)/(n_c+V))
+    // calls, same c_dw-weighted sums over distinct doc tokens, same
+    // max-lang tie-break ((score DESC, lang DESC) rank = Spark's
+    // max(struct(score, lang)))
+    "q_naive_bayes" ->
+      """WITH t AS (SELECT doc_id, lang,
+                    unnest(string_split(text, ' ')) AS word FROM documents),
+         dtc AS (SELECT doc_id, word, count(*) AS c_dw FROM t GROUP BY 1, 2),
+         ctc AS (SELECT lang, word, count(*) AS c_cw FROM t GROUP BY 1, 2),
+         ct AS (SELECT lang, count(*) AS n_tok FROM t GROUP BY 1),
+         v AS (SELECT count(DISTINCT word) AS v_size FROM t),
+         vocab AS (SELECT DISTINCT word FROM t),
+         model AS (SELECT vocab.word, ct.lang,
+                     ln((coalesce(c_cw, 0) + 1) /
+                        CAST(n_tok + v_size AS DOUBLE)) AS logp
+                   FROM vocab CROSS JOIN ct CROSS JOIN v
+                   LEFT JOIN ctc ON ctc.word = vocab.word AND ctc.lang = ct.lang),
+         pri AS (SELECT lang,
+                   ln(count(*) /
+                      CAST((SELECT count(*) FROM documents) AS DOUBLE)) AS log_prior
+                 FROM documents GROUP BY lang),
+         sc AS (SELECT doc_id, m.lang, sum(c_dw * logp) AS ll
+                FROM dtc JOIN model m ON m.word = dtc.word GROUP BY 1, 2),
+         best AS (SELECT doc_id, lang AS pred_lang, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, lang DESC) AS rn
+                  FROM (SELECT sc.doc_id, sc.lang, ll + log_prior AS score
+                        FROM sc JOIN pri ON pri.lang = sc.lang))
+         SELECT d.doc_id, d.lang AS true_lang, pred_lang,
+                round(score, 4) AS score
+         FROM documents d JOIN best ON best.doc_id = d.doc_id AND rn = 1
+         ORDER BY d.doc_id""",
     "q_wordcount" ->
       """SELECT w AS word, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)

@@ -750,4 +750,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       ("2024-01-01", 1L), ("2024-01-07", 2L), ("2024-01-08", 2L)), got.mkString(";"))
   }
+
+  test("attribution decay: dyadic half-life weights, 6h and 24h boundaries pinned") {
+    // purchase (id 10, value 40) at 2024-01-02 00:00; clicks at Δ=24h
+    // (k=4, wu=1), Δ=6h (k=1, wu=8), Δ=1h (k=0, wu=16): Σwu = 25 →
+    // credits 40·{1,8,16}/25 = 1.6, 12.8, 25.6
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "click", 0.0),
+      (2L, ts("2024-01-01 18:00:00"), 7L, "click", 0.0),
+      (3L, ts("2024-01-01 23:00:00"), 7L, "click", 0.0),
+      (10L, ts("2024-01-02 00:00:00"), 7L, "purchase", 40.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = ops.Events.attributionDecayCore(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(1L -> ((1L, 1.6)), 2L -> ((1L, 12.8)), 3L -> ((1L, 25.6))),
+      got.toString)
+  }
+
+  test("seasonal anomaly: hand-built cell flags only the outlier; flat and thin cells unscored") {
+    // cell (buy, 05h): 30 × 10.0 plus one 20.0 — u: 1000×30, 2000×1,
+    // n = 31, Σu = 32000, Σu² = 34e6; mean = 32000/31,
+    // var = 34e6/31 − mean² ≈ 31217.5, σ ≈ 176.7 → z(20.0) ≈ 5.48
+    // cell (buy, 06h): 30 identical values → variance 0, unscored
+    // cell (buy, 07h): 29 rows (< 30) with a wild outlier, unscored
+    val rows = ((1 to 30).map(i => (i.toLong, "buy", ts(f"2024-01-01 05:00:${i % 60}%02d"), 10.0)) ++
+      Seq((31L, "buy", ts("2024-01-01 05:30:00"), 20.0)) ++
+      (1 to 30).map(i => (40L + i, "buy", ts(f"2024-01-01 06:00:${i % 60}%02d"), 7.0)) ++
+      (1 to 28).map(i => (80L + i, "buy", ts(f"2024-01-01 07:00:${i % 60}%02d"), 10.0)) ++
+      Seq((110L, "buy", ts("2024-01-01 07:30:00"), 500.0)))
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = ops.Events.seasonalAnomalyCore(rows).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getLong(0) == 31L && r.getInt(2) == 5, r.toString)
+    val mean = 32000.0 / 31
+    val variance = 34e6 / 31 - mean * mean
+    assert(r.getDouble(4) ==
+      math.rint((2000 - mean) / math.sqrt(variance) * 1e4) / 1e4, r.toString)
+  }
 }

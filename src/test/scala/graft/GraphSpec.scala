@@ -232,4 +232,31 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(4) == 2L * math.floor(1e6 / math.log(3.0)).toLong, r.toString)
     assert(r.getDouble(5) == 1.820478, r.toString)
   }
+
+  test("sssp: cheap 3-hop path beats the expensive direct edge; 1-round bound keeps the direct edge") {
+    // 0 —5— 1, and 0 —1— 2 —1— 3 —1— 1: min cost to 1 is 3 via the
+    // long way, but within ≤1 edge it is the direct 5
+    val wedges = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("u", "v", "w")
+    val full = Graph.sssp(wedges, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full == Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 2L), full.toString)
+    val oneHop = Graph.sssp(wedges, 0L, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneHop == Map(0L -> 0L, 1L -> 5L, 2L -> 1L),
+      "≤1-edge semantics: node 3 unreached, node 1 at direct cost: " + oneHop)
+  }
+
+  test("sssp on the real graph is bounded by hop count: bfs_dist <= sssp_dist <= 5 * bfs_dist") {
+    // every edge costs 1..5, so the cheapest path has >= bfs_dist
+    // edges (each >= 1) and the bfs shortest-hop path costs <= 5/edge
+    val sp = Graph.sssp(Graph.weightedCoEdges(spark, sf0001), Graph.BfsSource)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hops = Graph.bfs(Graph.coEdges(spark, sf0001), Graph.BfsSource)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(sp.keySet == hops.keySet, "same reachable set")
+    assert(sp.forall { case (n, d) => d >= hops(n) && d <= 5L * hops(n) },
+      sp.collectFirst { case (n, d) if d < hops(n) || d > 5L * hops(n) =>
+        s"$n: sssp=$d hops=${hops(n)}" }.toString)
+  }
 }

@@ -428,4 +428,40 @@ class TextSpec extends SparkSpec {
     assert(got(2L) == ((2L, 0L, "")), "doc 2 is entirely pre-seen: " + got(2L))
     assert(got(3L) == ((2L, 0L, "")), "within-doc repeats of seen segments cut too: " + got(3L))
   }
+
+  test("dedup survivors: longest copy wins, ties break to the lower id, singletons keep") {
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, txt, 10L), (2L, txt, 30L), (3L, txt, 30L),
+      (9L, "completely unrelated vocabulary with zero shared shingles here", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = ops.Text.dedupSurvivorsCore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, false)), // cluster rep but SHORTER — selection ≠ labeling
+      2L -> ((1L, 3L, true)),  // longest, lower id than the tied 3
+      3L -> ((1L, 3L, false)),
+      9L -> ((9L, 1L, true))), got.toString)
+  }
+
+  test("naive bayes: hand-smoothed two-language corpus classifies itself perfectly") {
+    // V = {a,b,c,d} = 4; en tokens a×3 b×2 (n=5), fr tokens c×3 d×1
+    // (n=4); priors 2/4 each. P(w|en) = (c+1)/9, P(w|fr) = (c+1)/8.
+    val docs = Seq(
+      (1L, "en", "a a b"), (2L, "en", "a b"),
+      (3L, "fr", "c c"), (4L, "fr", "c d"),
+    ).toDF("doc_id", "lang", "text")
+    val got = Text.naiveBayesCore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getDouble(3))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.forall { case (_, (t, p, _)) => t == p },
+      "resubstitution must be perfect on this corpus: " + got)
+    // doc 3 "c c" under fr: 2·ln(4/8) + ln prior 1/2 = 3·ln(1/2)
+    assert(got(3L)._3 == r4(3 * math.log(0.5)), got(3L).toString)
+    // doc 1 "a a b" under en: 2·ln(4/9) + ln(3/9) + ln(1/2)
+    assert(got(1L)._3 ==
+      r4(2 * math.log(4.0 / 9) + math.log(3.0 / 9) + math.log(0.5)),
+      got(1L).toString)
+  }
 }

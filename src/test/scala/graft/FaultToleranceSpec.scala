@@ -2,7 +2,7 @@ package graft
 
 import graft.ops.PageRank
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.sql.functions.{col, udf, when}
 
 /** The reference's task4 experiment (fault tolerance,
   * `assignment1/part3/task4/README.md:6` — kill a worker mid-job and
@@ -115,6 +115,25 @@ class FaultToleranceSpec extends SparkSpec {
     failedTasks.clear()
     val recovered = Graph.bfs(edges.filter(flakyLong(col("u"))), 1L).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(failedTasks.size() > 0, "injection never fired — the experiment didn't run")
+    assert(recovered == clean, s"distances diverged after recovery: $recovered vs $clean")
+  }
+
+  test("SSSP survives first-attempt task failures with identical distances") {
+    import graft.ops.Graph
+    // chain edges cost 1, triangle edges cost 3; source 1 walks the
+    // 9-round chain (multi-round frontier recovery), triangle stays
+    // unreached — and from 100 the direct-vs-2-hop costs differ
+    val wedges = chainPlusTriangle()
+      .withColumn("w", when(col("u") >= 100L, 3L).otherwise(1L))
+    val clean = Graph.sssp(wedges, 1L, rounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clean(10L) == 9L, "chain cost must equal its 9 unit hops")
+    assert(!clean.contains(100L), "triangle unreachable from the chain")
+
+    failedTasks.clear()
+    val recovered = Graph.sssp(wedges.filter(flakyLong(col("u"))), 1L, rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(failedTasks.size() > 0, "injection never fired — the experiment didn't run")
     assert(recovered == clean, s"distances diverged after recovery: $recovered vs $clean")
   }

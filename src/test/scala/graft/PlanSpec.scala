@@ -552,4 +552,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"skyline must not plan any join: $p")
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
   }
+
+  test("tpch partvalue: the global total reuses the per-part rollup exchange — one scan set") {
+    val qe = SparkEntry.queries("q_tpch_partvalue")(spark, sf0001).queryExecution
+    qe.toRdd.foreach(_ => ()) // execute so AQE's final plan shows reuse
+    val full = qe.executedPlan.toString
+    val p = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(p.contains("ReusedExchange"),
+      s"the total must be an agg-over-agg of the SAME rollup subplan:\n$p")
+    // lineitem + supplier + nation scanned once each; without reuse the
+    // total's subplan would re-scan all three (6 scans)
+    assert("Scan parquet".r.findAllIn(p).length == 3,
+      s"the fact must not be scanned twice for the total:\n$p")
+  }
+
+  test("seasonal anomaly: bounded cell stats broadcast back — no sort-merge over the fact") {
+    val p = planOf("q_seasonal_anom")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the ≤ types·24-row cell dim must broadcast, never shuffle the fact for a merge join: $p")
+  }
+
+  test("naive bayes: model and priors broadcast — scoring never sort-merges token volume") {
+    val p = planOf("q_naive_bayes")
+    assert(!p.contains("SortMergeJoin"),
+      s"the |V|·k model joins back as a broadcast under the dim gate: $p")
+  }
 }

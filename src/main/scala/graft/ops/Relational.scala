@@ -1008,6 +1008,53 @@ object Relational {
     * price with equal qty kills; equal price collapses to its best
     * qty). One shuffle + one window sort per group — O(n log n)
     * against the self-join's O(n²). */
+  /** ABC / Pareto cumulative-share classification (A-family
+    * extension): tier each nation's suppliers by cumulative revenue
+    * share — A carries the first 70% of the nation's revenue, B to
+    * 90%, C the tail. The inventory-management classic ("20% of
+    * suppliers carry 80% of value") next to [[skyline]]'s frontier
+    * and [[gini]]'s concentration scalar. Revenue is exact integer
+    * cents (decimal sum → long), the running share rides ONE
+    * nation-partitioned window over the per-supplier rollup (ordered
+    * (revenue desc, s_suppkey) — a total order, so the running sum is
+    * deterministic), and the tier cuts compare CROSS-MULTIPLIED
+    * integers (cum·10 vs tot·{7,9}) — no share division to straddle a
+    * boundary cross-engine. Scale: fact volume shuffles once into the
+    * supplier rollup (bounded by |supplier|); both windows partition
+    * by nation — never global. */
+  def abcClass(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    abcClassCore(rev.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name"), col("s_suppkey"), col("revenue_cents")))
+  }
+
+  /** Tiering over any `(n_name, s_suppkey, revenue_cents)` relation —
+    * DataFrame-parameterized so RelationalSpec can pin the 70/90
+    * boundary cuts on a hand-built nation. */
+  def abcClassCore(rev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(col("n_name"))
+      .orderBy(col("revenue_cents").desc, col("s_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("n_name"))
+    rev
+      .withColumn("cum", sum(col("revenue_cents")).over(run))
+      .withColumn("tot", sum(col("revenue_cents")).over(tot))
+      .withColumn("cls",
+        when(col("cum") * 10 <= col("tot") * 7, "A")
+          .when(col("cum") * 10 <= col("tot") * 9, "B")
+          .otherwise("C"))
+      .select(col("n_name"), col("s_suppkey"), col("revenue_cents"), col("cls"))
+      .orderBy(col("n_name"), col("s_suppkey"))
+  }
+
   def skyline(s: SparkSession, d: String): DataFrame =
     skylineCore(Tables.lineitem(s, d))
 
@@ -1898,6 +1945,7 @@ object Relational {
     "q_cusum"             -> cusum,
     "q_gini"              -> gini,
     "q_skyline"           -> skyline,
+    "q_abc_class"         -> abcClass,
     "q_equidepth_hist"    -> equidepthHist,
     "q_mad_outliers"      -> madOutliers,
     "q_regression"        -> regression,
@@ -2260,6 +2308,30 @@ object Relational {
          SELECT l_returnflag, l_extendedprice, l_quantity
          FROM r WHERE best IS NULL OR l_quantity > best
          ORDER BY l_returnflag, l_extendedprice""",
+    // same exact-cent rollup, same (revenue desc, s_suppkey) total
+    // order for the running sum, same cross-multiplied 70/90 cuts
+    "q_abc_class" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM lineitem GROUP BY l_suppkey),
+         j AS (
+           SELECT n_name, s_suppkey, revenue_cents
+           FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey),
+         c AS (
+           SELECT n_name, s_suppkey, revenue_cents,
+                  sum(revenue_cents) OVER (PARTITION BY n_name
+                    ORDER BY revenue_cents DESC, s_suppkey
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(revenue_cents) OVER (PARTITION BY n_name) AS tot
+           FROM j)
+         SELECT n_name, s_suppkey, revenue_cents,
+                CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                     WHEN cum * 10 <= tot * 9 THEN 'B'
+                     ELSE 'C' END AS cls
+         FROM c ORDER BY n_name, s_suppkey""",
     // identical total order → identical ANSI ntile assignment
     "q_equidepth_hist" ->
       """WITH t AS (

@@ -275,4 +275,20 @@ class RelationalSpec extends SparkSpec {
     assert(back.keySet == Set("1", "2", "3", "5"))
     assert(math.abs(back("1") - 1.6020833333) < 1e-9)
   }
+
+  test("abc classification: 70/90 cuts land exactly on the boundary, ties order by supplier id") {
+    import spark.implicits._
+    // nation X: 70+20+10 — cum shares land EXACTLY on 70% and 90%
+    // (boundary is inclusive: cum·10 ≤ tot·{7,9}); nation Y: a tie at
+    // the top must rank by s_suppkey, making supplier 1 the A carrier
+    val rev = Seq(
+      ("X", 1L, 70L), ("X", 2L, 20L), ("X", 3L, 10L),
+      ("Y", 1L, 50L), ("Y", 2L, 50L))
+      .toDF("n_name", "s_suppkey", "revenue_cents")
+    val got = ops.Relational.abcClassCore(rev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(3)).toMap
+    assert(got == Map(
+      ("X", 1L) -> "A", ("X", 2L) -> "B", ("X", 3L) -> "C",
+      ("Y", 1L) -> "A", ("Y", 2L) -> "C"), got.toString)
+  }
 }

@@ -159,6 +159,48 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** Churn label + feature builder (E-family extension): the
+    * supervised-training-data shape behind every retention model —
+    * split the event range at its midpoint, build per-user features
+    * from the FEATURE half (event count, active days, cent-exact
+    * spend, days silent before the split) and the label from the
+    * LABEL half (churned = no event at or after the split). The
+    * split point is the dataset's own (min+max)/2 in exact integer
+    * microseconds (the q_merge_upsert midpoint contract — both
+    * engines derive the identical long), so the window definition
+    * ships with the data instead of a wall clock. Scale: one
+    * broadcast 1-row bounds agg, one user rollup over the feature
+    * half, one distinct over the label half, one left join keyed on
+    * user — label absence IS the label, so no anti join re-pays the
+    * probe. */
+  def churnLabels(s: SparkSession, d: String): DataFrame =
+    churnLabelsCore(Tables.events(s, d))
+
+  /** Builder over any events relation — DataFrame-parameterized so
+    * AnalyticsSpec can pin the split boundary (an event exactly AT
+    * the midpoint is label-half, hence retained) by hand. */
+  def churnLabelsCore(ev: DataFrame): DataFrame = {
+    val bounds = ev.agg(
+      expr("(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2").as("mid"))
+    val withMid = ev.crossJoin(broadcast(bounds))
+    val feat = withMid.filter(unix_micros(col("ts")) < col("mid"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("n_active_days"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        min(col("mid")).as("mid"))
+    val retained = withMid.filter(unix_micros(col("ts")) >= col("mid"))
+      .select(col("user_id")).distinct()
+      .withColumn("seen", lit(true))
+    feat.join(retained, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_active_days"),
+        col("value_cents"),
+        expr("(mid - last_us) DIV 86400000000").as("days_silent"),
+        col("seen").isNull.as("churned"))
+      .orderBy(col("user_id"))
+  }
+
   /** Time-decay multi-touch attribution (E-family extension): like
     * [[attributionCore]] but recent clicks earn MORE of the purchase
     * than stale ones — the industry-standard decay model next to the
@@ -1001,6 +1043,7 @@ object Events {
     "q_seq_match"       -> seqMatch,
     "q_attribution"     -> attribution,
     "q_attribution_decay" -> attributionDecay,
+    "q_churn_labels"    -> churnLabels,
     "q_path_mining"     -> pathMining,
     "q_merge_upsert"    -> mergeUpsert,
     "q_scd2"            -> scd2,
@@ -1266,6 +1309,25 @@ object Events {
          SELECT click_id, user_id, count(*) AS n_purchases,
                 round(sum(credit), 4) AS attributed
          FROM w GROUP BY click_id, user_id ORDER BY click_id""",
+    // same exact-integer midpoint split, same cent quantization, same
+    // day floor-division; label absence IS the label
+    "q_churn_labels" ->
+      """WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+                    FROM events),
+         f AS (SELECT user_id, count(*) AS n_events,
+                 count(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents,
+                 max(epoch_us(ts)) AS last_us
+               FROM events CROSS JOIN m
+               WHERE epoch_us(ts) < mid GROUP BY user_id),
+         l AS (SELECT DISTINCT user_id FROM events CROSS JOIN m
+               WHERE epoch_us(ts) >= mid)
+         SELECT f.user_id, n_events, n_active_days, value_cents,
+                CAST((mid - last_us) // 86400000000 AS BIGINT) AS days_silent,
+                l.user_id IS NULL AS churned
+         FROM f CROSS JOIN m LEFT JOIN l ON l.user_id = f.user_id
+         ORDER BY f.user_id""",
     // same dyadic weight units (16 >> (Δ div 6h)) — integer exact,
     // never a pow() float; same value·wu/Σwu division operands
     "q_attribution_decay" ->

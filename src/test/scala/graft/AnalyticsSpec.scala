@@ -751,6 +751,27 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-01", 1L), ("2024-01-07", 2L), ("2024-01-08", 2L)), got.mkString(";"))
   }
 
+  test("churn labels: midpoint split, event AT the split retains, silence floors to days") {
+    // range 01-01 00:00 .. 01-03 00:00 → mid = 01-02 00:00 exactly.
+    // u1: one feature event, nothing after → churned, 24h silent = 1 day
+    // u2: feature at 06:00 (18h silent → 0 days), label event → retained
+    // u3: label event exactly AT the midpoint → label-half, retained
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.25),
+      (2L, ts("2024-01-01 06:00:00"), 2L, "view", 2.00),
+      (3L, ts("2024-01-03 00:00:00"), 2L, "view", 0.0),
+      (4L, ts("2024-01-01 00:00:00"), 3L, "view", 0.99),
+      (5L, ts("2024-01-02 00:00:00"), 3L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = ops.Events.churnLabelsCore(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 125L, 1L, true)),
+      2L -> ((1L, 1L, 200L, 0L, false)),
+      3L -> ((1L, 1L, 99L, 1L, false))), got.toString)
+  }
+
   test("attribution decay: dyadic half-life weights, 6h and 24h boundaries pinned") {
     // purchase (id 10, value 40) at 2024-01-02 00:00; clicks at Δ=24h
     // (k=4, wu=1), Δ=6h (k=1, wu=8), Δ=1h (k=0, wu=16): Σwu = 25 →

@@ -779,8 +779,13 @@ object Events {
     * Σx², Σy²), not corr()'s streaming doubles: the one division and
     * sqrt at the end are single IEEE ops over exact-integer-valued
     * operands, identical cross-engine. The variance terms cast to
-    * double BEFORE their product — n·Σx²·n·Σy² overflows int64 at
-    * scale while each centered term is overflow-safe. */
+    * double BEFORE their product — n·Σx²·n·Σy² overflows int64 far
+    * earlier than either factor. Each centered term n·Σx² − Σx²
+    * is itself int64 arithmetic, exact while hours × peak-hour
+    * count ≲ 3×10⁹ (n·Σx² < 2⁶³ needs n·C ≤ 3.03e9 for peak count
+    * C) — comfortably a decade of hours at millions of events/hour,
+    * but a ceiling, not unconditional: past it the moments must move
+    * to DECIMAL (Spark wraps silently where DuckDB raises). */
   def crossCorr(s: SparkSession, d: String): DataFrame =
     crossCorrCore(Tables.events(s, d), "click", "view")
 
@@ -849,9 +854,13 @@ object Events {
     * this catches "a checkout worth 10× what checkouts are worth at
     * 3am". Determinism is the integer-moments-divided-first contract
     * ([[rollingZscoreCore]] + the assortativity mean form): values
-    * quantize to cents (u = floor(value·100) ≤ 5.7e6 here, so sxx
-    * fits int64 up to ~10⁹ rows per cell), the cell's n/Σu/Σu² are
-    * exact order-free longs, and both engines then run the identical
+    * quantize to cents (u = floor(value·100) ≤ 5.7e6 here, so with
+    * u² ≤ 3.3e13 the Σu² moment fits int64 up to ~2.8×10⁵
+    * MAX-VALUE rows per cell — the honest ceiling; past it Spark
+    * wraps silently while DuckDB raises, so a bigger corpus must
+    * move sxx to DECIMAL(38,0) before this screen is trusted), the
+    * cell's n/Σu/Σu² are exact order-free longs within that bound,
+    * and both engines then run the identical
     * IEEE tree mean = sx/n, var = sxx/n − mean², z = (u−mean)/√var —
     * bit-identical doubles, so the strict |z| > 3 cut cannot straddle
     * engines. Scale: one bounded rollup (≤ types·24 cells broadcast

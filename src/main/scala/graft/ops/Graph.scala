@@ -553,9 +553,12 @@ object Graph {
     labels
   }
 
-  /** Repeat co-purchase edges: part pairs sharing ≥2 orders. The
-    * weight threshold is what makes community structure visible — the
-    * full co-occurrence graph is so dense LPA collapses it to one
+  /** Repeat co-purchase edges: part pairs sharing ≥2 co-occurring
+    * LINE pairs (no (ok, partkey) dedup ahead of the pair join —
+    * unlike [[weightedCoEdges]] — so one order holding a part on two
+    * lines counts twice; the oracle CTE counts the same line pairs).
+    * The weight threshold is what makes community structure visible —
+    * the full co-occurrence graph is so dense LPA collapses it to one
     * community (observed at every harness SF), while the ≥2 filter
     * keeps ~3% of edges and yields hundreds. Same aggregation shape
     * as [[coEdges]], one count filter on top. */

@@ -2659,8 +2659,10 @@ object Relational {
          x AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
            FROM events)
          SELECT 64 AS n_registers, n_exact, sum_inv_e26,
-           round(0.709 * 64 * 64 * 67108864.0 / sum_inv_e26, 2) AS hll_estimate,
-           round((round(0.709 * 64 * 64 * 67108864.0 / sum_inv_e26, 2) - n_exact)
+           round(CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+             / sum_inv_e26, 2) AS hll_estimate,
+           round((round(CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+               / sum_inv_e26, 2) - n_exact)
              * 100.0 / n_exact, 2) AS rel_error_pct
          FROM s, x ORDER BY n_registers""",
     "q_tpch_volume" ->

@@ -1891,8 +1891,9 @@ object Text {
            CAST(count(*) OVER (PARTITION BY cur) AS BIGINT) AS n1_back
            FROM cnt)
          SELECT prev, cur, c, c_ctx, n1_fwd, n1_back,
-           round((c - 0.75) / c_ctx +
-             ((0.75 * n1_fwd) / c_ctx) * (n1_back / CAST(n1_all AS DOUBLE)), 6)
+           round((c - CAST(0.75 AS DOUBLE)) / c_ctx +
+             ((CAST(0.75 AS DOUBLE) * n1_fwd) / c_ctx)
+               * (n1_back / CAST(n1_all AS DOUBLE)), 6)
              AS p_kn
          FROM e, t
          ORDER BY c DESC, prev, cur LIMIT 30""",

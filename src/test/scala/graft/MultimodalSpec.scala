@@ -103,4 +103,21 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() > 0)
     assert(feats.filter(col("avg_intensity") < 0 || col("avg_intensity") > 1).count() == 0)
   }
+
+  test("video corpus is pure ASCII — the byte==char premise of the frames oracle") {
+    // q_multimodal_frames' DuckDB oracle slices VARCHAR text while the
+    // engine slices UTF-8 payload BYTES; they agree only while every
+    // video doc is single-byte-per-char. A generator change introducing
+    // a multi-byte character would silently desynchronize frame
+    // boundaries and digests downstream — this guard fails loudly
+    // instead (char length == octet length ⟺ pure ASCII for UTF-8).
+    import org.apache.spark.sql.functions.{length, octet_length}
+    val nonAscii = graft.Tables.documents(spark, sf0001)
+      .filter(col("n_chars") % 3 === 0) // the video slice of the corpus
+      .filter(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii video docs contain multi-byte chars — the frames " +
+        "oracle's VARCHAR slicing no longer matches byte slicing")
+  }
 }

@@ -80,8 +80,13 @@ object Bench {
         dir: String): Double = {
       // defensive only — CacheHygieneSpec proves queries leave the
       // CacheManager empty; clearing costs nothing and keeps a future
-      // regression from silently timing cache scans
+      // regression from silently timing cache scans. The LPA memo is
+      // cleared too: q_communities/q_modularity legitimately share a
+      // fixed point within a session (by design), but a TIMED query
+      // must pay its own one-shot cost or the record stops being
+      // comparable across rounds.
       spark.catalog.clearCache()
+      ops.Graph.clearLpaMemo()
       val t0 = System.nanoTime()
       val ok = exec(name, fn, dir)
       spark.catalog.clearCache()

@@ -435,21 +435,46 @@ object Graph {
   def linkPrediction(s: SparkSession, d: String): DataFrame =
     linkPredictionCore(coEdges(s, d), topPerNode = 5)
 
-  /** Scoring over any `(u < v)` edge relation — DataFrame-
-    * parameterized so GraphSpec can pin the closed-form weights and
-    * the existing-edge exclusion on a hand-built graph. */
-  def linkPredictionCore(edges: DataFrame, topPerNode: Int): DataFrame = {
-    val e = edges.localCheckpoint() // consumers: sym (×2 sides), anti-join
-    val sym = e.select(col("u").as("a"), col("v").as("z"))
-      .unionByName(e.select(col("v").as("a"), col("u").as("z")))
+  /** Hub ceiling for common neighbors (r6, the T3 df-cap precedent):
+    * a common neighbor z of degree d generates O(d²) wedge pairs
+    * while contributing AA weight 1/ln d → ~0, so past the cap z is
+    * excluded BEFORE wedge expansion — on a heavy-tailed graph this
+    * bounds per-z cost at cap² where the uncapped shape is quadratic
+    * in the hottest hub. The harness co-occurrence graph is
+    * near-regular (max degree 222 at sf0.1 ≪ cap), so the cap is
+    * semantics-neutral at every harness SF (the oracle carries the
+    * same `deg <= cap` — outputs unchanged, hash-verified); GraphSpec
+    * pins the hub exclusion on a planted-hub fixture and the
+    * closed-form wedge-count model Σ_z deg_focal(z)·(deg(z)−1) that
+    * makes the |batch|·d̄² growth a checked contract. */
+  val MaxAaDegree = 1024L
+
+  /** The pre-aggregation wedge relation (a, b, z, w): one row per
+    * (focal node a, candidate b, eligible common neighbor z). Exposed
+    * package-private so GraphSpec can pin its cardinality against the
+    * closed-form cost model — this relation IS the operator's cost. */
+  private[graft] def aaWedges(edges: DataFrame, maxDegree: Long): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("z"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("z")))
     val wz = sym.groupBy(col("z")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= 2)
+      .filter(col("deg") >= 2 && col("deg") <= maxDegree)
       .select(col("z"),
         floor(lit(1000000.0) / log(col("deg").cast("double"))).cast("long").as("w"))
-    val focal = sym.filter(pmod(col("a"), lit(100)) === 7)
-    val scored = focal.join(sym.select(col("z"), col("a").as("b")), Seq("z"))
+    // prune sym by eligible z BEFORE the wedge self-join: wedges for
+    // over-cap hubs are never generated (not generated-then-dropped)
+    val nbr = sym.select(col("z"), col("a").as("b")).join(wz, Seq("z"))
+    sym.filter(pmod(col("a"), lit(100)) === 7)
+      .join(nbr, Seq("z"))
       .filter(col("a") =!= col("b"))
-      .join(wz, Seq("z"))
+  }
+
+  /** Scoring over any `(u < v)` edge relation — DataFrame-
+    * parameterized so GraphSpec can pin the closed-form weights, the
+    * existing-edge exclusion, and the hub cap on hand-built graphs. */
+  def linkPredictionCore(edges: DataFrame, topPerNode: Int,
+      maxDegree: Long = MaxAaDegree): DataFrame = {
+    val e = edges.localCheckpoint() // consumers: sym (×2 sides), anti-join
+    val scored = aaWedges(e, maxDegree)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common_neighbors"), sum(col("w")).as("aa_micros"))
     val fresh = scored.join(e,
@@ -573,10 +598,55 @@ object Graph {
       .select(col("u"), col("v"))
   }
 
+  // ----- shared LPA fixed point (r6 verdict task 5) -----
+
+  /** Session-scoped memo of the LPA fixed point over the repeat
+    * co-purchase graph: [[communities]] and [[modularity]] consume
+    * the SAME 5-round label relation, and the loop is the graph
+    * family's heaviest pair — re-running it per declared query
+    * doubled the cost for any user composing both. The memo holds
+    * the final round's localCheckpoint (a |V|-row relation of
+    * GC-owned blocks; nothing enters the SQL CacheManager, so the
+    * cache-hygiene contract is untouched) keyed by (session, dir,
+    * rounds); the WeakHashMap lets a stopped session's entry be
+    * collected. Bench and PlanAudit call [[clearLpaMemo]] between
+    * queries so per-query timings and recorded plan shapes stay
+    * one-shot honest; within a user session / Verify run the pair
+    * pays ONE loop (GraphSpec pins the single execution). */
+  private val lpaMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Int), DataFrame]]
+
+  /** Actual LPA loop executions — the GraphSpec hook proving the
+    * communities/modularity pair costs one loop per session+dir. */
+  private[graft] val lpaExecutions =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def lpaLabels(s: SparkSession, d: String,
+      rounds: Int = LpaRounds): DataFrame = lpaMemo.synchronized {
+    val perSession = Option(lpaMemo.get(s)).getOrElse {
+      val m = scala.collection.mutable.Map.empty[(String, Int), DataFrame]
+      lpaMemo.put(s, m)
+      m
+    }
+    perSession.getOrElseUpdate((d, rounds), {
+      lpaExecutions.incrementAndGet()
+      labelPropagation(repeatCoEdges(s, d), rounds)
+    })
+  }
+
+  /** Drops memoized label relations and unpersists their blocks —
+    * Bench/PlanAudit call it between queries (see [[lpaMemo]]). */
+  def clearLpaMemo(): Unit = lpaMemo.synchronized {
+    import scala.jdk.CollectionConverters._
+    lpaMemo.values.asScala.foreach(_.values.foreach(_.unpersist()))
+    lpaMemo.clear()
+  }
+
   /** Declared LPA query: community rollup (id = min member label,
     * size, member span) over the repeat co-purchase graph. */
   def communities(s: SparkSession, d: String): DataFrame =
-    labelPropagation(repeatCoEdges(s, d))
+    lpaLabels(s, d)
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("node")).as("min_node"), max(col("node")).as("max_node"))
@@ -591,13 +661,21 @@ object Graph {
     * |V|- or |C|-sized; the 1-row moment tables meet in broadcast
     * cross joins. Long moments bound the operator at d_c ≲ 3×10⁹
     * (Σd_c² < 2⁶³) — beyond that the moments want DECIMAL, noted here
-    * rather than silently wrong. */
+    * rather than silently wrong. Shares [[lpaLabels]]' fixed point
+    * with [[communities]] — the pair costs one LPA loop. */
   def modularity(s: SparkSession, d: String): DataFrame =
-    modularityCore(repeatCoEdges(s, d))
+    modularityFrom(repeatCoEdges(s, d).localCheckpoint(), lpaLabels(s, d))
 
+  /** Fixture face: runs its own LPA over the given edges (GraphSpec's
+    * hand-solved graphs don't route through the session memo). */
   private[graft] def modularityCore(edges: DataFrame): DataFrame = {
     val e = edges.localCheckpoint()
-    val labels = labelPropagation(e)
+    modularityFrom(e, labelPropagation(e))
+  }
+
+  /** Moment assembly over an already-materialized edge relation and
+    * its label partition (three consumers of `e`: m, intra, deg). */
+  private def modularityFrom(e: DataFrame, labels: DataFrame): DataFrame = {
     val m = e.agg(count(lit(1)).as("m"))
     val intra = e
       .join(labels.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
@@ -804,7 +882,8 @@ object Graph {
       s"""WITH e AS MATERIALIZED ($coEdgesSql),
          sym AS MATERIALIZED (SELECT u AS a, v AS z FROM e UNION ALL SELECT v, u FROM e),
          wz AS (SELECT z, CAST(floor(1000000.0 / ln(deg)) AS BIGINT) AS w FROM
-                  (SELECT z, count(*) AS deg FROM sym GROUP BY z) WHERE deg >= 2),
+                  (SELECT z, count(*) AS deg FROM sym GROUP BY z)
+                WHERE deg >= 2 AND deg <= $MaxAaDegree),
          sc AS (SELECT f.a, s.a AS b, count(*) AS common_neighbors,
                   CAST(sum(w) AS BIGINT) AS aa_micros
                 FROM sym f JOIN sym s ON f.z = s.z AND f.a != s.a

@@ -233,6 +233,60 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.820478, r.toString)
   }
 
+  test("link prediction hub cap: over-cap common neighbors generate no wedges") {
+    // hub 0 has degree 5; z = 5 has degree 2. Both are common
+    // neighbors of the focal pair (7, 107). Capped at 4, the hub is
+    // excluded BEFORE wedge expansion: only z = 5 scores.
+    val g = edges(7L -> 0L, 107L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      7L -> 5L, 107L -> 5L)
+    val capped = ops.Graph.linkPredictionCore(g, topPerNode = 5, maxDegree = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val w2 = math.floor(1e6 / math.log(2.0)).toLong
+    assert(capped((7L, 107L)) == ((1L, w2)), capped.toString)
+    // uncapped (default cap 1024 ≫ 5): both z's count
+    val full = ops.Graph.linkPredictionCore(g, topPerNode = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val w5 = math.floor(1e6 / math.log(5.0)).toLong
+    assert(full((7L, 107L)) == ((2L, w2 + w5)), full.toString)
+  }
+
+  test("link prediction cost model: wedge rows = Σ_z deg_focal(z)·(deg(z)−1), the checked d̄² contract") {
+    // the pre-aggregation wedge relation IS the operator's cost:
+    // |batch|·d̄² growth is derived from measured degrees, not assumed
+    // — a regression that re-expands hub wedges (or a corpus change
+    // that breaks the near-regular premise) moves `actual` off the
+    // closed form and fails here rather than surfacing as a silent
+    // slope blow-up at the next scale point.
+    val e = Graph.coEdges(spark, sf0001).localCheckpoint()
+    val actual = Graph.aaWedges(e, Graph.MaxAaDegree).count()
+    val sym = e.select(col("u").as("a"), col("v").as("z"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("z")))
+    val model = sym.groupBy(col("z"))
+      .agg(count(lit(1)).as("deg"),
+        count(when(pmod(col("a"), lit(100)) === 7, 1)).as("deg7"))
+      .filter(col("deg") >= 2 && col("deg") <= Graph.MaxAaDegree)
+      .agg(sum(col("deg7") * (col("deg") - 1)).as("wedges"))
+      .head.getLong(0)
+    assert(actual == model, s"wedge rows $actual != closed form $model")
+    // and the cap bounds the per-focal-endpoint fan-out by cap − 1
+    val focalAdj = sym.filter(pmod(col("a"), lit(100)) === 7).count()
+    assert(actual <= focalAdj * (Graph.MaxAaDegree - 1),
+      s"$actual wedges exceed the cap bound ${focalAdj * (Graph.MaxAaDegree - 1)}")
+  }
+
+  test("communities and modularity share one LPA fixed point per session+dir") {
+    Graph.clearLpaMemo()
+    val before = Graph.lpaExecutions.get()
+    val c = Graph.communities(spark, sf0001).collect()
+    val m = Graph.modularity(spark, sf0001).collect()
+    assert(c.nonEmpty && m.nonEmpty)
+    assert(Graph.lpaExecutions.get() == before + 1,
+      "the declared pair must execute the 5-round LPA loop exactly once")
+    Graph.clearLpaMemo()
+  }
+
   test("sssp: cheap 3-hop path beats the expensive direct edge; 1-round bound keeps the direct edge") {
     // 0 —5— 1, and 0 —1— 2 —1— 3 —1— 1: min cost to 1 is 3 via the
     // long way, but within ≤1 edge it is the direct 5

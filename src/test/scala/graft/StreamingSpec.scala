@@ -304,6 +304,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST5 file-source: dropDuplicatesWithinWatermark over the doubled events parquet matches the batch dedup face") {
+    // the dedup face's declared input is the events relation doubled
+    // (q_stream_dedup unions it with itself); here the doubling is two
+    // IDENTICAL FILES arriving as separate micro-batches — the exact
+    // replay/at-least-once shape streaming dedup exists for. Duplicate
+    // timestamps equal their originals, so every duplicate is within
+    // the watermark delay of its first occurrence: state-based dedup
+    // (or the late-data filter, for rows the batch-1 watermark already
+    // passed — both are the ST5 contract) must yield exactly one row
+    // per event_id, the batch face's first-event-wins relation.
+    val dir = java.nio.file.Files.createTempDirectory("evdedup")
+    for (n <- Seq("copy1.parquet", "copy2.parquet")) {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0001/events.parquet"), dir.resolve(n))
+    }
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(Tables.rawEventsSchema(spark, sf0001))
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val q = stream.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append").format("memory").queryName("fs_dedup").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fs_dedup").collect()
+        .map(_.getAs[Long]("event_id"))
+      val ev = Tables.events(spark, sf0001)
+        .select("event_id", "ts", "user_id", "event_type")
+      val batch = Streaming.dedupEvents(ev.unionByName(ev)).collect()
+        .map(_.getAs[Long]("event_id"))
+      assert(streamed.length == streamed.distinct.length,
+        "stream output must hold no duplicate event_ids")
+      assert(streamed.toSet == batch.toSet,
+        s"stream ${streamed.length} ids vs batch ${batch.length}")
+    } finally q.stop()
+  }
+
+  test("ST4 file-source: append-mode watermark drop over the real events parquet matches tumblingClosed") {
+    // the real-file rendering of the tumblingClosed parity test: batch
+    // 1 ingests the corpus (watermark still 0 → nothing emits), a
+    // nudge file re-delivers the max-ts event so batch 2 runs under
+    // the terminal watermark max(ts) − 10 min and flushes exactly the
+    // CLOSED windows — the rows tumblingClosed (q_stream_watermark's
+    // batch face) computes declaratively. The nudge's duplicate event
+    // can only touch its own still-open window, which never emits.
+    val (dir, stream) = eventsStreamDir()
+    val q = Streaming.tumblingCounts(stream.withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append").format("memory").queryName("fs_wm").start()
+    try {
+      q.processAllAvailable()
+      spark.read.schema(Tables.rawEventsSchema(spark, sf0001))
+        .parquet(s"$sf0001/events.parquet")
+        .orderBy(col("ts").desc).limit(1)
+        .write.mode("overwrite").parquet(dir.resolve("nudge.parquet").toString)
+      q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[java.sql.Timestamp]("ws"), r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))
+      val streamed = spark.table("fs_wm").collect().map(key).toSet
+      val batch = Streaming.tumblingClosed(Tables.events(spark, sf0001))
+        .collect().map(key).toSet
+      assert(streamed.nonEmpty, "terminal watermark must close at least one window")
+      assert(streamed == batch,
+        s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("session gap boundary: exactly 30 minutes merges, beyond splits") {
     import spark.implicits._
     def sessionsFor(gapTs: String): Long =

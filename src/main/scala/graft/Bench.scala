@@ -76,7 +76,7 @@ object Bench {
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+    def timedOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
       // defensive only — CacheHygieneSpec proves queries leave the
       // CacheManager empty; clearing costs nothing and keeps a future
@@ -92,6 +92,25 @@ object Bench {
       spark.catalog.clearCache()
       // a failed query must not report a (tiny) elapsed time as if it ran
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+
+    // Load-robustness at the ARTIFACT level (r5 verdict task 6): the
+    // r5 driver record (252 s, load 3.2→3.6) vs the same suite under
+    // clean load (189 s) differed ~30% purely by co-tenant noise, and
+    // every per-query figure was a single sample. Queries whose first
+    // sample is ≥1 s now record the MIN of two runs — min, not mean,
+    // because scheduler noise is strictly additive (the fastest
+    // observation is the closest to the query's true cost). Sub-second
+    // queries keep one sample: their noise band is job-overhead-sized
+    // and a second run would double suite time for digits that don't
+    // matter. Disable with SPARK_GRAFT_MIN_OF=1 (dev loops).
+    val minOf = sys.env.getOrElse("SPARK_GRAFT_MIN_OF", "2").toInt
+    val MinRepeatSecs = 1.0
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
+      val first = timedOnce(name, fn, dir)
+      if (minOf < 2 || first < MinRepeatSecs) first
+      else math.min(first, timedOnce(name, fn, dir))
     }
 
     /** One full pass; returns timings plus the suite's own load-average

@@ -372,6 +372,59 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bucket width of [[quantileSketch]] in cents: 1000-unit buckets
+    * over o_totalprice's [1e3, 5e5] range → ≤500 live buckets per
+    * priority, and the sketch's one-sided error is < 1 bucket. */
+  val QSketchBucketCents = 100000L
+
+  /** Discrete fixed-bucket quantile sketch (A33, r6): the PORTABLE
+    * approximate-quantile path, closing the sketch family's last
+    * no-oracle gap — q_agg_approx's approx_percentile is
+    * engine-internal (golden-bounded only), while this sketch is a
+    * mechanics-level twin BOTH engines compute bit-identically: cents
+    * quantize (one IEEE multiply + floor), bucket = cents DIV width
+    * (floor-div on non-negative longs — same op both engines), and
+    * per-(priority, bucket) counts ARE the sketch: bounded at
+    * ≤500 longs per group REGARDLESS of input rows, map-side
+    * combinable — the partial state a 100 TB quantile pass ships
+    * where the exact twin (q_quantiles) pays a full sort of the fact.
+    * Quantile p reads back as the lower edge of the first bucket
+    * whose cumulative count reaches ceil(p·n) — the same TYPE-1 rank
+    * the exact twin selects, so |estimate − exact| < 1 bucket width
+    * BY CONSTRUCTION (RelationalSpec pins it against q_quantiles at
+    * two SFs). Threshold compares are cross-multiplied integers
+    * (100·cum ≥ p·n — the A30 precedent), never a share division.
+    * One fact shuffle into the bucket rollup; the cumulative window
+    * runs over the ≤500-row-per-group sketch, never the fact. */
+  def quantileSketch(s: SparkSession, d: String): DataFrame =
+    quantileSketchCore(Tables.orders(s, d))
+
+  private[graft] def quantileSketchCore(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val buckets = orders
+      .select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          s" DIV $QSketchBucketCents").as("bucket"))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val cum = buckets
+      .withColumn("n", sum(col("c")).over(byPrio))
+      .withColumn("cum", sum(col("c")).over(
+        byPrio.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def lowerEdge(p: Int) =
+      min(when(col("cum") * 100 >= col("n") * p,
+        col("bucket") * QSketchBucketCents))
+    cum.groupBy(col("o_orderpriority"))
+      .agg(first(col("n")).as("n_orders"),
+        count(lit(1)).as("n_buckets"),
+        lowerEdge(50).as("p50_lo_cents"),
+        lowerEdge(90).as("p90_lo_cents"),
+        lowerEdge(99).as("p99_lo_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Tukey-fence (IQR) outlier screen per event type — the boxplot
     * companion to the MAD screen (A11): exact type-1 quartiles by
     * integer position selection, fences q1 − 1.5·IQR / q3 + 1.5·IQR
@@ -1985,6 +2038,7 @@ object Relational {
     "q_tpch_excess"       -> tpchExcess,
     "q_tpch_waiting"      -> tpchWaiting,
     "q_quantiles"         -> quantiles,
+    "q_quantile_sketch"   -> quantileSketch,
     "q_iqr_outliers"      -> iqrOutliers,
     "q_tpch_shipping"     -> tpchShipping,
     "q_tpch_promo"        -> tpchPromo,
@@ -2574,6 +2628,29 @@ object Relational {
            min(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents,
            min(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS p99_cents
          FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // same cents quantization, same floor-div bucketing, same
+    // cross-multiplied cumulative threshold — the sketch is integer
+    // end-to-end, so both engines build the identical 500-long state
+    "q_quantile_sketch" ->
+      s"""WITH b AS (SELECT o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             // $QSketchBucketCents AS bucket,
+           count(*) AS c
+           FROM orders GROUP BY 1, 2),
+         w AS (SELECT o_orderpriority, bucket, c,
+           sum(c) OVER (PARTITION BY o_orderpriority) AS n,
+           sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM b)
+         SELECT o_orderpriority, CAST(any_value(n) AS BIGINT) AS n_orders,
+           count(*) AS n_buckets,
+           min(CASE WHEN cum * 100 >= n * 50
+             THEN bucket * $QSketchBucketCents END) AS p50_lo_cents,
+           min(CASE WHEN cum * 100 >= n * 90
+             THEN bucket * $QSketchBucketCents END) AS p90_lo_cents,
+           min(CASE WHEN cum * 100 >= n * 99
+             THEN bucket * $QSketchBucketCents END) AS p99_lo_cents
+         FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // exact type-1 quartiles; fences computed from identical doubles
     "q_iqr_outliers" ->
       """WITH r AS (SELECT event_type, value,

@@ -202,6 +202,41 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch brackets the exact twin within one bucket, per priority and percentile") {
+    // the sketch family's portability pin (r5 verdict task 8): the
+    // fixed-bucket sketch's lower edge must satisfy lo <= exact <
+    // lo + width for the SAME TYPE-1 rank the exact twin selects —
+    // the by-construction error bound, verified on the real table.
+    val b = ops.Relational.QSketchBucketCents
+    val exact = ops.Relational.quantiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sketch = ops.Relational.quantileSketch(spark, sf0001).collect()
+    assert(sketch.map(_.getString(0)).toSet == exact.keySet)
+    sketch.foreach { r =>
+      val (e50, e90, e99) = exact(r.getString(0))
+      for ((lo, e, p) <- Seq((r.getLong(3), e50, 50), (r.getLong(4), e90, 90),
+          (r.getLong(5), e99, 99))) {
+        assert(lo <= e && e < lo + b,
+          s"${r.getString(0)} p$p: exact $e outside sketch bucket [$lo, ${lo + b})")
+      }
+      // the sketch IS bounded state: never more buckets than the range allows
+      assert(r.getLong(2) <= 500, s"bucket blow-up: $r")
+    }
+
+    // hand fixture: 10 known values, one bucket each → sketch lower
+    // edges are exact multiples below the hand-computed quantiles
+    import spark.implicits._
+    val orders = (1 to 10).map(i => (s"P", i * 1000.0 + 0.5))
+      .toDF("o_orderpriority", "o_totalprice")
+    val got = ops.Relational.quantileSketchCore(orders).collect().head
+    // cents = i*100000 + 50 → bucket i (width 100000). TYPE-1 ranks:
+    // p50 → 5th value (bucket 5), p90 → 9th, p99 → 10th.
+    assert(got.getLong(1) == 10 && got.getLong(2) == 10, got.toString)
+    assert(got.getLong(3) == 5 * 100000L, s"p50 bucket: $got")
+    assert(got.getLong(4) == 9 * 100000L, s"p90 bucket: $got")
+    assert(got.getLong(5) == 10 * 100000L, s"p99 bucket: $got")
+  }
+
   test("TPC-H wave 32: partvalue threshold, lateship conservation, suppcnt exclusion, waiting rewrite vs brute force") {
     val sf001 = "/root/testdata/sf0.01"
 

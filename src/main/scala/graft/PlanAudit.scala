@@ -26,32 +26,21 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        // execute THIS QueryExecution (a noop write would build its own
-        // around the write command, leaving df's AdaptiveSparkPlanExec
-        // unexecuted → toString would show the pre-adaptive plan with
-        // reuse/coalescing missing — the exact features being audited)
-        val qe = df.queryExecution
-        qe.toRdd.foreach(_ => ())
-        // AdaptiveSparkPlan.toString appends the pre-adaptive plan
-        // under "== Initial Plan ==" — keep only the final plan or
-        // every feature double-counts
-        val full = qe.executedPlan.toString
-        val p = full.indexOf("== Initial Plan ==") match {
-          case -1 => full
-          case i => full.substring(0, i)
-        }
-        def n(pat: String) = pat.r.findAllIn(p).length
+        // PlanCounters executes THIS QueryExecution (a noop write would
+        // build its own around the write command, leaving df's
+        // AdaptiveSparkPlanExec unexecuted → the pre-adaptive plan with
+        // reuse/coalescing missing — the exact features being audited).
         // memscans should stay 0 everywhere since r4 removed all
         // query-local persists (CacheHygieneSpec enforces it) — a
         // nonzero value here means a cached intermediate crept back
         // in, and its InMemoryRelation would overcount the other
         // columns (the BUILD plan prints once per reference)
-        println(f"$name%-28s shuffles=${n("Exchange hashpartitioning")}%-3d " +
-          f"rangeX=${n("Exchange rangepartitioning")}%-2d reused=${n("ReusedExchange")}%-3d " +
-          f"scans=${n("Scan parquet")}%-3d memscans=${n("InMemoryTableScan")}%-2d " +
-          f"explodes=${n("Generate explode")}%-2d " +
-          f"bcast=${n("BroadcastExchange")}%-2d codegen=${n("\\*\\(")}%d")
+        val c = PlanCounters.measure(fn(spark, sfDir))
+        println(f"$name%-28s shuffles=${c.shuffles}%-3d " +
+          f"rangeX=${c.rangeX}%-2d reused=${c.reused}%-3d " +
+          f"scans=${c.scans}%-3d memscans=${c.memscans}%-2d " +
+          f"explodes=${c.explodes}%-2d " +
+          f"bcast=${c.bcast}%-2d codegen=${c.codegen}%d")
       } catch {
         case e: Throwable =>
           println(f"$name%-28s FAILED: ${String.valueOf(e.getMessage).take(80)}")

@@ -278,7 +278,13 @@ object Corpus {
     * Both probes are equi-joins on (band, sig)/hash keys; the band
     * relation is checkpointed once for its two consumers. */
   def dedupIncremental(docs: DataFrame): DataFrame = {
-    val bands = Text.portableBands(docs).localCheckpoint()
+    // freshLeaf: a bare checkpoint leaf's size estimate varies with
+    // in-memory block layout and can flip the probe joins between
+    // broadcast and shuffled across runs (the q_modularity lesson,
+    // Graph.checkpointLeaf) — reset to deterministic stats; AQE still
+    // upgrades from exact shuffle sizes at runtime
+    val bands = org.apache.spark.sql.GraftColumnBridge.freshLeaf(
+      Text.portableBands(docs).localCheckpoint())
     val hist = bands.filter(HistPred(col("doc_id")))
       .select(col("band").as("hb"), col("band_sig").as("hs")).distinct()
     val hits = bands.filter(!HistPred(col("doc_id")))

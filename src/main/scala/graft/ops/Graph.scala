@@ -59,7 +59,7 @@ object Graph {
     * counts. */
   def triangleCounts(edges: DataFrame,
       maxBroadcastEdges: Long = BroadcastMaxEdges): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = checkpointLeaf(edges) // stats reset — see checkpointLeaf; the closing join's broadcast stays EXPLICIT (size-gated below)
     // one job on materialized blocks (the PageRank one-count-per-query
     // precedent): localCheckpoint hides e's size from Catalyst, so the
     // broadcast decision needs an explicit measurement
@@ -473,7 +473,7 @@ object Graph {
     * existing-edge exclusion, and the hub cap on hand-built graphs. */
   def linkPredictionCore(edges: DataFrame, topPerNode: Int,
       maxDegree: Long = MaxAaDegree): DataFrame = {
-    val e = edges.localCheckpoint() // consumers: sym (×2 sides), anti-join
+    val e = checkpointLeaf(edges) // consumers: sym (×2 sides), anti-join; stats reset (see checkpointLeaf)
     val scored = aaWedges(e, maxDegree)
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common_neighbors"), sum(col("w")).as("aa_micros"))
@@ -664,14 +664,29 @@ object Graph {
     * rather than silently wrong. Shares [[lpaLabels]]' fixed point
     * with [[communities]] — the pair costs one LPA loop. */
   def modularity(s: SparkSession, d: String): DataFrame =
-    modularityFrom(repeatCoEdges(s, d).localCheckpoint(), lpaLabels(s, d))
+    modularityFrom(checkpointLeaf(repeatCoEdges(s, d)), lpaLabels(s, d))
 
   /** Fixture face: runs its own LPA over the given edges (GraphSpec's
     * hand-solved graphs don't route through the session memo). */
   private[graft] def modularityCore(edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = checkpointLeaf(edges)
     modularityFrom(e, labelPropagation(e))
   }
+
+  /** Materialize-and-reset: localCheckpoint for the re-use, freshLeaf
+    * for DETERMINISTIC stats. A bare localCheckpoint leaf carries a
+    * size estimate derived from its in-memory block layout — a number
+    * that varies run-to-run with JVM object overhead and spill state,
+    * which flipped one of q_modularity's label joins between
+    * broadcast and shuffled across otherwise identical executions
+    * (caught by PlanBudgetSpec's exact-equality gate). freshLeaf's
+    * default (conservative) estimate makes the INITIAL plan a pure
+    * function of the query; AQE still upgrades joins at runtime from
+    * exact shuffle byte counts, which are deterministic for fixed
+    * data. Applied to every bare checkpoint leaf that feeds a
+    * declared query's final plan. */
+  private def checkpointLeaf(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.freshLeaf(df.localCheckpoint())
 
   /** Moment assembly over an already-materialized edge relation and
     * its label partition (three consumers of `e`: m, intra, deg). */

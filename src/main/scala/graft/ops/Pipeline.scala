@@ -65,11 +65,14 @@ object Pipeline {
             col("chunk_idx").cast("string")))).cast("long"))
 
   /** T12 over chunk text; all-whitespace chunks have no tokens, no
-    * vector, and (matching the oracle) drop out of the pipeline here. */
+    * vector, and (matching the oracle) drop out of the pipeline here.
+    * `tkey` (text digest) rides along as the exact-collapse key for
+    * [[edgesOf]]'s LSH front. */
   private def vecsOf(chunks: DataFrame): DataFrame =
     Text.withHashedVec(chunks, textCol = "chunk")
       .filter(size(col("buckets")) > 0)
-      .select(col("cid").as("vec_id"), col("vec").as("v"))
+      .select(col("cid").as("vec_id"), col("vec").as("v"),
+        md5(col("chunk")).as("tkey"))
 
   /** V4 stage: centered SRP-LSH candidates → cosine-confirmed edges.
     *
@@ -87,11 +90,37 @@ object Pipeline {
     val dimMeans = vecs.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("i")).agg((sum(col("x")) / count(lit(1))).as("m"))
       .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("ms"))
-    val centered = vecs.crossJoin(broadcast(dimMeans))
+    // Exact-collapse front (r6, from the measured sf1 scale point):
+    // identical chunk TEXTS enter the banded self-join as ONE
+    // representative node. Without it, a chunk text occurring k times
+    // (boilerplate, or a replicated corpus) puts k identical vectors
+    // in the same bucket of EVERY band — C(k,2) candidate pairs per
+    // group, the quadratic that measured slope 35.8 at the 10× scale
+    // point (334 s; duplicate mass grows quadratically under cloning
+    // while everything else is linear). The collapse is
+    // OUTPUT-IDENTICAL by construction, which is why the oracle is
+    // unchanged: clones have identical centered vectors, so (a) a rep
+    // pair band-collides iff any member pair does, and (b) member ↔
+    // rep star edges reconnect each exact group, so the transitive
+    // closure reaches the same clusters and the same min-cid
+    // survivors. The means stay multiplicity-weighted (computed over
+    // the UNCOLLAPSED vectors) so band keys are bit-identical to the
+    // uncollapsed plan's. Exact-dedup-before-near-dedup is the
+    // standard production staging (T10's recipe), applied inside one
+    // operator.
+    val reps = vecs.groupBy(col("tkey"))
+      .agg(min(col("vec_id")).as("vec_id"),
+        min_by(col("v"), col("vec_id")).as("v"))
+    val centered = reps.crossJoin(broadcast(dimMeans))
       .select(col("vec_id"), col("v"),
         zip_with(col("v"), col("ms"), (x, st) => x - st("m")).as("vc"))
-    Vectors.srpPairsOf(centered, MinCos, bandCol = "vc")
+    val lsh = Vectors.srpPairsOf(centered, MinCos, bandCol = "vc")
       .select(col("va").as("src"), col("vb").as("dst"))
+    val exactEdges = vecs
+      .join(reps.select(col("tkey"), col("vec_id").as("rep")), Seq("tkey"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("src"), col("vec_id").as("dst"))
+    lsh.unionByName(exactEdges)
   }
 
   /** The confirmed near-dup chunk edges — exposed so PipelineSpec can

@@ -458,7 +458,82 @@ object Corpus {
       .orderBy(col("source"), col("batch"))
   }
 
+  /** Merge rounds for [[bpeMerges]] — fixed count so the result is a
+    * deterministic function of the corpus (the LpaRounds convention),
+    * matched by the oracle's unroll. */
+  val BpeRounds = 8
+
+  /** BPE merge induction (T51, r6): the first `BpeRounds` byte-pair
+    * merges a BPE tokenizer trainer would learn from this corpus —
+    * the TRAINING half of the tokenizer story (T7/T38 consume a
+    * tokenizer; this builds one), i.e. Sennrich et al. 2016's
+    * algorithm in its production staging: train on the WORD-FREQUENCY
+    * table, never the raw corpus. The corpus is touched exactly once
+    * (the word rollup); every merge round then runs over the
+    * |V|-row vocab state — at 100 TB that is the difference between
+    * an O(corpus) and an O(vocab) iteration, and it is how real
+    * trainers (subword-nmt, HF tokenizers) are built.
+    *
+    * Mechanics, engine-portable by construction: words become
+    * separator-prefixed symbol strings ("the" → "~t~h~e"); each round
+    * counts adjacent symbol pairs weighted by word frequency
+    * (positional enumeration over the split — the q_kn_bigram
+    * pattern), takes the argmax under the (freq desc, left, right)
+    * TOTAL order as a 1-row relation (TakeOrderedAndProject — never a
+    * collect), and applies the merge with one `replace` of
+    * "~l~r" → "~lr": left-to-right non-overlapping replacement has
+    * identical semantics in Spark and DuckDB and reproduces the
+    * greedy leftmost-first merge fold ("aaa" + (a,a) → [aa, a]).
+    * All statistics are exact integers; there is no float anywhere.
+    * Loop state is the vocab relation, checkpointed per round (the
+    * kCore idiom — each vocab feeds both the next round's pair count
+    * and the replace, and an uncheckpointed chain would recompute
+    * 2^rounds subplans). Words are guarded to ^[a-z]+$ (both
+    * engines) so the separator can never collide with a symbol. */
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    def cut(df: DataFrame) =
+      org.apache.spark.sql.GraftColumnBridge.freshLeaf(df.localCheckpoint())
+    var vocab = cut(docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "~$1").as("ws"), col("freq")))
+    var rules: DataFrame = null
+    for (round <- 1 to rounds) {
+      val rule = cut(vocab
+        .select(col("freq"),
+          expr("filter(split(ws, '~'), s -> s != '')").as("symbols"))
+        // fully-merged (1-symbol) words have no pairs; without the
+        // guard Spark's sequence(1, 0) counts DOWN and explodes to
+        // invalid indices
+        .filter(size(col("symbols")) >= 2)
+        .select(col("freq"), col("symbols"),
+          explode(sequence(lit(1), size(col("symbols")) - 1)).as("i"))
+        .select(col("freq"),
+          element_at(col("symbols"), col("i")).as("l"),
+          element_at(col("symbols"), col("i") + 1).as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("l"), col("r")).limit(1)
+        .select(lit(round).as("round"), col("l"), col("r"), col("f")))
+      rules = if (rules == null) rule else rules.unionByName(rule)
+      val prev = vocab
+      vocab = cut(vocab.crossJoin(broadcast(rule))
+        .select(replace(col("ws"),
+            concat(lit("~"), col("l"), lit("~"), col("r")),
+            concat(lit("~"), col("l"), col("r"))).as("ws"),
+          col("freq")))
+      prev.unpersist()
+    }
+    vocab.unpersist()
+    rules
+      .select(col("round"), col("l").as("merge_left"),
+        col("r").as("merge_right"), col("f").as("pair_freq"))
+      .orderBy(col("round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> ((s: SparkSession, d: String) =>
+      bpeMerges(Tables.documents(s, d))),
     "q_curriculum" -> ((s: SparkSession, d: String) =>
       curriculum(Tables.documents(s, d))),
     "q_dsir_weights" -> ((s: SparkSession, d: String) =>
@@ -486,6 +561,31 @@ object Corpus {
   )
 
   val oracles: Map[String, String] = Map(
+    // same word-frequency training table, same separator-prefixed
+    // symbol strings, same (freq desc, l, r) argmax, same
+    // left-to-right non-overlapping replace per round — every
+    // statistic an exact integer
+    "q_bpe_merges" -> {
+      val steps = (1 to BpeRounds).map { k =>
+        s""",
+         p$k AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS f FROM (
+             SELECT freq, symbols[i] AS l, symbols[i + 1] AS r FROM (
+               SELECT freq, symbols, unnest(generate_series(1, len(symbols) - 1)) AS i
+               FROM (SELECT freq, string_split(substr(ws, 2), '~') AS symbols FROM w${k - 1})))
+           GROUP BY l, r),
+         r$k AS (SELECT $k AS round, l, r, f FROM p$k ORDER BY f DESC, l, r LIMIT 1),
+         w$k AS (SELECT replace(w.ws, '~' || r.l || '~' || r.r, '~' || r.l || r.r) AS ws, w.freq
+                 FROM w${k - 1} w, r$k r)"""
+      }.mkString
+      val union = (1 to BpeRounds).map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+      s"""WITH wc AS (SELECT w AS word, count(*) AS freq FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+           WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+         w0 AS (SELECT regexp_replace(word, '(.)', '~\\1', 'g') AS ws, freq FROM wc)
+         $steps
+         SELECT round, l AS merge_left, r AS merge_right, f AS pair_freq
+         FROM ($union) ORDER BY round"""
+    },
     // same integer difficulty proxy and contiguous 32-doc cuts
     "q_curriculum" ->
       """WITH t AS (SELECT doc_id, source, n_chars,

@@ -278,4 +278,30 @@ class CorpusSpec extends SparkSpec {
     val r0 = a.head
     assert(r0.getLong(3) == (r0.getLong(0) * 2654435761L + 54321L) % 1000003L)
   }
+
+  test("BPE merges: hand-solved rounds, greedy leftmost merge, exhaustion yields no phantom rules") {
+    import spark.implicits._
+    def rules(text: String, rounds: Int): Seq[(Int, String, String, Long)] =
+      Corpus.bpeMerges(Seq((1L, text)).toDF("doc_id", "text"), rounds)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+    // "abab abab abab cd": (a,b) fires 6 times (2/word × 3), then the
+    // merged (ab,ab) 3, then (c,d) 1; round 4 finds NO pairs left and
+    // must emit nothing rather than a phantom rule
+    assert(rules("abab abab abab cd", 4) ==
+      Seq((1, "a", "b", 6L), (2, "ab", "ab", 3L), (3, "c", "d", 1L)))
+
+    // greedy leftmost: "aaa" + merge (a,a) folds to [aa, a], so round
+    // 2's top pair is (aa, a) — never (a, aa)
+    assert(rules("aaa aaa", 2) ==
+      Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
+
+    // tie-break is (freq desc, left, right): "ba ba ab ab" has (b,a)
+    // and (a,b) at freq 2 each — the lexicographically smaller pair wins
+    assert(rules("ba ba ab ab", 1) == Seq((1, "a", "b", 2L)))
+
+    // non-[a-z] tokens never enter the training table
+    assert(rules("ab ab A1 $$", 1) == Seq((1, "a", "b", 2L)))
+  }
 }

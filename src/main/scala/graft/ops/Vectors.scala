@@ -284,6 +284,57 @@ object Vectors {
       .limit(10)
   }
 
+  /** ANN recall evaluation harness (V11, r6): recall@10 of the
+    * single-probe IVF index against brute-force ground truth, for
+    * every query in the V5 serving batch — the measurement loop every
+    * production ANN deployment runs before trusting an index (the
+    * number quoted by FAISS/ScaNN-style benchmarks), here as a
+    * declared, oracle-checked query instead of a number in a
+    * docstring. Both sides are the engine's own serving shapes run
+    * against the SAME broadcast query batch: truth = the V5 bounded
+    * BroadcastNestedLoopJoin (one corpus scan for all queries),
+    * approx = the V3 bucket equi-join (the scan prunes to the query's
+    * sign bucket). The intersection is a (qid, vec_id) semi join of
+    * two ≤10-row-per-query relations; recall = n_hits/10 — one
+    * division of exact integers. At 100 TB this costs two corpus
+    * scans regardless of batch size, which is exactly what makes
+    * index evaluation routinely affordable. Small buckets can return
+    * fewer than 10 candidates — n_approx reports it rather than
+    * hiding it. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    def bucketOf(v: Column): Column =
+      (when(element_at(v, 1) > 0, 4).otherwise(0) +
+        when(element_at(v, 2) > 0, 2).otherwise(0) +
+        when(element_at(v, 3) > 0, 1).otherwise(0)).cast("int")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), darr.as("v"))
+      .withColumn("bucket", bucketOf(col("v")))
+    val queries = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc))
+    val truth = e.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rn", rn).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val approx = e.join(broadcast(queries), col("bucket") === col("qbucket"))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("rn", rn).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val hits = truth.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    val nApprox = approx.groupBy(col("qid")).agg(count(lit(1)).as("n_approx"))
+    queries.select(col("qid"), col("qbucket"))
+      .join(nApprox, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("qbucket"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 10.0, 2).as("recall_at_10"))
+      .orderBy(col("qid"))
+  }
+
   /** Per-dimension z-score feature normalization (V6, r4) — the
     * standard pre-training scaling pass over an embedding corpus.
     * Two-phase shape: (1) one narrow posexplode + groupBy computes the
@@ -567,6 +618,7 @@ object Vectors {
     "q_vector_pairs" -> vectorPairs,
     "q_vector_ivf"   -> vectorIvf,
     "q_vector_ivf_probe" -> vectorIvfProbe,
+    "q_ann_recall"   -> annRecall,
     "q_dedup_embed"  -> ((s: SparkSession, d: String) => dedupEmbed(s, d)),
   )
 
@@ -847,5 +899,33 @@ object Vectors {
          SELECT vec_id, label, bucket, ${sqlCos("v", "q")} AS cos
          FROM b WHERE bucket = qbucket
          ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    // same query batch, same brute-force truth, same single-probe
+    // bucket cut, same (cos desc, vec_id) top-10 total order; recall
+    // is one division of exact integer hit counts
+    "q_ann_recall" ->
+      s"""WITH b AS (SELECT vec_id, ${sqlDarr("embedding")} AS v,
+             CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END AS INT) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+               FROM b WHERE vec_id % 100 = 7),
+         t AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, b.vec_id, row_number() OVER (PARTITION BY q.qid
+               ORDER BY ${sqlCos("b.v", "q.qv")} DESC, b.vec_id) AS rn
+             FROM b CROSS JOIN q) WHERE rn <= 10),
+         a AS (SELECT qid, vec_id FROM (
+             SELECT q.qid, b.vec_id, row_number() OVER (PARTITION BY q.qid
+               ORDER BY ${sqlCos("b.v", "q.qv")} DESC, b.vec_id) AS rn
+             FROM b JOIN q ON b.bucket = q.qbucket) WHERE rn <= 10),
+         h AS (SELECT t.qid, count(*) AS n_hits FROM t
+               JOIN a ON t.qid = a.qid AND t.vec_id = a.vec_id GROUP BY t.qid),
+         na AS (SELECT qid, count(*) AS n_approx FROM a GROUP BY qid)
+         SELECT q.qid, q.qbucket,
+           CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / CAST(10.0 AS DOUBLE), 2) AS recall_at_10
+         FROM q LEFT JOIN na ON q.qid = na.qid LEFT JOIN h ON q.qid = h.qid
+         ORDER BY q.qid""",
   )
 }

@@ -154,6 +154,24 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("ann recall harness: invariants hold and the batch mean clears the single-probe floor") {
+    val rows = ops.Vectors.annRecall(spark, sf0001).collect()
+    assert(rows.nonEmpty, "the query batch must be non-empty")
+    rows.foreach { r =>
+      val (nApprox, nHits, recall) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nApprox <= 10, s"approx top-k must cap at 10: $r")
+      assert(nHits <= nApprox, s"hits cannot exceed approx candidates: $r")
+      assert(recall == math.round(nHits / 10.0 * 100) / 100.0, s"recall arithmetic: $r")
+      // the query's own vector lives in its own bucket → the self-hit
+      // (truth rank 1) is always recoverable → recall can't be 0
+      assert(nHits >= 1, s"self-hit must always be found: $r")
+    }
+    // the documented single-probe floor (the IVF spec's 0.1) holds in
+    // the mean over the whole batch, not just the fixed spec query
+    val mean = rows.map(_.getDouble(4)).sum / rows.length
+    assert(mean >= 0.1, s"mean recall $mean below the single-probe floor")
+  }
+
   test("k-means: every vector assigned once, all 4 clusters alive, seeds stay home") {
     val out = ops.Vectors.kmeans(spark, sf0001).collect()
     assert(out.length == 500)

@@ -490,13 +490,20 @@ object Corpus {
     * and the replace, and an uncheckpointed chain would recompute
     * 2^rounds subplans). Words are guarded to ^[a-z]+$ (both
     * engines) so the separator can never collide with a symbol. */
-  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
-    def cut(df: DataFrame) =
-      org.apache.spark.sql.GraftColumnBridge.freshLeaf(df.localCheckpoint())
-    var vocab = cut(docs
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame =
+    bpeMergesFromFreq(docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq")), rounds)
+
+  /** Induction core over a prepared (word, freq) table — split out so
+    * [[bpeEncode]] can train and segment off ONE corpus tokenization
+    * (it re-aggregates its per-source rollup into the training
+    * frequencies instead of exploding the text a second time). */
+  private def bpeMergesFromFreq(wordFreq: DataFrame, rounds: Int): DataFrame = {
+    def cut(df: DataFrame) =
+      org.apache.spark.sql.GraftColumnBridge.freshLeaf(df.localCheckpoint())
+    var vocab = cut(wordFreq
       .select(regexp_replace(col("word"), "(.)", "~$1").as("ws"), col("freq")))
     var rules: DataFrame = null
     for (round <- 1 to rounds) {
@@ -531,9 +538,85 @@ object Corpus {
       .orderBy(col("round"))
   }
 
+  /** BPE encode (T52, r6): APPLY the merges [[bpeMerges]] induces —
+    * the serving half of the tokenizer loop (T51 trains, this
+    * segments). Per source: corpus word/token/char volume and the
+    * fertility ratios a data-mixture designer reads off a tokenizer
+    * (tokens per 1000 words, milli-chars per token).
+    *
+    * Staging is the production one: the corpus is tokenized ONCE into
+    * a (source, word, cnt) rollup; the 8 learned merges then apply to
+    * the DISTINCT vocabulary only (each merge is one broadcast of a
+    * 1-row rule + one `replace` over the |V|-row relation), and the
+    * encoded token counts join back to the rollup by word. At 100 TB
+    * the corpus never re-moves per merge round — only vocab-sized
+    * state does, exactly how subword tokenizers segment in practice
+    * (encode the vocab, look up the pieces). Every output is an exact
+    * integer (div ratios), so the oracle unrolls the same 8 replaces
+    * in SQL with no float anywhere. */
+  def bpeEncode(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    // tokenize ONCE: the per-source rollup re-aggregates into the
+    // corpus-wide training frequencies (identical integers), so the
+    // raw text is exploded a single time for train AND apply
+    val words = org.apache.spark.sql.GraftColumnBridge.freshLeaf(docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint())
+    val rules = bpeMergesFromFreq( // 1 row per round, checkpoint-backed
+      words.groupBy(col("word")).agg(sum(col("cnt")).as("freq")), rounds)
+    var vocab = words.select(col("word")).distinct()
+      .select(col("word"), regexp_replace(col("word"), "(.)", "~$1").as("ws"))
+    for (k <- 1 to rounds) {
+      val rule = rules.filter(col("round") === k)
+        .select(col("merge_left").as("l"), col("merge_right").as("r"))
+      vocab = vocab.crossJoin(broadcast(rule))
+        .select(col("word"), replace(col("ws"),
+            concat(lit("~"), col("l"), lit("~"), col("r")),
+            concat(lit("~"), col("l"), col("r"))).as("ws"))
+    }
+    val encoded = vocab.select(col("word"),
+      size(expr("filter(split(ws, '~'), s -> s != '')")).cast("long").as("n_tok"))
+    words.join(encoded, Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"))
+      .withColumn("tokens_per_kword", expr("(n_tokens * 1000) div n_words"))
+      .withColumn("chars_per_token_milli", expr("(n_chars * 1000) div n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Shared oracle CTE chain for the BPE family: the word-frequency
+    * training table (wc/w0) and `BpeRounds` induction steps, each
+    * producing the round's pair counts (pK), the argmax rule (rK) and
+    * the merged vocab state (wK). q_bpe_merges reads r1..rN;
+    * q_bpe_encode additionally re-applies r1..rN to the corpus vocab. */
+  private val BpeOracleTrainCtes: String = {
+    val steps = (1 to BpeRounds).map { k =>
+      s""",
+         p$k AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS f FROM (
+             SELECT freq, symbols[i] AS l, symbols[i + 1] AS r FROM (
+               SELECT freq, symbols, unnest(generate_series(1, len(symbols) - 1)) AS i
+               FROM (SELECT freq, string_split(substr(ws, 2), '~') AS symbols FROM w${k - 1})))
+           GROUP BY l, r),
+         r$k AS (SELECT $k AS round, l, r, f FROM p$k ORDER BY f DESC, l, r LIMIT 1),
+         w$k AS (SELECT replace(w.ws, '~' || r.l || '~' || r.r, '~' || r.l || r.r) AS ws, w.freq
+                 FROM w${k - 1} w, r$k r)"""
+    }.mkString
+    s"""wc AS (SELECT w AS word, count(*) AS freq FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+           WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+         w0 AS (SELECT regexp_replace(word, '(.)', '~\\1', 'g') AS ws, freq FROM wc)
+         $steps"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> ((s: SparkSession, d: String) =>
       bpeMerges(Tables.documents(s, d))),
+    "q_bpe_encode" -> ((s: SparkSession, d: String) =>
+      bpeEncode(Tables.documents(s, d))),
     "q_curriculum" -> ((s: SparkSession, d: String) =>
       curriculum(Tables.documents(s, d))),
     "q_dsir_weights" -> ((s: SparkSession, d: String) =>
@@ -566,25 +649,39 @@ object Corpus {
     // left-to-right non-overlapping replace per round — every
     // statistic an exact integer
     "q_bpe_merges" -> {
-      val steps = (1 to BpeRounds).map { k =>
-        s""",
-         p$k AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS f FROM (
-             SELECT freq, symbols[i] AS l, symbols[i + 1] AS r FROM (
-               SELECT freq, symbols, unnest(generate_series(1, len(symbols) - 1)) AS i
-               FROM (SELECT freq, string_split(substr(ws, 2), '~') AS symbols FROM w${k - 1})))
-           GROUP BY l, r),
-         r$k AS (SELECT $k AS round, l, r, f FROM p$k ORDER BY f DESC, l, r LIMIT 1),
-         w$k AS (SELECT replace(w.ws, '~' || r.l || '~' || r.r, '~' || r.l || r.r) AS ws, w.freq
-                 FROM w${k - 1} w, r$k r)"""
-      }.mkString
       val union = (1 to BpeRounds).map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
-      s"""WITH wc AS (SELECT w AS word, count(*) AS freq FROM
-           (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-           WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
-         w0 AS (SELECT regexp_replace(word, '(.)', '~\\1', 'g') AS ws, freq FROM wc)
-         $steps
+      s"""WITH $BpeOracleTrainCtes
          SELECT round, l AS merge_left, r AS merge_right, f AS pair_freq
          FROM ($union) ORDER BY round"""
+    },
+    // same induction chain (r1..r8), then the same 8 replaces applied
+    // to the DISTINCT vocab and joined back to the per-source rollup —
+    // every statistic an exact integer, ratios by floor division
+    "q_bpe_encode" -> {
+      val applies = (1 to BpeRounds).map { k =>
+        s""",
+         v$k AS (SELECT word, replace(v.ws, '~' || r.l || '~' || r.r, '~' || r.l || r.r) AS ws
+                 FROM v${k - 1} v, r$k r)"""
+      }.mkString
+      s"""WITH $BpeOracleTrainCtes,
+         wv AS (SELECT source, w AS word, count(*) AS cnt FROM
+           (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+           WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY source, w),
+         v0 AS (SELECT word, regexp_replace(word, '(.)', '~\\1', 'g') AS ws
+                FROM (SELECT DISTINCT word FROM wv))
+         $applies,
+         e AS (SELECT word, CAST(len(string_split(substr(ws, 2), '~')) AS BIGINT) AS n_tok
+               FROM v$BpeRounds)
+         SELECT source, count(*) AS n_vocab,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars,
+           (CAST(sum(cnt * n_tok) AS BIGINT) * 1000) // CAST(sum(cnt) AS BIGINT)
+             AS tokens_per_kword,
+           (CAST(sum(cnt * length(word)) AS BIGINT) * 1000)
+             // CAST(sum(cnt * n_tok) AS BIGINT) AS chars_per_token_milli
+         FROM wv JOIN e USING (word)
+         GROUP BY source ORDER BY source"""
     },
     // same integer difficulty proxy and contiguous 32-doc cuts
     "q_curriculum" ->

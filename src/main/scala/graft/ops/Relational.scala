@@ -749,6 +749,60 @@ object Relational {
       .orderBy(col("n_registers"))
   }
 
+  /** Grouped HyperLogLog (A34, r6): one 64-register sketch PER GROUP —
+    * the sharded form every 100 TB deployment actually runs (distinct
+    * users per day / per partition / per tenant), where the global
+    * [[hllDistinct]] is the single-cell special case. Same portable
+    * hash + finalizer + exact Σ2^(26−M_j) mechanics register-for-
+    * register; the only structural change is that register state keys
+    * on (group, register), so map-side partial state is 64 longs PER
+    * GROUP per task and groups merge independently — sketches of this
+    * shape union across shards/days without touching raw data, which
+    * is the whole point of the sketch tier at scale. Keyed on event_id
+    * within event_type (each group is deep in the raw-HLL regime at
+    * every harness SF; the output carries per-group exact counts and
+    * relative error so the estimate is honest row by row). */
+  def hllGroups(s: SparkSession, d: String): DataFrame =
+    hllGroupedCore(Tables.events(s, d)
+      .select(col("event_type").as("grp"), col("event_id").as("key")))
+      .withColumnRenamed("grp", "event_type")
+
+  private[graft] def hllGroupedCore(ids: DataFrame): DataFrame = {
+    val h = graft.functions.PortableStringHash.portableHash(
+      concat(lit("hll#"), col("key").cast("string")), 1000003L)
+    // identical avalanche chain to [[hllCore]] — see the register/rank
+    // correlation note there
+    val regs = ids.select(col("grp"), h.as("h"))
+      .withColumn("x", expr("h ^ shiftright(h, 15)"))
+      .withColumn("x", expr("(x * 1664525) % 2147483648"))
+      .withColumn("x", expr("x ^ shiftright(x, 13)"))
+      .withColumn("x", expr("(x * 1013904223) % 2147483648"))
+      .withColumn("x", expr("x ^ shiftright(x, 16)"))
+      .select(col("grp"), (col("x") % HllRegisters).cast("int").as("reg"),
+        expr(s"x div $HllRegisters").as("v"))
+      .withColumn("rank",
+        when(col("v") === 0, 26).otherwise(lit(26) - length(expr("bin(v)"))))
+      .groupBy(col("grp"), col("reg")).agg(max(col("rank")).as("m_rank"))
+    // dense (group × register) frame: unseen registers count as rank 0
+    // in the harmonic sum, exactly as in the global sketch
+    val allRegs = ids.select(col("grp")).distinct()
+      .crossJoin(broadcast(ids.sparkSession.range(HllRegisters)
+        .select(col("id").cast("int").as("reg"))))
+      .join(regs, Seq("grp", "reg"), "left")
+      .na.fill(0, Seq("m_rank"))
+    val sums = allRegs.groupBy(col("grp")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - m_rank AS INT))"))
+        .as("sum_inv_e26"))
+    val exact = ids.groupBy(col("grp")).agg(countDistinct(col("key")).as("n_exact"))
+    sums.join(broadcast(exact), Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("sum_inv_e26"),
+        round(lit(0.709 * HllRegisters * HllRegisters * 67108864.0)
+          / col("sum_inv_e26"), 2).as("hll_estimate"))
+      .withColumn("rel_error_pct", round(
+        (col("hll_estimate") - col("n_exact")) * 100.0 / col("n_exact"), 2))
+      .orderBy(col("grp"))
+  }
+
   /** Sketch aggregates (A5 approx tier): HLL distinct counts and
     * t-digest-style percentiles. Engine-specific estimates → no DuckDB
     * oracle; RelationalSpec bounds them against exact values. */
@@ -2008,6 +2062,7 @@ object Relational {
     "q_agg_approx"        -> aggApprox,
     "q_agg_approx_exact"  -> aggApproxExact,
     "q_hll_distinct"      -> hllDistinct,
+    "q_hll_groups"        -> hllGroups,
     "q_pivot"             -> pivot,
     "q_join_cross"        -> joinCross,
     "q_sample"            -> sample,
@@ -2742,6 +2797,38 @@ object Relational {
                / sum_inv_e26, 2) - n_exact)
              * 100.0 / n_exact, 2) AS rel_error_pct
          FROM s, x ORDER BY n_registers""",
+    // the q_hll_distinct pipeline with (event_type, reg) register
+    // state: same hash, finalizer, and exact integer harmonic sum,
+    // evaluated independently per group
+    "q_hll_groups" ->
+      """WITH h1 AS (SELECT event_type AS grp, list_reduce(list_transform(
+             string_split('hll#' || CAST(event_id AS VARCHAR), ''),
+             ch -> CAST(ascii(ch) AS BIGINT)),
+           (a, v) -> (a * 31 + v) % 1000003) AS h FROM events),
+         m1 AS (SELECT grp, xor(h, h >> 15) AS x FROM h1),
+         m2 AS (SELECT grp, xor((x * 1664525) % 2147483648,
+             ((x * 1664525) % 2147483648) >> 13) AS x FROM m1),
+         m3 AS (SELECT grp, xor((x * 1013904223) % 2147483648,
+             ((x * 1013904223) % 2147483648) >> 16) AS x FROM m2),
+         r AS (SELECT grp, CAST(x % 64 AS INT) AS reg, x // 64 AS v FROM m3),
+         regs AS (SELECT grp, reg,
+           max(CASE WHEN v = 0 THEN 26 ELSE 26 - length(bin(v)) END) AS m_rank
+           FROM r GROUP BY grp, reg),
+         allr AS (SELECT g.grp, i.reg, coalesce(m_rank, 0) AS m_rank
+           FROM (SELECT DISTINCT grp FROM h1) g
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS reg) i
+           LEFT JOIN regs ON g.grp = regs.grp AND i.reg = regs.reg),
+         s AS (SELECT grp, CAST(sum(CAST(1 AS BIGINT) << (26 - m_rank)) AS BIGINT)
+           AS sum_inv_e26 FROM allr GROUP BY grp),
+         x AS (SELECT event_type AS grp, CAST(count(DISTINCT event_id) AS BIGINT)
+           AS n_exact FROM events GROUP BY event_type)
+         SELECT s.grp AS event_type, n_exact, sum_inv_e26,
+           round(CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+             / sum_inv_e26, 2) AS hll_estimate,
+           round((round(CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+               / sum_inv_e26, 2) - n_exact)
+             * 100.0 / n_exact, 2) AS rel_error_pct
+         FROM s JOIN x ON s.grp = x.grp ORDER BY event_type""",
     "q_tpch_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,

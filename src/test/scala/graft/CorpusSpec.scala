@@ -304,4 +304,35 @@ class CorpusSpec extends SparkSpec {
     // non-[a-z] tokens never enter the training table
     assert(rules("ab ab A1 $$", 1) == Seq((1, "a", "b", 2L)))
   }
+
+  test("BPE encode: hand-solved segmentation, and more merges never add tokens") {
+    import spark.implicits._
+    def encode(rounds: Int, docs: (Long, String, String)*): Map[String, (Long, Long, Long, Long)] =
+      Corpus.bpeEncode(docs.toDF("doc_id", "source", "text"), rounds)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // one merge learned on "abab abab cd": (a,b) at freq 4. Encoding:
+    // abab → [ab, ab] (2 tokens, ×2 words), cd stays [c, d]
+    val one = encode(1, (1L, "s0", "abab abab cd"))
+    assert(one("s0") == ((2L, 3L, 6L, 10L)), // vocab {abab, cd}; 3 word occurrences
+      s"(n_vocab, n_words, n_tokens, n_chars) mismatch: ${one("s0")}")
+
+    // merges train on the UNION of sources but segment each source's
+    // own words; a source never containing the merged pair is untouched
+    val two = encode(1, (1L, "s0", "abab abab"), (2L, "s1", "cd cd cd"))
+    assert(two("s0") == ((1L, 2L, 4L, 8L)))
+    assert(two("s1") == ((1L, 3L, 6L, 6L))) // (a,b) merge can't fire in "cd"
+
+    // token count is monotone non-increasing in merge rounds, floored
+    // at one token per word; chars are invariant
+    val text = "banana bandana ban banana cab"
+    val byRounds = (1 to 6).map(k => encode(k, (1L, "s0", text))("s0"))
+    byRounds.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3, s"tokens grew with an extra merge: $a -> $b")
+    }
+    assert(byRounds.map(_._4).distinct.size == 1, "n_chars must not depend on merges")
+    assert(byRounds.last._3 >= byRounds.last._2, "at least one token per word")
+  }
 }

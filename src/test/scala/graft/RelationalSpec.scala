@@ -20,6 +20,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("grouped HLL: every group lands inside 3 standard errors, registers independent per group") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val rows = ops.Relational.hllGroups(spark, sf).collect()
+      assert(rows.length >= 2, s"$sf: expected multiple event-type groups")
+      rows.foreach { r =>
+        val err = math.abs(r.getDouble(4))
+        assert(err <= 39.0, s"$sf/${r.getString(0)}: rel error $err% breaches 3σ = 39%: $r")
+        assert(r.getLong(1) > 0 && r.getDouble(3) > 0, r.toString)
+      }
+      // groups partition the rows, so per-group distincts can only
+      // meet or exceed the global distinct (an id may recur across
+      // groups, never within) — a cheap cross-query consistency pin
+      val global = ops.Relational.hllDistinct(spark, sf).collect().head.getLong(1)
+      assert(rows.map(_.getLong(1)).sum >= global,
+        s"$sf: per-group exact counts sum below the global distinct")
+    }
+  }
+
   test("approx sketches stay within their error bounds of the declared exact twin") {
     // both sides are DECLARED queries: q_agg_approx (sketches, no
     // oracle by nature) and q_agg_approx_exact (oracle-checked), so

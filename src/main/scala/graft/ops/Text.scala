@@ -979,6 +979,74 @@ object Text {
     toClusters(docs, comps)
   }
 
+  /** MinHash calibration curve (T53, r6): the measurement loop a
+    * production dedup deployment runs before trusting its LSH
+    * thresholds — parallel to V11's ANN recall harness, for the
+    * near-dup family. Over the df-capped shared-shingle candidate
+    * universe (the declared at-scale universe of [[dedupNgramIdf]]),
+    * every candidate pair contributes its EXACT Jaccard and its
+    * 16-permutation portable-MinHash estimate (slot-agreement
+    * fraction — the estimator whose expectation IS Jaccard), plus
+    * whether the 8×2 banding would have caught it; pairs roll up by
+    * exact-Jaccard decile into the empirical calibration table:
+    * estimator bias per decile and the LSH S-curve (hit rate vs
+    * similarity, threshold s* = (1/8)^(1/2) ≈ 0.35) as data instead
+    * of formula.
+    *
+    * Determinism discipline: per-pair values are quantized to exact
+    * integers FIRST (jac_milli/est_milli by floor-div, hits as 0/1),
+    * so each decile mean is ONE division of two exact integer sums —
+    * no order-dependent double accumulation crosses engines. Scale
+    * shape: the df cap bounds candidate generation (each shingle
+    * pairs ≤ cap docs); signatures aggregate per doc and join the
+    * pair list by id; output is ≤10 rows at any corpus size. */
+  def minhashCalibrate(s: SparkSession, d: String): DataFrame =
+    minhashCalibrateCore(Tables.documents(s, d))
+
+  private[graft] def minhashCalibrateCore(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= NgramMaxDf)
+      .select("doc_id", "g")
+    val pairs = jaccardPairs(sh, 0.0) // da, db, na, nb, inter (+jac, unused)
+    val sigs = sh.withColumn("h", charHash(col("g")))
+      .groupBy("doc_id")
+      .agg(min((col("h") * 1L + 0L) % HashMod).as("mh0"),
+        (1 until MinhashPerms).map(i =>
+          min((col("h") * (2 * i + 1).toLong + i.toLong) % HashMod).as(s"mh$i")): _*)
+    val a = sigs.select(col("doc_id").as("da") +:
+      (0 until MinhashPerms).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = sigs.select(col("doc_id").as("db") +:
+      (0 until MinhashPerms).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val nMatch = (0 until MinhashPerms)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val lshHit = (0 until MinhashBands)
+      .map(bd => col(s"a${2 * bd}") === col(s"b${2 * bd}") &&
+        col(s"a${2 * bd + 1}") === col(s"b${2 * bd + 1}"))
+      .reduce(_ || _)
+    pairs.join(a, "da").join(b, "db")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("n_match", nMatch)
+      .withColumn("hit", when(lshHit, 1L).otherwise(0L))
+      .select(
+        least(expr("(10 * inter) div uni"), lit(9L)).as("decile"),
+        expr("(1000 * inter) div uni").as("jac_milli"),
+        expr("(1000 * n_match) div 16").as("est_milli"),
+        abs(expr("(1000 * inter) div uni") - expr("(1000 * n_match) div 16"))
+          .as("abs_err_milli"),
+        col("hit"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jac_milli")).as("sj"), sum(col("est_milli")).as("se"),
+        sum(col("abs_err_milli")).as("sa"), sum(col("hit")).as("sh"))
+      .select(col("decile"), col("n_pairs"),
+        round(col("sj") / col("n_pairs").cast("double"), 2).as("mean_jac_milli"),
+        round(col("se") / col("n_pairs").cast("double"), 2).as("mean_est_milli"),
+        round(col("sa") / col("n_pairs").cast("double"), 2).as("mean_abs_err_milli"),
+        round(col("sh") * 1000.0 / col("n_pairs").cast("double"), 2).as("hit_rate_milli"))
+      .orderBy(col("decile"))
+  }
+
   /** Canonical survivor selection (T-family extension): the step a
     * corpus dedup actually WRITES — the detection families (T3, J7,
     * V4…) say which docs are duplicates of each other; this decides
@@ -1572,6 +1640,7 @@ object Text {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dedup_simhash_portable" -> ((s: SparkSession, d: String) =>
       simhashPortable(Tables.documents(s, d))),
+    "q_minhash_calibrate" -> minhashCalibrate,
   )
 
   /** The exact-Jaccard pair SQL, parameterized by its floor: the
@@ -1637,6 +1706,48 @@ object Text {
               coalesce(a.rep, d.doc_id) != d.doc_id AS is_dup
        FROM documents d LEFT JOIN assign a USING (doc_id)
        ORDER BY d.doc_id"""
+
+  /** Calibration oracle: same capped shingle universe, same affine
+    * signatures as [[portableBandsCte]], per-pair values quantized to
+    * exact integers, one division per decile mean. */
+  private val minhashCalibrateOracle: String = {
+    val mhCols = (0 until MinhashPerms)
+      .map(i => s"min((h * ${2 * i + 1} + $i) % $HashMod) AS mh$i").mkString(", ")
+    val nMatch = (0 until MinhashPerms)
+      .map(i => s"CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    val bandOr = (0 until MinhashBands)
+      .map(b => s"(ma.mh${2 * b} = mb.mh${2 * b} AND ma.mh${2 * b + 1} = mb.mh${2 * b + 1})")
+      .mkString(" OR ")
+    s"""WITH $shinglesCte,
+       rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY g)
+                WHERE df <= $NgramMaxDf),
+       fsh AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                 FROM fsh a JOIN fsh b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       hh AS (SELECT doc_id, list_reduce(list_transform(string_split(g, ''),
+                c -> CAST(ascii(c) AS BIGINT)), (acc, v) -> (acc * 31 + v) % $HashMod) AS h
+              FROM fsh),
+       mh AS (SELECT doc_id, $mhCols FROM hh GROUP BY doc_id),
+       pp AS (SELECT p.inter, sa.n + sb.n - p.inter AS uni,
+                $nMatch AS n_match,
+                CASE WHEN $bandOr THEN 1 ELSE 0 END AS hit
+              FROM pairs p
+              JOIN sizes sa ON p.da = sa.doc_id JOIN sizes sb ON p.db = sb.doc_id
+              JOIN mh ma ON p.da = ma.doc_id JOIN mh mb ON p.db = mb.doc_id),
+       q AS (SELECT least((10 * inter) // uni, 9) AS decile,
+               (1000 * inter) // uni AS jac_milli,
+               (1000 * n_match) // 16 AS est_milli,
+               abs((1000 * inter) // uni - (1000 * n_match) // 16) AS abs_err_milli,
+               hit FROM pp)
+       SELECT decile, count(*) AS n_pairs,
+         round(CAST(sum(jac_milli) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS mean_jac_milli,
+         round(CAST(sum(est_milli) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS mean_est_milli,
+         round(CAST(sum(abs_err_milli) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS mean_abs_err_milli,
+         round(CAST(sum(hit) AS BIGINT) * 1000.0 / CAST(count(*) AS DOUBLE), 2) AS hit_rate_milli
+       FROM q GROUP BY decile ORDER BY decile"""
+  }
 
   /** Closure oracle: min-label propagation over the doc↔bucket
     * incidence, unrolled. Each round moves a label one doc-hop
@@ -1784,6 +1895,7 @@ object Text {
                 CAST(length(substr(text, CAST(start AS INT) + 1, 256)) AS INT) AS chunk_chars
          FROM starts ORDER BY doc_id, chunk_idx""",
     "q_dedup_minhash_portable" -> portableMinhashOracle,
+    "q_minhash_calibrate" -> minhashCalibrateOracle,
     "q_dedup_minhash_cc_portable" -> portableClosureOracle,
     "q_dedup_survivors" -> survivorsOracle,
     "q_dedup_simhash_portable" -> portableSimhashOracle,

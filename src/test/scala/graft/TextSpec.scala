@@ -464,4 +464,31 @@ class TextSpec extends SparkSpec {
       r4(2 * math.log(4.0 / 9) + math.log(3.0 / 9) + math.log(0.5)),
       got(1L).toString)
   }
+
+  test("minhash calibration: identical pairs land in decile 9 with perfect estimate and hit") {
+    import spark.implicits._
+    // three identical docs (C(3,2)=3 pairs at J=1) + one disjoint doc
+    // (shares no shingle, so it pairs with nothing)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"),
+      (4L, "v w x y z"),
+    ).toDF("doc_id", "text")
+    val rows = Text.minhashCalibrateCore(docs).collect()
+    assert(rows.length == 1, s"only the identical pairs are candidates: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(0) == 9 && r.getLong(1) == 3, r.toString)
+    assert(r.getDouble(2) == 1000.0, s"exact jaccard of clones: $r")
+    assert(r.getDouble(3) == 1000.0, s"identical sets share every minhash slot: $r")
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 1000.0, r.toString)
+
+    // harness corpus: the curve is monotone in similarity and every
+    // estimate stays inside [0, 1000]
+    val curve = Text.minhashCalibrate(spark, sf0001).collect()
+    assert(curve.nonEmpty)
+    val jacs = curve.map(_.getDouble(2)).toSeq
+    assert(jacs == jacs.sorted, s"mean exact jaccard must rise with decile: $jacs")
+    curve.foreach { c =>
+      assert(c.getDouble(3) >= 0.0 && c.getDouble(3) <= 1000.0, c.toString)
+    }
+  }
 }

@@ -709,27 +709,33 @@ object Relational {
   def hllDistinct(s: SparkSession, d: String): DataFrame =
     hllCore(Tables.events(s, d).select(col("event_id").as("key")))
 
-  private[graft] def hllCore(ids: DataFrame): DataFrame = {
+  /** Shared HLL front: portable hash → xorshift-multiply avalanche →
+    * (register, rank) split, keeping `keep` columns alongside. The
+    * polynomial hash equidistributes RESIDUES but not MAGNITUDE
+    * (sequential keys observed spanning only [587k, 988k] — zero
+    * values below 2¹⁹, so leading-zero ranks never fire). The
+    * finalizer (classic LCG constants, all arithmetic exact in 63
+    * bits on both engines) gives the avalanche the rank bits need;
+    * register AND rank then split off the MIXED value, never the raw
+    * hash (register-from-raw-h correlates with rank and read 62%
+    * low). */
+  private def hllRegRank(ids: DataFrame, keep: Seq[String]): DataFrame = {
     val h = graft.functions.PortableStringHash.portableHash(
       concat(lit("hll#"), col("key").cast("string")), 1000003L)
-    // The polynomial hash equidistributes RESIDUES but not MAGNITUDE
-    // (sequential keys observed spanning only [587k, 988k] — zero
-    // values below 2¹⁹, so leading-zero ranks never fire). This
-    // xorshift-multiply finalizer (classic LCG constants, all
-    // arithmetic exact in 63 bits on both engines) gives the
-    // avalanche the rank bits need; register AND rank then split off
-    // the MIXED value, never the raw hash (register-from-raw-h
-    // correlates with rank and read 62% low).
-    val regs = ids.select(h.as("h"))
+    ids.select(keep.map(col) :+ h.as("h"): _*)
       .withColumn("x", expr("h ^ shiftright(h, 15)"))
       .withColumn("x", expr("(x * 1664525) % 2147483648"))
       .withColumn("x", expr("x ^ shiftright(x, 13)"))
       .withColumn("x", expr("(x * 1013904223) % 2147483648"))
       .withColumn("x", expr("x ^ shiftright(x, 16)"))
-      .select((col("x") % HllRegisters).cast("int").as("reg"),
-        expr(s"x div $HllRegisters").as("v"))
+      .select(keep.map(col) :+ (col("x") % HllRegisters).cast("int").as("reg") :+
+        expr(s"x div $HllRegisters").as("v"): _*)
       .withColumn("rank",
         when(col("v") === 0, 26).otherwise(lit(26) - length(expr("bin(v)"))))
+  }
+
+  private[graft] def hllCore(ids: DataFrame): DataFrame = {
+    val regs = hllRegRank(ids, Nil)
       .groupBy(col("reg")).agg(max(col("rank")).as("m_rank"))
     val allRegs = ids.sparkSession.range(HllRegisters)
       .select(col("id").cast("int").as("reg"))
@@ -768,20 +774,7 @@ object Relational {
       .withColumnRenamed("grp", "event_type")
 
   private[graft] def hllGroupedCore(ids: DataFrame): DataFrame = {
-    val h = graft.functions.PortableStringHash.portableHash(
-      concat(lit("hll#"), col("key").cast("string")), 1000003L)
-    // identical avalanche chain to [[hllCore]] — see the register/rank
-    // correlation note there
-    val regs = ids.select(col("grp"), h.as("h"))
-      .withColumn("x", expr("h ^ shiftright(h, 15)"))
-      .withColumn("x", expr("(x * 1664525) % 2147483648"))
-      .withColumn("x", expr("x ^ shiftright(x, 13)"))
-      .withColumn("x", expr("(x * 1013904223) % 2147483648"))
-      .withColumn("x", expr("x ^ shiftright(x, 16)"))
-      .select(col("grp"), (col("x") % HllRegisters).cast("int").as("reg"),
-        expr(s"x div $HllRegisters").as("v"))
-      .withColumn("rank",
-        when(col("v") === 0, 26).otherwise(lit(26) - length(expr("bin(v)"))))
+    val regs = hllRegRank(ids, Seq("grp"))
       .groupBy(col("grp"), col("reg")).agg(max(col("rank")).as("m_rank"))
     // dense (group × register) frame: unseen registers count as rank 0
     // in the harmonic sum, exactly as in the global sketch
@@ -801,6 +794,46 @@ object Relational {
       .withColumn("rel_error_pct", round(
         (col("hll_estimate") - col("n_exact")) * 100.0 / col("n_exact"), 2))
       .orderBy(col("grp"))
+  }
+
+  /** HLL merge losslessness (A35, r6): the property that makes the
+    * sketch tier WORK at 100 TB — per-shard sketches union by
+    * register-wise max into exactly the sketch a single pass over the
+    * union would have built — proven as a declared oracle-checked
+    * query instead of a docstring claim. The key space splits into
+    * two disjoint shards (key parity — any partition works), each
+    * shard builds its own 64-register sketch, the two merge by
+    * max(register), and the output carries the whole-corpus estimate,
+    * the merged estimate, and their equality as a boolean contract
+    * (`merge_lossless` — max over a union IS the max of per-shard
+    * maxes, so the integer harmonic sums are identical and the single
+    * division yields the same double bit-for-bit). This is the
+    * distributed-aggregation story stated operationally: shard
+    * sketches of 64 longs each combine associatively, raw data never
+    * re-moves. */
+  def hllMerge(s: SparkSession, d: String): DataFrame =
+    hllMergeCore(Tables.events(s, d).select(col("event_id").as("key")))
+
+  private[graft] def hllMergeCore(ids: DataFrame): DataFrame = {
+    val perShard = hllRegRank(
+        ids.withColumn("half", pmod(col("key").cast("long"), lit(2L))), Seq("half"))
+      .groupBy(col("half"), col("reg")).agg(max(col("rank")).as("m_rank"))
+    val merged = perShard.groupBy(col("reg")).agg(max(col("m_rank")).as("m_rank"))
+    val mergedDense = ids.sparkSession.range(HllRegisters)
+      .select(col("id").cast("int").as("reg"))
+      .join(merged, Seq("reg"), "left")
+      .na.fill(0, Seq("m_rank"))
+    val mergedSum = mergedDense.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - m_rank AS INT))"))
+        .as("sum_merged"))
+    val whole = hllCore(ids)
+      .select(col("n_exact"), col("hll_estimate").as("est_whole"))
+    whole.crossJoin(broadcast(mergedSum))
+      .select(col("n_exact"), col("est_whole"),
+        round(lit(0.709 * HllRegisters * HllRegisters * 67108864.0)
+          / col("sum_merged"), 2).as("est_merged"))
+      .withColumn("merge_lossless", col("est_merged") === col("est_whole"))
+      .orderBy(col("n_exact"))
   }
 
   /** Sketch aggregates (A5 approx tier): HLL distinct counts and
@@ -2063,6 +2096,7 @@ object Relational {
     "q_agg_approx_exact"  -> aggApproxExact,
     "q_hll_distinct"      -> hllDistinct,
     "q_hll_groups"        -> hllGroups,
+    "q_hll_merge"         -> hllMerge,
     "q_pivot"             -> pivot,
     "q_join_cross"        -> joinCross,
     "q_sample"            -> sample,
@@ -2797,6 +2831,47 @@ object Relational {
                / sum_inv_e26, 2) - n_exact)
              * 100.0 / n_exact, 2) AS rel_error_pct
          FROM s, x ORDER BY n_registers""",
+    // the q_hll_distinct mix chain with a key-parity shard label:
+    // per-shard register maxes merge by max into the whole-corpus
+    // registers; both integer harmonic sums and both single divisions
+    // are asserted equal in the output itself
+    "q_hll_merge" ->
+      """WITH h1 AS (SELECT event_id % 2 AS half, list_reduce(list_transform(
+             string_split('hll#' || CAST(event_id AS VARCHAR), ''),
+             ch -> CAST(ascii(ch) AS BIGINT)),
+           (a, v) -> (a * 31 + v) % 1000003) AS h FROM events),
+         m1 AS (SELECT half, xor(h, h >> 15) AS x FROM h1),
+         m2 AS (SELECT half, xor((x * 1664525) % 2147483648,
+             ((x * 1664525) % 2147483648) >> 13) AS x FROM m1),
+         m3 AS (SELECT half, xor((x * 1013904223) % 2147483648,
+             ((x * 1013904223) % 2147483648) >> 16) AS x FROM m2),
+         rk AS (SELECT half, CAST(x % 64 AS INT) AS reg,
+             CASE WHEN x // 64 = 0 THEN 26 ELSE 26 - length(bin(x // 64)) END AS rnk
+           FROM m3),
+         shard AS (SELECT half, reg, max(rnk) AS m_rank FROM rk GROUP BY half, reg),
+         merged AS (SELECT reg, max(m_rank) AS m_rank FROM shard GROUP BY reg),
+         md AS (SELECT i.reg, coalesce(m.m_rank, 0) AS m_rank
+           FROM (SELECT unnest(generate_series(0, 63)) AS reg) i
+           LEFT JOIN merged m ON i.reg = m.reg),
+         ms AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (26 - m_rank)) AS BIGINT)
+           AS sum_merged FROM md),
+         wregs AS (SELECT reg, max(rnk) AS m_rank FROM rk GROUP BY reg),
+         wd AS (SELECT i.reg, coalesce(w.m_rank, 0) AS m_rank
+           FROM (SELECT unnest(generate_series(0, 63)) AS reg) i
+           LEFT JOIN wregs w ON i.reg = w.reg),
+         ws AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (26 - m_rank)) AS BIGINT)
+           AS sum_whole FROM wd),
+         x AS (SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+           FROM events)
+         SELECT n_exact,
+           round(CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0 / sum_whole, 2)
+             AS est_whole,
+           round(CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0 / sum_merged, 2)
+             AS est_merged,
+           round(CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0 / sum_merged, 2)
+             = round(CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0 / sum_whole, 2)
+             AS merge_lossless
+         FROM ws, ms, x ORDER BY n_exact""",
     // the q_hll_distinct pipeline with (event_type, reg) register
     // state: same hash, finalizer, and exact integer harmonic sum,
     // evaluated independently per group

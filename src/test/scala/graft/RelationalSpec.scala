@@ -38,6 +38,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("HLL shard-merge is lossless: max-merged registers reproduce the whole-corpus estimate") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01")) {
+      val r = ops.Relational.hllMerge(spark, sf).collect().head
+      assert(r.getBoolean(3), s"$sf: merged estimate diverged from whole-corpus: $r")
+      assert(r.getDouble(1) == r.getDouble(2), r.toString)
+      // and the merged path changes nothing about estimate quality
+      val global = ops.Relational.hllDistinct(spark, sf).collect().head
+      assert(r.getDouble(1) == global.getDouble(3),
+        s"$sf: q_hll_merge's whole-corpus estimate must equal q_hll_distinct's")
+    }
+  }
+
   test("approx sketches stay within their error bounds of the declared exact twin") {
     // both sides are DECLARED queries: q_agg_approx (sketches, no
     // oracle by nature) and q_agg_approx_exact (oracle-checked), so

@@ -689,18 +689,32 @@ object Graph {
     org.apache.spark.sql.GraftColumnBridge.freshLeaf(df.localCheckpoint())
 
   /** Moment assembly over an already-materialized edge relation and
-    * its label partition (three consumers of `e`: m, intra, deg). */
+    * its label partition (three consumers of `e`: m, intra, deg).
+    *
+    * The |V|-row label side joins under the SAME size-gated explicit
+    * broadcast the LPA loop uses (PageRank.BroadcastMaxNodes). Leaving
+    * the choice to AQE here was correct in outcome but NONDETERMINISTIC
+    * in the recorded plan: the intra branch stacks two label joins, and
+    * whether the second join's streamed-side shuffle materialized
+    * before AQE's SMJ→BHJ re-plan was a stage-scheduling race — the
+    * executed plan flipped between 6 and 7 exchanges across otherwise
+    * identical runs (caught by PlanBudgetSpec's exact-equality gate).
+    * An explicit gated broadcast plans BHJ from the start, so the racy
+    * shuffle is never submitted; past the gate it degrades to the
+    * shuffled join exactly like the loop itself. */
   private def modularityFrom(e: DataFrame, labels: DataFrame): DataFrame = {
+    val gate: DataFrame => DataFrame =
+      if (labels.count() <= PageRank.BroadcastMaxNodes) broadcast else identity
     val m = e.agg(count(lit(1)).as("m"))
     val intra = e
-      .join(labels.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
-      .join(labels.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      .join(gate(labels.select(col("node").as("u"), col("label").as("lu"))), Seq("u"))
+      .join(gate(labels.select(col("node").as("v"), col("label").as("lv"))), Seq("v"))
       .filter(col("lu") === col("lv"))
       .agg(count(lit(1)).as("intra_edges"))
     val dc = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .join(labels, Seq("node"))
+      .join(gate(labels), Seq("node"))
       .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
     val sums = dc.agg(count(lit(1)).as("n_communities"),
       sum(col("d_c") * col("d_c")).as("sum_deg_sq"))

@@ -170,10 +170,42 @@ object Sources {
       .orderBy(col("doc_id"))
   }
 
+  /** Schema-evolution read (S12, r6): the lake-drift scenario every
+    * long-lived 100 TB dataset hits — files written before a column
+    * existed sit next to files written after, and ONE scan must read
+    * both. Two parquet vintages of `documents` land in sibling dirs
+    * (v1 without `n_chars`, v2 with it); a single `mergeSchema` read
+    * unions the footers into the superset schema, v1 rows surface the
+    * missing column as NULL (never a misaligned value, never a failed
+    * job), and the rollup separates row counts from non-null counts
+    * so the vintage boundary is visible in the output. The oracle
+    * replays the union semantics on the base table (each doc
+    * contributes one row per vintage; only the v2 copy carries
+    * chars). Note the cost model stated honestly: mergeSchema
+    * reconciles footers at PLANNING time across all files — on a
+    * real lake you pin the superset schema in a catalog and pay this
+    * union once, which is exactly what reading with an explicit
+    * schema (the JSONL posture above) does. */
+  def sourceEvolutionRead(s: SparkSession, d: String): DataFrame = {
+    val tmp = scratch("evo")
+    val docs = graft.Tables.documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_jsonl" -> sourceJsonlRoundtrip,
     "q_source_csv"   -> sourceCsvRoundtrip,
     "q_source_orc"   -> sourceOrcRoundtrip,
+    "q_source_evolution" -> sourceEvolutionRead,
     "q_layout_partitioned" -> layoutPartitioned,
     "q_zorder_layout" -> zorderLayout,
   )
@@ -188,6 +220,12 @@ object Sources {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "q_source_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // union semantics of the two vintages: every doc appears once per
+    // vintage, only the v2 copy carries n_chars
+    "q_source_evolution" ->
+      """SELECT source, 2 * count(*) AS n_rows, count(*) AS n_with_chars,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY source ORDER BY source""",
     "q_layout_partitioned" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id",
     // same Morton interleave, same integer shifts/masks

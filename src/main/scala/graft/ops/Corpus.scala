@@ -385,6 +385,35 @@ object Corpus {
       .orderBy(col("source"), col("draw_rank"))
   }
 
+  /** Weighted reservoir sample (T54, r6; Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): k = 10 docs per
+    * source with inclusion probability ∝ n_chars — the draw a
+    * token-budgeted curation actually wants ("sample by mass, not by
+    * document"), where [[samplePerGroup]] is the uniform special
+    * case. A-Res mechanics: each item draws u ∈ (0,1) and ranks by
+    * u^(1/w); ranking by ln(u)/w is order-identical and avoids the
+    * pow. u comes from the module's mixed-hash family (Knuth
+    * multiplier + mod-prime, shifted to (0,1] — never 0, so ln is
+    * total), making the draw reproducible across engines, runs, and
+    * cluster sizes, unlike partition-local RNG. The key itself never
+    * leaves the plan (ln's last ULP is libm-specific; two DISTINCT
+    * (u, w) pairs colliding within one ULP is measure-zero, but a key
+    * COLUMN would make that risk an output contract — rank ties still
+    * break by doc_id). Same shape as the uniform draw: one
+    * (source)-partitioned rank window, per-shard parallel at any
+    * scale. */
+  def sampleWeighted(docs: DataFrame, k: Int = 10): DataFrame = {
+    val u = (((col("doc_id") * SplitA + 99991L) % SplitP) + 1L)
+      .cast("double") / (SplitP + 1L).toDouble
+    val key = log(u) / col("n_chars")
+    val w = Window.partitionBy(col("source")).orderBy(key.desc, col("doc_id"))
+    docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("draw_rank", row_number().over(w))
+      .filter(col("draw_rank") <= k)
+      .orderBy(col("source"), col("draw_rank"))
+  }
+
   /** Hashed-feature bucket count for [[dsirWeights]]. */
   private[ops] val DsirBuckets = 256L
 
@@ -623,6 +652,8 @@ object Corpus {
       dsirWeights(Tables.documents(s, d))),
     "q_sample_per_group" -> ((s: SparkSession, d: String) =>
       samplePerGroup(Tables.documents(s, d))),
+    "q_sample_weighted" -> ((s: SparkSession, d: String) =>
+      sampleWeighted(Tables.documents(s, d))),
     "q_split" -> ((s: SparkSession, d: String) =>
       splitAssign(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
@@ -716,6 +747,19 @@ object Corpus {
                      - ln(raw_c + 1.0) + ln(n_raw + 256.0)), 4) > 0.0 AS keep
          FROM t JOIN bc USING (b) CROSS JOIN g
          GROUP BY doc_id ORDER BY doc_id""",
+    // same (0,1]-shifted hash uniform, same ln(u)/w A-Res key, same
+    // doc_id tiebreak; the key never appears in the output
+    "q_sample_weighted" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+           (((doc_id * 2654435761 + 99991) % 1000003) + 1)
+             / CAST(1000004 AS DOUBLE) AS u
+           FROM documents WHERE n_chars > 0),
+         r AS (SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY ln(u) / n_chars DESC, doc_id) AS INT) AS draw_rank
+           FROM h)
+         SELECT doc_id, source, n_chars, draw_rank
+         FROM r WHERE draw_rank <= 10 ORDER BY source, draw_rank""",
     // same mixed-hash rank, same doc_id tiebreak
     "q_sample_per_group" ->
       """WITH h AS (SELECT doc_id, source, n_chars,

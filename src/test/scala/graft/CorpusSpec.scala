@@ -305,6 +305,30 @@ class CorpusSpec extends SparkSpec {
     assert(rules("ab ab A1 $$", 1) == Seq((1, "a", "b", 2L)))
   }
 
+  test("weighted reservoir: overwhelming weight always draws first, equal weights reduce to the u-order") {
+    import spark.implicits._
+    // ln(u)/1e9 ≈ 0 beats every ln(u)/1 regardless of u — the heavy
+    // doc must take rank 1 in every draw
+    val docs = (0L until 30L).map(i =>
+      (i, "s0", if (i == 17L) 1000000000L else 1L)).toDF("doc_id", "source", "n_chars")
+    val drawn = Corpus.sampleWeighted(docs, k = 5).collect()
+    assert(drawn.length == 5)
+    assert(drawn.head.getLong(0) == 17L && drawn.head.getInt(3) == 1,
+      s"heavy doc must rank first: ${drawn.toSeq}")
+    val again = Corpus.sampleWeighted(docs, k = 5).collect()
+    assert(drawn.map(_.toString).toSeq == again.map(_.toString).toSeq, "draw must be deterministic")
+
+    // equal weights: ln(u)/w orders exactly as u descending — the
+    // A-Res key collapses to the uniform hash draw (modulo direction)
+    val eq = (0L until 30L).map(i => (i, "s0", 7L)).toDF("doc_id", "source", "n_chars")
+    val got = Corpus.sampleWeighted(eq, k = 30).collect()
+      .map(r => (r.getInt(3), r.getLong(0))).sortBy(_._1).toSeq
+    val u = (i: Long) => ((i * 2654435761L + 99991L) % 1000003L) + 1L
+    val expected = (0L until 30L).sortBy(i => (-u(i), i)).zipWithIndex
+      .map { case (id, ix) => (ix + 1, id) }.toSeq
+    assert(got == expected, s"equal-weight draw must rank by u desc: $got")
+  }
+
   test("BPE encode: hand-solved segmentation, and more merges never add tokens") {
     import spark.implicits._
     def encode(rounds: Int, docs: (Long, String, String)*): Map[String, (Long, Long, Long, Long)] =

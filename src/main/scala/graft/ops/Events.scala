@@ -72,6 +72,21 @@ object Events {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** ST9 as a declared query: the batch face of the LEFT OUTER
+    * stream-stream band join ([[Streaming.clickToPurchaseOuter]]) —
+    * attribution that keeps unconverted clicks as null-extended rows
+    * (what streaming emits once the watermark passes a click's join
+    * window). Null purchase ids sort FIRST on both engines by explicit
+    * direction — Spark's asc default and DuckDB's differ, so the
+    * order is never left implicit. */
+  def streamJoinOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    Streaming.clickToPurchaseOuter(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("click_id").asc, col("purchase_id").asc_nulls_first)
+  }
+
   /** ST8 as a declared query: the batch face of the stream-static
     * enrichment join ([[Streaming.enrichedTumbling]]) — every event
     * enriched with its user's market segment from the `customer` dim,
@@ -1069,6 +1084,7 @@ object Events {
     "q_stream_watermark" -> streamWatermark,
     "q_stream_stateful" -> streamStateful,
     "q_stream_join"     -> streamJoin,
+    "q_stream_join_outer" -> streamJoinOuter,
     "q_stream_enrich"   -> streamEnrich,
     "q_densify"         -> densify,
     "q_compact_latest"  -> compactLatest,
@@ -1602,6 +1618,19 @@ object Events {
           AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          ORDER BY click_id, purchase_id""",
+    // unconverted clicks survive as null-extended rows; null purchase
+    // ids explicitly first (Spark/DuckDB null-order defaults differ)
+    "q_stream_join_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS b_user, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts
+         FROM c LEFT JOIN p
+           ON c.user_id = p.b_user
+          AND p.purchase_ts > c.click_ts
+          AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+         ORDER BY click_id, purchase_id NULLS FIRST""",
     // Gaps-and-islands: a new session starts when the gap since the
     // previous event of the same user STRICTLY exceeds 30 minutes (an
     // event at exactly gap distance merges — session_window

@@ -106,6 +106,31 @@ object Streaming {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** ST9: the LEFT OUTER stream-stream band join — [[clickToPurchase]]
+    * that also reports UNCONVERTED clicks, the attribution shape a
+    * funnel team actually ships (the inner join silently drops every
+    * click that never converts — usually most of them). Streaming
+    * semantics are what make this its own operator: a matched row can
+    * emit within its micro-batch, but a null-extended row exists only
+    * once the watermark passes the click's join window (until then the
+    * click sits in join state, still eligible for a future purchase) —
+    * the stream-executed StreamingSpec test drives exactly that
+    * flush. Batch execution evaluates the same plan over complete
+    * input, so the outer rows are simply the unmatched clicks. */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"))
+    val b = purchases.select(col("user_id").as("b_user"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    c.join(b,
+      col("user_id") === col("b_user") &&
+      col("purchase_ts") > col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // ----- custom state: flatMapGroupsWithState sessionization -----
 
   // event_id rides along solely as the in-batch sort tiebreak below —

@@ -304,6 +304,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST9 file-source: LEFT OUTER band join emits matches plus watermark-flushed null rows") {
+    val (dir, stream) = eventsStreamDir()
+    val joined = Streaming.clickToPurchaseOuter(
+      stream.filter(col("event_type") === "click").withWatermark("ts", "10 minutes"),
+      stream.filter(col("event_type") === "purchase").withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("fs_outer").start()
+    try {
+      q.processAllAvailable() // batch 1: matches emit, watermark still 0 → no null rows yet
+      // the ST4 nudge: re-deliver the max-ts event so batch 2 runs
+      // under the terminal watermark (max_ts − 10 min) and flushes the
+      // closed-window unmatched clicks as null rows. The duplicate
+      // event can only re-create already-emitted (click_id,
+      // purchase_id) pairs — harmless under the set comparison — or
+      // sit in open state that never flushes before the stop.
+      spark.read.schema(Tables.rawEventsSchema(spark, sf0001))
+        .parquet(s"$sf0001/events.parquet")
+        .orderBy(col("ts").desc).limit(1)
+        .write.mode("overwrite").parquet(dir.resolve("nudge.parquet").toString)
+      q.processAllAvailable()
+      val rows = spark.table("fs_outer").collect()
+      val streamedMatched = rows.filter(!_.isNullAt(2))
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val streamedNull = rows.filter(_.isNullAt(2)).map(_.getLong(1)).toSet
+      val batch = graft.ops.Events.streamJoinOuter(spark, sf0001).collect()
+      val batchMatched = batch.filter(!_.isNullAt(2))
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val batchNullRows = batch.filter(_.isNullAt(2))
+      assert(streamedMatched == batchMatched, "matched pairs must equal the batch inner set")
+      assert(streamedNull.nonEmpty, "some unconverted clicks must have flushed")
+      assert(streamedNull.subsetOf(batchNullRows.map(_.getLong(1)).toSet),
+        "every stream null-click must be batch-unmatched")
+      // a click whose 10-min join window closed a safe margin before
+      // the final watermark MUST have flushed. Each side's watermark
+      // advances from the events that REACH its watermark node (the
+      // type filter sits upstream), so the global watermark is
+      // min(max click ts, max purchase ts) − 10 min; the extra minute
+      // keeps boundary semantics out of the assertion
+      val ev = Tables.events(spark, sf0001)
+      def maxTsOf(t: String): Long = ev.filter(col("event_type") === t)
+        .agg(org.apache.spark.sql.functions.max(col("ts")))
+        .collect()(0).getTimestamp(0).getTime
+      val wmMs = math.min(maxTsOf("click"), maxTsOf("purchase")) - 10 * 60 * 1000
+      val mustFlush = batchNullRows
+        .filter(_.getTimestamp(3).getTime + 11 * 60 * 1000 < wmMs)
+        .map(_.getLong(1)).toSet
+      assert(mustFlush.subsetOf(streamedNull),
+        s"closed-window clicks never flushed: ${(mustFlush -- streamedNull).take(5)}")
+    } finally q.stop()
+  }
+
   test("ST5 file-source: dropDuplicatesWithinWatermark over the doubled events parquet matches the batch dedup face") {
     // the dedup face's declared input is the events relation doubled
     // (q_stream_dedup unions it with itself); here the doubling is two

@@ -56,6 +56,15 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("HLL shard-merge losslessness holds for arbitrary key sets") {
+    // not just the events table: for ANY key multiset, max-merged
+    // per-shard registers reproduce the whole-set estimate exactly
+    check(Prop.forAll(Gen.listOfN(40, Gen.choose(0L, 100000L))) { keys =>
+      val r = ops.Relational.hllMergeCore(keys.toDF("key")).collect().head
+      r.getBoolean(3) && r.getDouble(1) == r.getDouble(2)
+    })
+  }
+
   test("minhash: a document always clusters with its exact copy") {
     check(Prop.forAll(docGen, docGen) { (t1, t2) =>
       val docs = Seq((1L, t1), (2L, t1), (3L, t2 + " unique tail words here"))

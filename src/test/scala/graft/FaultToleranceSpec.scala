@@ -188,6 +188,23 @@ class FaultToleranceSpec extends SparkSpec {
     assert(recovered == clean, s"ranks diverged after recovery: $recovered vs $clean")
   }
 
+  test("BPE merge induction survives first-attempt task failures with identical rules") {
+    import graft.ops.Corpus
+    // the newest iterative loop: 8 rounds of vocab-state checkpoints,
+    // each feeding both the next pair count and the replace — the
+    // injected failure sits in the word-rollup stage every round's
+    // state descends from
+    val docs = Tables.documents(spark, sf0001)
+    val clean = Corpus.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+    failedTasks.clear()
+    val recovered = Corpus.bpeMerges(docs.filter(flakyLong(col("doc_id")))).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(failedTasks.size() > 0, "injection never fired — the experiment didn't run")
+    assert(recovered == clean, s"merge rules diverged after recovery: $recovered vs $clean")
+  }
+
   test("k-means survives first-attempt task failures with identical clusters") {
     import graft.ops.Vectors
     val emb = Tables.embeddings(spark, sf0001)

@@ -92,6 +92,34 @@ object Graph {
   def triangles(s: SparkSession, d: String): DataFrame =
     triangleCounts(coEdges(s, d))
 
+  /** Local clustering coefficient (§2.14, r6): per node with degree
+    * ≥ 2, C(v) = 2·T(v) / (d(v)·(d(v)−1)) — the fraction of a node's
+    * neighbor pairs that are themselves connected, THE local-density
+    * readout next to the global [[triangleCounts]]. Triangles come
+    * from the proven degree-oriented wedge machinery (O(m^1.5), the
+    * wedge stream never shuffles under the broadcast gate); degree
+    * rides the same materialized edge leaf; zero-triangle nodes keep
+    * coefficient 0 via the left join rather than vanishing. The
+    * division is one fixed double op over exact integers (the
+    * assortativity convention), rounded at 6. */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame =
+    clusteringCoeffCore(coEdges(s, d))
+
+  private[graft] def clusteringCoeffCore(edges: DataFrame): DataFrame = {
+    val e = checkpointLeaf(edges)
+    val tri = triangleCounts(e)
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .filter(col("deg") >= 2)
+      .select(col("node"), col("deg"), col("n_tri"),
+        round(lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)), 6)
+          .as("coeff"))
+      .orderBy(col("node"))
+  }
+
   /** k-core decomposition (the third iterative graph operator, next
     * to PageRank's fixed-iteration loop and CC's pointer jumping —
     * this one converges by MONOTONE DELETION): repeatedly drop nodes
@@ -733,6 +761,7 @@ object Graph {
     "q_hits" -> hits,
     "q_link_predict" -> linkPrediction,
     "q_triangles" -> triangles,
+    "q_clustering" -> clusteringCoeff,
     "q_kcore"     -> kcore,
     "q_bfs"       -> bfsQuery,
     "q_sssp"      -> ssspQuery,
@@ -987,5 +1016,21 @@ object Graph {
                  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
          nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY node ORDER BY node""",
+    // same triangle enumeration + the degree rollup over the same
+    // edge set; the one double division is fixed-tree over integers
+    "q_clustering" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+         tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY node),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+             (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node)
+         SELECT d.node, deg, coalesce(n_tri, 0) AS n_tri,
+           round(CAST(2 AS DOUBLE) * coalesce(n_tri, 0) / (deg * (deg - 1)), 6) AS coeff
+         FROM deg d LEFT JOIN tc ON d.node = tc.node
+         WHERE deg >= 2
+         ORDER BY d.node""",
   )
 }

@@ -1745,7 +1745,8 @@ object Text {
          round(CAST(sum(jac_milli) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS mean_jac_milli,
          round(CAST(sum(est_milli) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS mean_est_milli,
          round(CAST(sum(abs_err_milli) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS mean_abs_err_milli,
-         round(CAST(sum(hit) AS BIGINT) * 1000.0 / CAST(count(*) AS DOUBLE), 2) AS hit_rate_milli
+         round(CAST(sum(hit) AS BIGINT) * CAST(1000 AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 2) AS hit_rate_milli
        FROM q GROUP BY decile ORDER BY decile"""
   }
 

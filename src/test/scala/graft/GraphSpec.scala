@@ -112,6 +112,25 @@ class GraphSpec extends SparkSpec {
     assert(got(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clustering coefficient: closed forms on triangle+pendant, K4 fully clustered, paths at zero") {
+    def coeffs(e: DataFrame): Map[Long, (Long, Long, Double)] =
+      Graph.clusteringCoeffCore(e).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // triangle {1,2,3} + pendant (3,9): 1 and 2 fully clustered, 3 has
+    // one of C(3,2)=3 neighbor pairs closed, 9 (deg 1) excluded
+    val g = coeffs(edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 9L))
+    assert(g == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.333333))), g.toString)
+    // K4: every pair of any vertex's 3 neighbors is connected
+    val k4 = coeffs(edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L))
+    assert(k4.values.forall { case (d, t, c) => d == 3 && t == 3 && c == 1.0 }, k4.toString)
+    // path graph: interior nodes have degree 2, zero triangles → 0.0,
+    // present in the output (zero is a fact, not a missing row)
+    val path = coeffs(edges(1L -> 2L, 2L -> 3L, 3L -> 4L))
+    assert(path == Map(2L -> ((2L, 0L, 0.0)), 3L -> ((2L, 0L, 0.0))), path.toString)
+  }
+
   test("degree-ordered enumeration matches naive enumeration on the real graph") {
     val e = Graph.coEdges(spark, sf0001)
     assert(got(e) == naive(e))

@@ -89,25 +89,66 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Session-scoped memo of the per-node triangle counts over the
+    * co-occurrence graph — the [[lpaMemo]] pattern applied to the
+    * graph family's OTHER heavy pair: [[triangles]] and
+    * [[clusteringCoeff]] both need T(v), and the O(m^1.5) wedge join
+    * is the whole cost of each; re-running it per declared query
+    * would double the price for a user composing both. The memo holds
+    * the count relation's localCheckpoint (|V|-row, GC-owned blocks —
+    * nothing in the SQL CacheManager); Bench/PlanAudit/PlanBudgetSpec
+    * clear it between queries via [[clearLpaMemo]] so per-query
+    * timings and recorded plans stay one-shot honest. */
+  private val triMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+
+  /** Actual wedge-join executions — the GraphSpec hook proving the
+    * triangles/clustering pair costs one enumeration per session+dir. */
+  private[graft] val triExecutions =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def triCountsShared(s: SparkSession, d: String): DataFrame =
+    triMemo.synchronized {
+      val perSession = Option(triMemo.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, DataFrame]
+        triMemo.put(s, m)
+        m
+      }
+      perSession.getOrElseUpdate(d, {
+        triExecutions.incrementAndGet()
+        checkpointLeaf(triangleCounts(coEdges(s, d)))
+      })
+    }
+
   def triangles(s: SparkSession, d: String): DataFrame =
-    triangleCounts(coEdges(s, d))
+    triCountsShared(s, d).orderBy(col("node"))
 
   /** Local clustering coefficient (§2.14, r6): per node with degree
     * ≥ 2, C(v) = 2·T(v) / (d(v)·(d(v)−1)) — the fraction of a node's
     * neighbor pairs that are themselves connected, THE local-density
     * readout next to the global [[triangleCounts]]. Triangles come
     * from the proven degree-oriented wedge machinery (O(m^1.5), the
-    * wedge stream never shuffles under the broadcast gate); degree
-    * rides the same materialized edge leaf; zero-triangle nodes keep
-    * coefficient 0 via the left join rather than vanishing. The
-    * division is one fixed double op over exact integers (the
-    * assortativity convention), rounded at 6. */
+    * wedge stream never shuffles under the broadcast gate) via the
+    * shared session memo — the triangles/clustering pair costs ONE
+    * wedge enumeration; zero-triangle nodes keep coefficient 0 via
+    * the left join rather than vanishing. The division is one fixed
+    * double op over exact integers (the assortativity convention),
+    * rounded at 6. */
   def clusteringCoeff(s: SparkSession, d: String): DataFrame =
-    clusteringCoeffCore(coEdges(s, d))
+    clusteringFrom(checkpointLeaf(coEdges(s, d)), triCountsShared(s, d))
 
+  /** Fixture face: runs its own triangle enumeration over the given
+    * edges (GraphSpec's hand-solved graphs don't route through the
+    * session memo — the [[modularityCore]] convention). */
   private[graft] def clusteringCoeffCore(edges: DataFrame): DataFrame = {
     val e = checkpointLeaf(edges)
-    val tri = triangleCounts(e)
+    clusteringFrom(e, triangleCounts(e))
+  }
+
+  /** Coefficient assembly over a materialized edge relation and its
+    * per-node triangle counts. */
+  private def clusteringFrom(e: DataFrame, tri: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -663,12 +704,20 @@ object Graph {
     })
   }
 
-  /** Drops memoized label relations and unpersists their blocks —
-    * Bench/PlanAudit call it between queries (see [[lpaMemo]]). */
-  def clearLpaMemo(): Unit = lpaMemo.synchronized {
-    import scala.jdk.CollectionConverters._
-    lpaMemo.values.asScala.foreach(_.values.foreach(_.unpersist()))
-    lpaMemo.clear()
+  /** Drops memoized label AND triangle relations and unpersists their
+    * blocks — Bench/PlanAudit call it between queries (see [[lpaMemo]]
+    * and [[triMemo]]). */
+  def clearLpaMemo(): Unit = {
+    lpaMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      lpaMemo.values.asScala.foreach(_.values.foreach(_.unpersist()))
+      lpaMemo.clear()
+    }
+    triMemo.synchronized {
+      import scala.jdk.CollectionConverters._
+      triMemo.values.asScala.foreach(_.values.foreach(_.unpersist()))
+      triMemo.clear()
+    }
   }
 
   /** Declared LPA query: community rollup (id = min member label,

@@ -306,6 +306,23 @@ class GraphSpec extends SparkSpec {
     Graph.clearLpaMemo()
   }
 
+  test("triangles and clustering share one wedge enumeration per session+dir") {
+    Graph.clearLpaMemo() // clears the triangle memo too
+    val before = Graph.triExecutions.get()
+    val t = Graph.triangles(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = Graph.clusteringCoeff(spark, sf0001).collect()
+    assert(t.nonEmpty && c.nonEmpty)
+    assert(Graph.triExecutions.get() == before + 1,
+      "the declared pair must execute the O(m^1.5) wedge join exactly once")
+    // and the shared counts are the ones the coefficient consumed
+    c.filter(_.getLong(2) > 0).foreach { r =>
+      assert(t(r.getLong(0)) == r.getLong(2),
+        s"node ${r.getLong(0)}: clustering n_tri ${r.getLong(2)} != triangles ${t(r.getLong(0))}")
+    }
+    Graph.clearLpaMemo()
+  }
+
   test("sssp: cheap 3-hop path beats the expensive direct edge; 1-round bound keeps the direct edge") {
     // 0 —5— 1, and 0 —1— 2 —1— 3 —1— 1: min cost to 1 is 3 via the
     // long way, but within ≤1 edge it is the direct 5

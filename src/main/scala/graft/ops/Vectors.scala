@@ -322,12 +322,18 @@ object Vectors {
       .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
       .withColumn("rn", rn).filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"))
-    val hits = truth.join(approx, Seq("qid", "vec_id"), "left_semi")
+    // every post-top-k relation is query-batch-bounded (≤10 rows per
+    // query), so the tail joins broadcast EXPLICITLY — left to AQE the
+    // initial SMJ plans raced their streamed-side shuffles against the
+    // runtime BHJ conversion, flipping the recorded plan between 4 and
+    // 6 exchanges run-to-run (the q_modularity stage-race, caught by
+    // PlanBudgetSpec in-suite and localized with PlanProbe)
+    val hits = truth.join(broadcast(approx), Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
     val nApprox = approx.groupBy(col("qid")).agg(count(lit(1)).as("n_approx"))
     queries.select(col("qid"), col("qbucket"))
-      .join(nApprox, Seq("qid"), "left")
-      .join(hits, Seq("qid"), "left")
+      .join(broadcast(nApprox), Seq("qid"), "left")
+      .join(broadcast(hits), Seq("qid"), "left")
       .select(col("qid"), col("qbucket"),
         coalesce(col("n_approx"), lit(0L)).as("n_approx"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

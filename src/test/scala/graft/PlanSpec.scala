@@ -326,7 +326,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("triangle closing join broadcasts the edge set under the gate (wedges never shuffle)") {
-    val p = planOf("q_triangles")
+    // inspect the enumeration core directly: the declared q_triangles
+    // now serves the session-memoized checkpoint (its own plan is a
+    // leaf + sort by design), but the wedge join the memo entry is
+    // BUILT from must still probe a broadcast edge set
+    ops.Graph.clearLpaMemo()
+    val p = ops.Graph.triangleCounts(ops.Graph.coEdges(spark, sf0001))
+      .queryExecution.executedPlan.toString
     val closing = p.linesIterator.find(l =>
       l.contains("Join") && l.contains("y#") && l.contains("z#"))
     assert(closing.exists(_.contains("BroadcastHashJoin")),

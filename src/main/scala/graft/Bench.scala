@@ -110,7 +110,9 @@ object Bench {
         dir: String): Double = {
       val first = timedOnce(name, fn, dir)
       if (minOf < 2 || first < MinRepeatSecs) first
-      else math.min(first, timedOnce(name, fn, dir))
+      else (2 to minOf).foldLeft(first) { (best, _) =>
+        math.min(best, timedOnce(name, fn, dir)) // true min-of-N (r6 ADVICE: was min-of-2 for any N)
+      }
     }
 
     /** One full pass; returns timings plus the suite's own load-average
@@ -199,13 +201,32 @@ object Bench {
     // (r5 verdict task 3) every slope above is sf_small→sf_main, where
     // the big side runs 0.3–10 s and fixed job overhead still flatters
     // sub-linear shapes; this section runs every HEAVY query (≥2 s in
-    // the main suite) once against the ScaleUp-generated sf1 directory
+    // the main suite) against the ScaleUp-generated sf1 directory
     // (10× rows, per-shard-consistent keys — run `sbt "runMain
     // graft.ScaleUp"` once to create it) and records main→big slopes.
-    // Single samples by design: the tier exists to catch structural
-    // blow-ups (slope ≫ 10), not to resolve 10% noise, and the heavies
-    // run 20–100 s each at sf1. Skipped when the directory is absent;
-    // disable with SPARK_GRAFT_SCALE_UP=0.
+    // Measurement discipline (r6 postmortem): the r6 tier took SINGLE
+    // samples in one loaded 37-min window and its artifact flagged 8
+    // queries at slopes 13–104 that clean re-measurement put at 2–15 —
+    // a record that contradicted the README. The tier now gets the
+    // same three guards as the main suite: (1) min-of-2 per query
+    // (all heavies clear the 1 s repeat floor at sf1); (2) every
+    // over-budget slope is re-measured PAIRED (main and big back to
+    // back in one load window) and only a reproduced slope lands in
+    // `superlinear`; (3) the load-average window brackets the pass in
+    // the artifact. Skipped when the directory is absent; disable
+    // with SPARK_GRAFT_SCALE_UP=0.
+    //
+    // Per-family slope budgets (r6 verdict task 5): a single global
+    // gate can't distinguish "plan broke" from "output legitimately
+    // grows faster than rows" — the wedge family is documented
+    // O(m^1.5) (10× edges → ≤31.6×) and the pair-LISTING dedup
+    // queries emit O(c²) pairs per exact-clone group of size c (the
+    // ScaleUp corpus clones every doc c=10×, so their OUTPUT grows
+    // ~45–100× by construction while everything upstream is linear).
+    // Budgets live in src/main/resources/scale_budgets.tsv — one row
+    // per query whose documented cost model exceeds the default gate,
+    // with the model named; a flag therefore always means "broke the
+    // design contract", never "the family works as documented".
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/repo/scale_data/sf1")
     val scaleUpOn = sys.env.getOrElse("SPARK_GRAFT_SCALE_UP", "1") != "0" &&
       only.isEmpty && new java.io.File(bigDir).isDirectory
@@ -223,23 +244,52 @@ object Bench {
     var summaryBig = "null"
     val scaleUpJson = if (!scaleUpOn) "" else {
       val HeavySecs = 2.0
-      val SlopeMax = 12.0 // 10× the data; >12 means cost outgrew input
+      val SlopeMax = 12.0 // default gate: 10× the data; >12 means cost outgrew input
+      // per-query budgets for families whose documented cost model is
+      // legitimately superlinear under 10× cloning (see header comment)
+      val slopeBudgets: Map[String, Double] = {
+        val in = getClass.getResourceAsStream("/scale_budgets.tsv")
+        if (in == null) Map.empty
+        else try scala.io.Source.fromInputStream(in).getLines().drop(1)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { l => val f = l.split("\t"); f(0) -> f(1).toDouble }.toMap
+        finally in.close()
+      }
+      def budget(k: String): Double = slopeBudgets.getOrElse(k, SlopeMax)
       val heavies = results.filter { case (_, t) => t >= HeavySecs }.map(_._1)
       val l0 = loadAvg
-      val big = heavies.map { k => k -> timedOnce(k, selected(k), bigDir) }
+      val big = heavies.map { k => k -> timed(k, selected(k), bigDir) }
       val slopes = big.flatMap { case (k, t) =>
         results.toMap.get(k).collect { case s if s > 0 && t > 0 => k -> t / s }
       }
-      val over = slopes.collect { case (k, r) if r > SlopeMax => "\"" + k + "\"" }
+      val overRaw = slopes.collect { case (k, r) if r > budget(k) => k }
+      // paired recheck — main then big back to back, one load window
+      // per query; only a slope that REPRODUCES over its budget flags
+      val rechecks = overRaw.map { k =>
+        val m2 = timedOnce(k, selected(k), sfDir)
+        val b2 = timedOnce(k, selected(k), bigDir)
+        (k, m2, b2, if (m2 > 0 && b2 > 0) b2 / m2 else -1.0)
+      }
+      val confirmed = rechecks.collect { case (k, _, _, r2) if r2 > budget(k) => "\"" + k + "\"" }
       val bigTotal = big.map(_._2).filter(_ >= 0).sum
       summaryBig = s"""{"total_big":$bigTotal,"n_heavy":${big.size},""" +
-        s""""over":[${over.mkString(",")}]}"""
+        s""""over":[${overRaw.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""superlinear":[${confirmed.mkString(",")}]}"""
       val slopeJson = slopes.map { case (k, r) =>
         "\"" + k + "\":" + math.round(r * 100) / 100.0 }.mkString("{", ",", "}")
+      val budgetJson = slopes.map { case (k, _) =>
+        "\"" + k + "\":" + budget(k) }.mkString("{", ",", "}")
+      val recheckJson = rechecks.map { case (k, m2, b2, r2) =>
+        "\"" + k + "\":{\"main\":" + m2 + ",\"big\":" + b2 + ",\"slope\":" +
+          math.round(r2 * 100) / 100.0 + ",\"load_avg\":" + loadAvg + "}"
+      }.mkString("{", ",", "}")
       s""","scale_up":{"sf_big":"$bigDir","heavy_threshold_secs":$HeavySecs,""" +
         s""""total_big":$bigTotal,"load_avg_big":[$l0,$loadAvg],""" +
         s""""queries_big":${jsonMap(big)},"slope_vs_main":$slopeJson,""" +
-        s""""over_threshold":[${over.mkString(",")}]}"""
+        s""""slope_budget":$budgetJson,""" +
+        s""""over_threshold":[${overRaw.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""recheck":$recheckJson,""" +
+        s""""superlinear":[${confirmed.mkString(",")}]}"""
     }
 
     // ---- the reference's partition-sweep experiment (C1, task2) ----
@@ -249,12 +299,18 @@ object Bench {
     val sweepOn = sys.env.getOrElse("SPARK_GRAFT_SWEEP", "1") != "0" && only.isEmpty
     val sweepJson = if (!sweepOn) "" else {
       val ns = Seq(10, 50, 100, 200, 300) // task2/task2.sh:4-5's grid
+      // min-of-2 per grid point (r6 postmortem: the single-sample r6
+      // sweep drowned the knee-at-50 shape — the reference's task2
+      // result, reproduced by every earlier round — in co-tenant noise)
       val times = ns.map { n =>
-        val t0 = System.nanoTime()
-        ops.PageRank.run(ops.PageRank.starEdges(spark, sfDir), 10, numPartitions = n)
-          .write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
-        n -> (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          ops.PageRank.run(ops.PageRank.starEdges(spark, sfDir), 10, numPartitions = n)
+            .write.format("noop").mode("overwrite").save()
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        n -> math.min(once(), once())
       }
       times.map { case (n, t) => "\"" + n + "\":" + t }
         .mkString(""","partition_sweep":{""", ",", "}")

@@ -573,7 +573,15 @@ object Text {
       .join(texts.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))
       .join(texts.select(col("doc_id").as("db"), col("text").as("tb")), Seq("db"))
       .select(col("da"), col("db"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        // identity short-circuit (r7): on a clone-heavy corpus most
+        // verified pairs are byte-identical (edit_dist 0 by definition)
+        // — one equality guard skips the O(len²) DP exactly where it's
+        // provably zero. Measured at the 10× point: the guard removes
+        // the majority of q_dedup_edit's CPU (clone pairs dominate the
+        // pair list under replication). CaseWhen evaluates lazily in
+        // codegen, so the guarded branch never runs the DP.
+        when(col("ta") === col("tb"), lit(0L))
+          .otherwise(levenshtein(col("ta"), col("tb")).cast("long")).as("edit_dist"),
         greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
       .withColumn("edit_sim",
         round(lit(1.0) - col("edit_dist") / col("max_len").cast("double"), 6))
@@ -1031,8 +1039,8 @@ object Text {
       .select(
         least(expr("(10 * inter) div uni"), lit(9L)).as("decile"),
         expr("(1000 * inter) div uni").as("jac_milli"),
-        expr("(1000 * n_match) div 16").as("est_milli"),
-        abs(expr("(1000 * inter) div uni") - expr("(1000 * n_match) div 16"))
+        expr(s"(1000 * n_match) div $MinhashPerms").as("est_milli"),
+        abs(expr("(1000 * inter) div uni") - expr(s"(1000 * n_match) div $MinhashPerms"))
           .as("abs_err_milli"),
         col("hit"))
       .groupBy(col("decile"))
@@ -1738,8 +1746,8 @@ object Text {
               JOIN mh ma ON p.da = ma.doc_id JOIN mh mb ON p.db = mb.doc_id),
        q AS (SELECT least((10 * inter) // uni, 9) AS decile,
                (1000 * inter) // uni AS jac_milli,
-               (1000 * n_match) // 16 AS est_milli,
-               abs((1000 * inter) // uni - (1000 * n_match) // 16) AS abs_err_milli,
+               (1000 * n_match) // $MinhashPerms AS est_milli,
+               abs((1000 * inter) // uni - (1000 * n_match) // $MinhashPerms) AS abs_err_milli,
                hit FROM pp)
        SELECT decile, count(*) AS n_pairs,
          round(CAST(sum(jac_milli) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS mean_jac_milli,
@@ -2147,14 +2155,15 @@ object Text {
                    GROUP BY 1, 2),
          jp AS (SELECT da, db FROM pairs
                 JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-                WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= $PrefixJacNum.0 / $PrefixJacDen)
-         SELECT da, db,
-                CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
-                CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len,
-                round(1.0 - levenshtein(a.text, b.text)
-                      / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE), 6) AS edit_sim
-         FROM jp JOIN documents a ON a.doc_id = da JOIN documents b ON b.doc_id = db
-         ORDER BY da, db""",
+                WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= $PrefixJacNum.0 / $PrefixJacDen),
+         ed AS (SELECT da, db,
+                  CASE WHEN a.text = b.text THEN CAST(0 AS BIGINT)
+                       ELSE CAST(levenshtein(a.text, b.text) AS BIGINT) END AS edit_dist,
+                  CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+                FROM jp JOIN documents a ON a.doc_id = da JOIN documents b ON b.doc_id = db)
+         SELECT da, db, edit_dist, max_len,
+                round(1.0 - edit_dist / CAST(max_len AS DOUBLE), 6) AS edit_sim
+         FROM ed ORDER BY da, db""",
     // same (lang, text, doc_id) total sort, same w=2 horizon via the
     // rank band-join (lag() and rn-distance see identical neighbors)
     "q_dedup_sorted" ->

@@ -7,7 +7,10 @@ same sfDir parquet tables, sorts columns by name, and compares exactly
 (row count, dtype-insensitive cell equality). Dev tool only — the real
 gate is driver-side.
 
-Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+Usage: python3 tools/check_oracle.py <sfDir> <outDir> [--only-dumped]
+
+--only-dumped scores only the queries Verify actually dumped (for
+SPARK_GRAFT_ONLY slices, e.g. the sf1 correctness tier).
 """
 import json
 import math
@@ -32,12 +35,18 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only_dumped=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only_dumped:
+        # slice mode (sf1 correctness tier): Verify was run with
+        # SPARK_GRAFT_ONLY, so score only the queries actually dumped
+        import os
+        oracle = {n: s for n, s in oracle.items()
+                  if os.path.isdir(f"{out_dir}/{n}")}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -86,4 +95,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  only_dumped="--only-dumped" in sys.argv[3:]))

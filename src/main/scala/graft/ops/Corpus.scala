@@ -553,10 +553,16 @@ object Corpus {
         .select(lit(round).as("round"), col("l"), col("r"), col("f")))
       rules = if (rules == null) rule else rules.unionByName(rule)
       val prev = vocab
-      vocab = cut(vocab.crossJoin(broadcast(rule))
-        .select(replace(col("ws"),
-            concat(lit("~"), col("l"), lit("~"), col("r")),
-            concat(lit("~"), col("l"), col("r"))).as("ws"),
+      // LEFT join on true, not a cross join: when the corpus exhausts
+      // learnable pairs before `rounds` (rule relation EMPTY), a cross
+      // join would annihilate the vocab state; the left join keeps it
+      // unchanged (null rule → identity apply), so later rounds see
+      // the real vocab and the loop is a no-op instead of a wipe.
+      vocab = cut(vocab.join(broadcast(rule), lit(true), "left")
+        .select(when(col("l").isNull, col("ws"))
+            .otherwise(replace(col("ws"),
+              concat(lit("~"), col("l"), lit("~"), col("r")),
+              concat(lit("~"), col("l"), col("r")))).as("ws"),
           col("freq")))
       prev.unpersist()
     }
@@ -599,10 +605,17 @@ object Corpus {
     for (k <- 1 to rounds) {
       val rule = rules.filter(col("round") === k)
         .select(col("merge_left").as("l"), col("merge_right").as("r"))
-      vocab = vocab.crossJoin(broadcast(rule))
-        .select(col("word"), replace(col("ws"),
-            concat(lit("~"), col("l"), lit("~"), col("r")),
-            concat(lit("~"), col("l"), col("r"))).as("ws"))
+      // LEFT join on true (r6 ADVICE): if round k learned no rule (the
+      // corpus exhausted learnable pairs early), a cross join with the
+      // empty rule relation annihilated the whole vocab and the query
+      // returned ZERO rows; the left join applies the identity instead,
+      // so the encode runs under exactly the merges actually learned.
+      vocab = vocab.join(broadcast(rule), lit(true), "left")
+        .select(col("word"),
+          when(col("l").isNull, col("ws"))
+            .otherwise(replace(col("ws"),
+              concat(lit("~"), col("l"), lit("~"), col("r")),
+              concat(lit("~"), col("l"), col("r")))).as("ws"))
     }
     val encoded = vocab.select(col("word"),
       size(expr("filter(split(ws, '~'), s -> s != '')")).cast("long").as("n_tok"))
@@ -631,8 +644,9 @@ object Corpus {
                FROM (SELECT freq, string_split(substr(ws, 2), '~') AS symbols FROM w${k - 1})))
            GROUP BY l, r),
          r$k AS (SELECT $k AS round, l, r, f FROM p$k ORDER BY f DESC, l, r LIMIT 1),
-         w$k AS (SELECT replace(w.ws, '~' || r.l || '~' || r.r, '~' || r.l || r.r) AS ws, w.freq
-                 FROM w${k - 1} w, r$k r)"""
+         w$k AS (SELECT CASE WHEN r.l IS NULL THEN w.ws
+                   ELSE replace(w.ws, '~' || r.l || '~' || r.r, '~' || r.l || r.r) END AS ws, w.freq
+                 FROM w${k - 1} w LEFT JOIN r$k r ON TRUE)"""
     }.mkString
     s"""wc AS (SELECT w AS word, count(*) AS freq FROM
            (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
@@ -691,8 +705,9 @@ object Corpus {
     "q_bpe_encode" -> {
       val applies = (1 to BpeRounds).map { k =>
         s""",
-         v$k AS (SELECT word, replace(v.ws, '~' || r.l || '~' || r.r, '~' || r.l || r.r) AS ws
-                 FROM v${k - 1} v, r$k r)"""
+         v$k AS (SELECT word, CASE WHEN r.l IS NULL THEN v.ws
+                   ELSE replace(v.ws, '~' || r.l || '~' || r.r, '~' || r.l || r.r) END AS ws
+                 FROM v${k - 1} v LEFT JOIN r$k r ON TRUE)"""
       }.mkString
       s"""WITH $BpeOracleTrainCtes,
          wv AS (SELECT source, w AS word, count(*) AS cnt FROM

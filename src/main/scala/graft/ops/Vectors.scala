@@ -167,7 +167,7 @@ object Vectors {
     * r3's persist did the same job but leaked into the session cache.
     * At scale the bucket is a shuffle key: candidates are bounded by
     * bucket sizes (the LSH guarantee), never by a quadratic blow-up. */
-  private def srpCandidates(e: DataFrame, bandCol: String = "v"): DataFrame = {
+  private[graft] def srpCandidates(e: DataFrame, bandCol: String = "v"): DataFrame = {
     val banded = e.select(col("vec_id"),
         posexplode(graft.functions.SrpBandKeys.srpBandKeys(col(bandCol), NBands, BitsPerBand))
           .as(Seq("band", "bkey")))
@@ -198,7 +198,7 @@ object Vectors {
     * vector (Pipeline centers its all-positive count vectors so they
     * spread across sign orthants) while the cosine CONFIRM always
     * scores the raw `v`. */
-  private[ops] def srpPairsOf(e: DataFrame, minCos: Double,
+  private[graft] def srpPairsOf(e: DataFrame, minCos: Double,
       bandCol: String = "v"): DataFrame = {
     srpCandidates(e, bandCol)
       .join(e.select(col("vec_id").as("va"), col("v").as("va_v")), Seq("va"))
@@ -221,12 +221,45 @@ object Vectors {
     * ≥ 93%. Oracle = the same 32 hyperplane dots, bands, pairs, and
     * a 20-round unrolled min-label propagation in DuckDB (10 rounds
     * were proven insufficient at sf0.1 — see the oracle comment). */
-  def dedupEmbed(s: SparkSession, d: String, minCos: Double = MinCos): DataFrame = {
-    val edges = srpPairs(Tables.embeddings(s, d), minCos)
+  def dedupEmbed(s: SparkSession, d: String, minCos: Double = MinCos): DataFrame =
+    dedupEmbedCore(Tables.embeddings(s, d).select(col("vec_id"), darr.as("v")), minCos)
+
+  /** [[dedupEmbed]] over any `(vec_id, v: array<double>)` relation —
+    * DataFrame-parameterized so VectorsSpec can plant a k=100
+    * exact-clone group and pin both the output identity and the
+    * candidate-count cut of the collapse front.
+    *
+    * Exact-collapse front (r7, the Pipeline.edgesOf lesson applied
+    * here): identical embeddings enter the banded self-join as ONE
+    * representative. Without it an exact-clone group of size k puts k
+    * identical vectors in the same bucket of EVERY band — C(k,2)
+    * candidate pairs per group per band, quadratic in clone
+    * multiplicity (k=10 under ScaleUp is survivable; a real crawl's
+    * k-in-the-thousands boilerplate is not). The collapse is
+    * OUTPUT-IDENTICAL, which is why the uncollapsed oracle is
+    * unchanged: clones share every band key, so a rep pair collides
+    * iff any member pair does and scores the same cosine; member↔rep
+    * star edges reconnect each exact group, so the transitive closure
+    * reaches the same clusters and min-ids (reps are group minima).
+    * The group key is the vector itself — exact equality, no digest
+    * collision risk; at 100 TB the 512-byte key is the same order as
+    * a digest column and shuffles once. Star edges carry the same
+    * confirm semantics as LSH edges (cos(v,v)=1 ≥ minCos only when
+    * ‖v‖>0): an all-zero vector has NaN cosine and confirms nothing,
+    * so zero-vector clones stay singletons exactly as uncollapsed. */
+  private[graft] def dedupEmbedCore(e: DataFrame, minCos: Double): DataFrame = {
+    val reps = e.groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("v"))
+    val lsh = srpPairsOf(reps, minCos)
       .select(col("va").as("src"), col("vb").as("dst"))
+    val star = e.join(reps.select(col("v"), col("vec_id").as("rep")), Seq("v"))
+      .filter(col("vec_id") =!= col("rep") &&
+        fold(zip_with(col("v"), col("v"), (x, y) => x * y)) > 0)
+      .select(col("rep").as("src"), col("vec_id").as("dst"))
+    val edges = lsh.unionByName(star)
     val comps = Components.connectedComponents(edges)
       .select(col("node").as("vec_id"), col("comp").as("rep"))
-    Tables.embeddings(s, d).select(col("vec_id"))
+    e.select(col("vec_id"))
       .join(comps, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("cluster_rep"))
       .withColumn("is_dup", col("vec_id") =!= col("cluster_rep"))

@@ -358,5 +358,15 @@ class CorpusSpec extends SparkSpec {
     }
     assert(byRounds.map(_._4).distinct.size == 1, "n_chars must not depend on merges")
     assert(byRounds.last._3 >= byRounds.last._2, "at least one token per word")
+
+    // EXHAUSTION (r6 ADVICE): "ab ab" exhausts after one merge —
+    // rounds 2..8 learn nothing. The apply loop must treat the empty
+    // rule as identity (it used to cross-join-annihilate the vocab and
+    // return ZERO rows); stats must equal the 1-round encode exactly.
+    val exhausted = encode(8, (1L, "s0", "ab ab"))
+    assert(exhausted.nonEmpty, "exhausted corpus must still produce per-source stats")
+    assert(exhausted("s0") == encode(1, (1L, "s0", "ab ab"))("s0"),
+      "encode under exhausted merges must equal the encode under the merges actually learned")
+    assert(exhausted("s0") == ((1L, 2L, 2L, 4L))) // vocab {ab}; 2 words, 1 token each
   }
 }

@@ -234,6 +234,55 @@ class VectorsSpec extends SparkSpec {
       "20-round unrolled propagation diverges from the Components fixed point — raise the oracle's unroll count")
   }
 
+  test("exact-collapse front: k=100 clone group, output identical, candidate pairs cut O(k^2) -> O(k)") {
+    // a crawl-shaped corpus: one embedding cloned 100× at scattered
+    // ids, plus the 40 distinct fillers. The collapse front must (a)
+    // produce EXACTLY the same cluster assignment as the uncollapsed
+    // reference (LSH over all vectors, no star edges), and (b) enter
+    // the banded self-join with the clone group as ONE representative —
+    // the candidate-count contract that keeps boilerplate-heavy
+    // corpora from going quadratic.
+    val k = 100
+    val clone = (0 until 64).map(i => math.cos(i * 0.9 + 2).toFloat)
+    val fillers = (0 until 40).map { j =>
+      (j * 10 + 7L, (0 until 64).map(i => math.sin(j * 64 + i * 1.3).toFloat))
+    }
+    val clones = (0 until k).map(j => (1000L + j * 13, clone))
+    val e = (fillers ++ clones).toDF("vec_id", "embedding")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    // (a) output identity vs the uncollapsed reference
+    val collapsed = ops.Vectors.dedupEmbedCore(e, 0.9)
+      .select("vec_id", "cluster_rep").as[(Long, Long)].collect().toMap
+    val refEdges = ops.Vectors.srpPairsOf(e, 0.9)
+      .select($"va".as("src"), $"vb".as("dst"))
+    val refComps = ops.Components.connectedComponents(refEdges)
+      .select($"node".as("vec_id"), $"comp".as("rep"))
+    val uncollapsed = e.select($"vec_id")
+      .join(refComps, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"rep", $"vec_id").as("cluster_rep"))
+      .as[(Long, Long)].collect().toMap
+    assert(collapsed == uncollapsed,
+      "exact-collapse front changed the cluster assignment")
+    // the clone group actually collapsed to its min id
+    val cloneIds = clones.map(_._1).toSet
+    val groupRep = cloneIds.min
+    assert(cloneIds.forall(id => collapsed(id) == groupRep))
+    // (b) the candidate cut: uncollapsed candidates hold all C(k,2)
+    // clone pairs (identical vectors collide in every band); collapsed
+    // candidates hold NONE of them (one rep entered the join)
+    val clonePairs = (k.toLong * (k - 1)) / 2
+    val rawCand = ops.Vectors.srpCandidates(e)
+      .as[(Long, Long)].collect()
+      .count { case (a, b) => cloneIds(a) && cloneIds(b) }
+    assert(rawCand == clonePairs, s"expected all $clonePairs clone pairs raw, got $rawCand")
+    val reps = e.groupBy($"v").agg(min($"vec_id").as("vec_id"))
+      .select($"vec_id", $"v")
+    val cutCand = ops.Vectors.srpCandidates(reps)
+      .as[(Long, Long)].collect()
+      .count { case (a, b) => cloneIds(a) && cloneIds(b) }
+    assert(cutCand == 0, s"collapsed front still emitted $cutCand intra-clone candidates")
+  }
+
   test("semantic dedup: reps are cluster-local min ids and the cosine gate genuinely prunes") {
     val out = ops.Vectors.dedupSemantic(spark, sf0001).collect()
     assert(out.length == 500)

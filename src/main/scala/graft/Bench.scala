@@ -86,7 +86,7 @@ object Bench {
       // must pay its own one-shot cost or the record stops being
       // comparable across rounds.
       spark.catalog.clearCache()
-      ops.Graph.clearLpaMemo()
+      ops.Graph.clearMemos()
       val t0 = System.nanoTime()
       val ok = exec(name, fn, dir)
       spark.catalog.clearCache()

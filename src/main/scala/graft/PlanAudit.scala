@@ -46,7 +46,7 @@ object PlanAudit {
           println(f"$name%-28s FAILED: ${String.valueOf(e.getMessage).take(80)}")
       } finally {
         spark.catalog.clearCache() // don't audit query N against N-1's caches
-        ops.Graph.clearLpaMemo() // audit the cold plan, not the memoized leaf
+        ops.Graph.clearMemos() // audit the cold plan, not the memoized leaf
       }
     }
     spark.stop()

@@ -31,7 +31,7 @@ object PlanProbe {
         .filter(l => l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate"))
         .mkString("\n"))
       spark.catalog.clearCache()
-      ops.Graph.clearLpaMemo()
+      ops.Graph.clearMemos()
     }
     spark.stop()
   }

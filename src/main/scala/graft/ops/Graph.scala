@@ -28,20 +28,57 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Session-scoped memo of an expensive checkpoint-backed relation —
+    * the machinery behind the graph family's shared cores (LPA fixed
+    * point, wedge counts, co-occurrence edges, BFS distances). One
+    * build per (session, key); Bench/PlanAudit/PlanBudgetSpec call
+    * [[clearMemos]] between queries so per-query timings and recorded
+    * plans stay one-shot honest.
+    *
+    * Lifecycle honesty (r6 ADVICE): a memoized DataFrame strongly
+    * references its SparkSession via QueryExecution, so NO weak-keyed
+    * scheme can ever collect an entry — the previous WeakHashMap
+    * claim was false. The actual release mechanism is dropping the
+    * reference: entries whose SparkContext has stopped are purged on
+    * every access, [[clearMemos]] drops everything, and the
+    * localCheckpoint blocks behind a dropped entry are GC-owned
+    * (freed when the RDD is collected — nothing sits in the SQL
+    * CacheManager, so cache hygiene is untouched). A long-lived
+    * multi-session process over one context should clearMemos()
+    * between logical sessions, as Bench does. */
+  private final class SessionMemo[K] {
+    private val m = scala.collection.mutable.Map.empty[(SparkSession, K), DataFrame]
+    /** Actual builds — the GraphSpec hook proving a query family
+      * shares one core per session+key. */
+    val executions = new java.util.concurrent.atomic.AtomicLong(0)
+    def get(s: SparkSession, key: K)(build: => DataFrame): DataFrame = synchronized {
+      m.filterInPlace { case (_, df) => !df.sparkSession.sparkContext.isStopped }
+      m.getOrElseUpdate((s, key), { executions.incrementAndGet(); build })
+    }
+    def clear(): Unit = synchronized { m.clear() }
+  }
+
+  /** Session-scoped memo of the weighted co-occurrence edge relation
+    * (r6 verdict task 4): [[coEdges]] and [[weightedCoEdges]] are the
+    * SAME basket self-join — a (u,v) pair has an edge iff it shares
+    * ≥1 order, and the weight is one count on top — yet q_bfs,
+    * q_sssp, q_centrality, q_kcore, q_triangles, q_assortativity and
+    * q_link_predict each rebuilt it per query. One checkpoint-backed
+    * materialization now serves the whole family per session+dir
+    * (Bench clears it per timed query so records stay one-shot
+    * honest). */
+  private val coMemo = new SessionMemo[String]
+  private[graft] def edgeExecutions = coMemo.executions
+
   /** Distinct undirected co-occurrence edges (u < v by id) between
     * parts sharing an order. Bounded by Σ C(basket, 2) — basket size
     * is small and data-bounded, so this is ~linear in lineitem.
-    * Eagerly checkpointed: three downstream consumers (degrees, the
-    * orientation, the closing join) would each re-run the self-join —
-    * the blocks are GC-owned, so no CacheManager residency. */
-  def coEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey"))
-    li.select(col("ok"), col("l_partkey").as("u"))
-      .join(li.select(col("ok"), col("l_partkey").as("v")), Seq("ok"))
-      .where(col("u") < col("v"))
-      .select(col("u"), col("v"))
-      .distinct()
-  }
+    * Derived from the session-shared weighted build: identical edge
+    * set (the weight projection is dropped), one materialization for
+    * every consumer; the blocks are GC-owned, no CacheManager
+    * residency. */
+  def coEdges(s: SparkSession, d: String): DataFrame =
+    weightedCoEdges(s, d).select(col("u"), col("v"))
 
   /** Closing-join broadcast ceiling: below it the undirected edge set
     * ships to every task and the O(m^1.5) wedge stream probes it
@@ -97,29 +134,16 @@ object Graph {
     * would double the price for a user composing both. The memo holds
     * the count relation's localCheckpoint (|V|-row, GC-owned blocks —
     * nothing in the SQL CacheManager); Bench/PlanAudit/PlanBudgetSpec
-    * clear it between queries via [[clearLpaMemo]] so per-query
+    * clear it between queries via [[clearMemos]] so per-query
     * timings and recorded plans stay one-shot honest. */
-  private val triMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
+  private val triMemo = new SessionMemo[String]
 
   /** Actual wedge-join executions — the GraphSpec hook proving the
     * triangles/clustering pair costs one enumeration per session+dir. */
-  private[graft] val triExecutions =
-    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def triExecutions = triMemo.executions
 
   private def triCountsShared(s: SparkSession, d: String): DataFrame =
-    triMemo.synchronized {
-      val perSession = Option(triMemo.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, DataFrame]
-        triMemo.put(s, m)
-        m
-      }
-      perSession.getOrElseUpdate(d, {
-        triExecutions.incrementAndGet()
-        checkpointLeaf(triangleCounts(coEdges(s, d)))
-      })
-    }
+    triMemo.get(s, d)(checkpointLeaf(triangleCounts(coEdges(s, d))))
 
   def triangles(s: SparkSession, d: String): DataFrame =
     triCountsShared(s, d).orderBy(col("node"))
@@ -291,8 +315,18 @@ object Graph {
     * [[BroadcastMaxEdges]] and PageRank's node gate. */
   val BfsBroadcastMaxFrontier = 4000000L
 
-  def bfsQuery(s: SparkSession, d: String): DataFrame =
-    bfs(coEdges(s, d), BfsSource)
+  /** Session-scoped memo of the BFS distance relation from
+    * [[BfsSource]] (r6 verdict task 4): q_bfs and q_centrality consume
+    * the SAME level-synchronous fixed point, and q_centrality used to
+    * re-run the whole loop. The loop's final state is already
+    * checkpoint-backed; the memo holds it per session+dir. */
+  private val bfsMemo = new SessionMemo[String]
+  private[graft] def bfsExecutions = bfsMemo.executions
+
+  private def bfsShared(s: SparkSession, d: String): DataFrame =
+    bfsMemo.get(s, d)(bfs(coEdges(s, d), BfsSource))
+
+  def bfsQuery(s: SparkSession, d: String): DataFrame = bfsShared(s, d)
 
   /** Weighted co-occurrence edges for [[sssp]]: co-purchase strength
     * s(u,v) = number of distinct orders containing both parts, turned
@@ -300,16 +334,19 @@ object Graph {
     * links are cheap to traverse — the "affinity distance" convention
     * of market-basket navigation). Integer costs keep every path sum
     * exact on both engines; the (ok, partkey) dedup ahead of the pair
-    * join stops multi-line orders from inflating strength. */
-  def weightedCoEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-    li.select(col("ok"), col("l_partkey").as("u"))
-      .join(li.select(col("ok"), col("l_partkey").as("v")), Seq("ok"))
-      .where(col("u") < col("v"))
-      .groupBy(col("u"), col("v"))
-      .agg((lit(6L) - least(count(lit(1)), lit(5L))).as("w"))
-  }
+    * join stops multi-line orders from inflating strength.
+    * Memoized per session+dir (see [[coMemo]]) — the whole graph
+    * family reads this one checkpoint. */
+  def weightedCoEdges(s: SparkSession, d: String): DataFrame =
+    coMemo.get(s, d) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+      checkpointLeaf(li.select(col("ok"), col("l_partkey").as("u"))
+        .join(li.select(col("ok"), col("l_partkey").as("v")), Seq("ok"))
+        .where(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg((lit(6L) - least(count(lit(1)), lit(5L))).as("w")))
+    }
 
   /** Bounded-hop single-source shortest paths (§2.14 extension):
     * frontier Bellman-Ford over integer-weighted undirected edges.
@@ -384,9 +421,11 @@ object Graph {
     * distance makes the float work order-free for any graph size).
     * Harmonic handles disconnection gracefully (unreached nodes
     * contribute 0), which is why it's the form used on web-scale
-    * graphs. */
+    * graphs. Consumes the session-shared BFS relation ([[bfsShared]])
+    * — the q_bfs/q_centrality pair costs ONE loop, and both sit on
+    * the one co-occurrence edge materialization q_sssp also reads. */
   def centrality(s: SparkSession, d: String): DataFrame =
-    centralityCore(bfs(coEdges(s, d), BfsSource))
+    centralityCore(bfsShared(s, d))
 
   /** Centrality over any `(node, dist)` BFS relation — DataFrame-
     * parameterized so GraphSpec can pin the closed forms on a
@@ -677,47 +716,31 @@ object Graph {
     * the final round's localCheckpoint (a |V|-row relation of
     * GC-owned blocks; nothing enters the SQL CacheManager, so the
     * cache-hygiene contract is untouched) keyed by (session, dir,
-    * rounds); the WeakHashMap lets a stopped session's entry be
-    * collected. Bench and PlanAudit call [[clearLpaMemo]] between
+    * rounds). Bench and PlanAudit call [[clearMemos]] between
     * queries so per-query timings and recorded plan shapes stay
     * one-shot honest; within a user session / Verify run the pair
     * pays ONE loop (GraphSpec pins the single execution). */
-  private val lpaMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, Int), DataFrame]]
+  private val lpaMemo = new SessionMemo[(String, Int)]
 
   /** Actual LPA loop executions — the GraphSpec hook proving the
     * communities/modularity pair costs one loop per session+dir. */
-  private[graft] val lpaExecutions =
-    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def lpaExecutions = lpaMemo.executions
 
   private def lpaLabels(s: SparkSession, d: String,
-      rounds: Int = LpaRounds): DataFrame = lpaMemo.synchronized {
-    val perSession = Option(lpaMemo.get(s)).getOrElse {
-      val m = scala.collection.mutable.Map.empty[(String, Int), DataFrame]
-      lpaMemo.put(s, m)
-      m
-    }
-    perSession.getOrElseUpdate((d, rounds), {
-      lpaExecutions.incrementAndGet()
-      labelPropagation(repeatCoEdges(s, d), rounds)
-    })
-  }
+      rounds: Int = LpaRounds): DataFrame =
+    lpaMemo.get(s, (d, rounds))(labelPropagation(repeatCoEdges(s, d), rounds))
 
-  /** Drops memoized label AND triangle relations and unpersists their
-    * blocks — Bench/PlanAudit call it between queries (see [[lpaMemo]]
-    * and [[triMemo]]). */
-  def clearLpaMemo(): Unit = {
-    lpaMemo.synchronized {
-      import scala.jdk.CollectionConverters._
-      lpaMemo.values.asScala.foreach(_.values.foreach(_.unpersist()))
-      lpaMemo.clear()
-    }
-    triMemo.synchronized {
-      import scala.jdk.CollectionConverters._
-      triMemo.values.asScala.foreach(_.values.foreach(_.unpersist()))
-      triMemo.clear()
-    }
+  /** Drops every memoized graph core (LPA labels, triangle counts,
+    * co-occurrence edges, BFS distances) — Bench/PlanAudit/
+    * PlanBudgetSpec call it between queries. Dropping the reference
+    * IS the release: the relations' localCheckpoint blocks are
+    * GC-owned (nothing sits in the SQL CacheManager, so there is
+    * nothing to unpersist — the r6 ADVICE finding). */
+  def clearMemos(): Unit = {
+    lpaMemo.clear()
+    triMemo.clear()
+    coMemo.clear()
+    bfsMemo.clear()
   }
 
   /** Declared LPA query: community rollup (id = min member label,

@@ -296,18 +296,18 @@ class GraphSpec extends SparkSpec {
   }
 
   test("communities and modularity share one LPA fixed point per session+dir") {
-    Graph.clearLpaMemo()
+    Graph.clearMemos()
     val before = Graph.lpaExecutions.get()
     val c = Graph.communities(spark, sf0001).collect()
     val m = Graph.modularity(spark, sf0001).collect()
     assert(c.nonEmpty && m.nonEmpty)
     assert(Graph.lpaExecutions.get() == before + 1,
       "the declared pair must execute the 5-round LPA loop exactly once")
-    Graph.clearLpaMemo()
+    Graph.clearMemos()
   }
 
   test("triangles and clustering share one wedge enumeration per session+dir") {
-    Graph.clearLpaMemo() // clears the triangle memo too
+    Graph.clearMemos() // clears the triangle memo too
     val before = Graph.triExecutions.get()
     val t = Graph.triangles(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -320,7 +320,26 @@ class GraphSpec extends SparkSpec {
       assert(t(r.getLong(0)) == r.getLong(2),
         s"node ${r.getLong(0)}: clustering n_tri ${r.getLong(2)} != triangles ${t(r.getLong(0))}")
     }
-    Graph.clearLpaMemo()
+    Graph.clearMemos()
+  }
+
+  test("bfs, sssp and centrality share one edge build and one BFS per session+dir") {
+    Graph.clearMemos()
+    val edgesBefore = Graph.edgeExecutions.get()
+    val bfsBefore = Graph.bfsExecutions.get()
+    val b = Graph.bfsQuery(spark, sf0001).collect()
+    val sp = Graph.ssspQuery(spark, sf0001).collect()
+    val c = Graph.centrality(spark, sf0001).collect()
+    assert(b.nonEmpty && sp.nonEmpty && c.nonEmpty)
+    assert(Graph.edgeExecutions.get() == edgesBefore + 1,
+      "the bfs/sssp/centrality trio must build the co-occurrence edge relation exactly once")
+    assert(Graph.bfsExecutions.get() == bfsBefore + 1,
+      "q_centrality must consume q_bfs's level-synchronous relation, not re-run the loop")
+    // centrality's n_reached must be exactly the shared BFS's reached set
+    val nReached = c.head.getLong(0)
+    assert(nReached == b.count(_.getInt(1) > 0).toLong,
+      s"centrality n_reached $nReached != BFS reached ${b.count(_.getInt(1) > 0)}")
+    Graph.clearMemos()
   }
 
   test("sssp: cheap 3-hop path beats the expensive direct edge; 1-round bound keeps the direct edge") {

@@ -29,7 +29,7 @@ class PlanBudgetSpec extends SparkSpec {
       try name -> PlanCounters.measure(fn(spark, sf0001))
       finally {
         spark.catalog.clearCache() // never measure query N against N-1's state
-        ops.Graph.clearLpaMemo()   // budget the cold plan, not the memoized leaf
+        ops.Graph.clearMemos()   // budget the cold plan, not the memoized leaf
       }
     }
 

@@ -330,7 +330,7 @@ class PlanSpec extends SparkSpec {
     // now serves the session-memoized checkpoint (its own plan is a
     // leaf + sort by design), but the wedge join the memo entry is
     // BUILT from must still probe a broadcast edge set
-    ops.Graph.clearLpaMemo()
+    ops.Graph.clearMemos()
     val p = ops.Graph.triangleCounts(ops.Graph.coEdges(spark, sf0001))
       .queryExecution.executedPlan.toString
     val closing = p.linesIterator.find(l =>

@@ -896,7 +896,7 @@ object Text {
     * doc_id, no slot explosion — the naive shape is |shingles|×16
     * exploded rows + a (doc,slot) shuffle) → 8 band signatures.
     * Documents too short to shingle (<3 words) are absent. */
-  private def minhashBands(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     val sh = docShingles(docs)
     val rowsPerBand = MinhashPerms / MinhashBands
     val minhash = sh.groupBy("doc_id").agg(

@@ -28,6 +28,30 @@ class ContractSpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"query keys declared in more than one module: $dupes")
   }
 
+  test("scale_budgets.tsv rows name declared queries with sane slope budgets and a rationale") {
+    // the sf1 tier's per-family slope budgets (Bench scale_up): a row
+    // naming an undeclared query would silently budget nothing, and a
+    // budget below the default gate (12) or absurdly high would defeat
+    // the gate's purpose either way
+    val in = getClass.getResourceAsStream("/scale_budgets.tsv")
+    assert(in != null, "scale_budgets.tsv missing from main resources")
+    val rows = try scala.io.Source.fromInputStream(in).getLines().drop(1)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\t")).toSeq
+    finally in.close()
+    assert(rows.nonEmpty)
+    rows.foreach { f =>
+      assert(f.length == 3, s"row needs query/max_slope/rationale: ${f.mkString("|")}")
+      assert(SparkEntry.queries.contains(f(0)), s"budget for undeclared query ${f(0)}")
+      val slope = f(1).toDouble
+      assert(slope > 12.0 && slope <= 120.0,
+        s"${f(0)}: budget $slope outside (12, 120] — below the default gate it's dead, past ~c^2 it's unfalsifiable")
+      assert(f(2).trim.length > 20, s"${f(0)}: rationale must name the cost model")
+    }
+    val dupes = rows.groupBy(_.head).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate budget rows: $dupes")
+  }
+
   test("every oracle ends in an ORDER BY (hash compare needs a total order)") {
     // the FINAL clause must be ordered: an ORDER BY hiding inside a
     // CTE/subquery (or a window's OVER) while the outer SELECT is

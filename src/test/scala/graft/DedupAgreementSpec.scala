@@ -95,6 +95,30 @@ class DedupAgreementSpec extends SparkSpec {
     }
   }
 
+  test("MUTATION: a doc-salted band signature fails the planted-pair agreement check") {
+    // The inverse guard (r6 verdict task 8): the twin-bound above only
+    // has teeth if a plausible LSH bug actually trips it. The classic
+    // bug class is a per-doc column leaking into the bucket key (salt,
+    // id, partition tag) — buckets become singletons and every planted
+    // pair silently separates while the query still returns 500
+    // well-formed rows. Rebuild the one-pass clustering with exactly
+    // that corruption and assert the planted-pair predicate FAILS.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, min, xxhash64}
+    val corrupted = Text.minhashBands(docs)
+      .withColumn("band_sig", xxhash64(col("band_sig"), col("doc_id")))
+    val reps = corrupted
+      .withColumn("band_rep",
+        min(col("doc_id")).over(Window.partitionBy("band", "band_sig")))
+      .groupBy("doc_id").agg(min(col("band_rep")).as("rep"))
+    val mutant = docs.select(col("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+    val m = clustersOf(mutant)
+    assert(planted.forall { case (a, b) => m(a) != m(b) },
+      "doc-salted band keys still co-clustered a planted pair — the agreement check has no teeth")
+  }
+
   test("SimHash: both fingerprint families separate planted pairs from background") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val prodSig = Text.dedupSimhash(spark, sf0001)
@@ -126,5 +150,37 @@ class DedupAgreementSpec extends SparkSpec {
     // votes the few differing words decide (measured max: 7/64)
     val prodPlantedMax = planted.map { case (a, b) => hamming(prodSig(a), prodSig(b)) }.max
     assert(prodPlantedMax <= 10, s"64-bit simhash planted max hamming $prodPlantedMax > 10")
+  }
+
+  test("MUTATION: a doc-keyed fingerprint perturbation fails the SimHash distributional check") {
+    // Inverse guard for the SimHash twin-bound: the plausible bug is
+    // any per-doc term entering the fingerprint (seeding the token
+    // hash with doc_id, mixing in a row number) — signatures of a
+    // planted pair then differ by an independent random mask and the
+    // pair's hamming distance jumps to ~32, indistinguishable from
+    // background. Apply exactly that perturbation to the REAL
+    // production signatures (deterministic: scramble64 of doc_id) and
+    // assert the distributional assertion above trips.
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    def scramble(id: Long): Long = { // splitmix64 finalizer — fixed, engine-free
+      var z = id + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val sig = Text.dedupSimhash(spark, sf0001)
+      .select(col("doc_id"), col("simhash")).as[(Long, Long)].collect().toMap
+    val mutant = sig.map { case (id, h) => id -> (h ^ scramble(id)) }
+    val plantedSet = planted.toSet
+    val background = shingles.keys.toSeq.sorted.sliding(2)
+      .collect { case Seq(a, b) if !plantedSet((a, b)) => (a, b) }.toSeq
+    def p(xs: Seq[Int], q: Double): Int = { val s = xs.sorted; s((s.size * q).toInt min (s.size - 1)) }
+    val pl = planted.map { case (a, b) => hamming(mutant(a), mutant(b)) }
+    val bg = background.map { case (a, b) => hamming(mutant(a), mutant(b)) }
+    assert(p(pl, 0.9) >= p(bg, 0.5),
+      s"doc-keyed perturbation still passed the distributional check (planted p90 ${p(pl, 0.9)}, " +
+        s"background median ${p(bg, 0.5)}) — the check has no teeth")
+    // and the absolute closeness bound trips too
+    assert(pl.max > 10, s"mutant planted max hamming ${pl.max} still within the <=10 bound")
   }
 }

@@ -78,6 +78,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("MUTATION: a biased sketch fails the approx-vs-exact error bounds") {
+    // Inverse guard (r6 verdict task 8) for the q_agg_approx
+    // twin-bound: the bounds above only protect the no-oracle row if
+    // a realistically-broken sketch actually violates them. The
+    // plausible bug class is systematic bias (double-merged HLL
+    // registers, a percentile sketch fed pre-aggregated rows) — model
+    // it as a uniform +12% inflation of every approx measure, well
+    // past the 5%+1 HLL and 10% percentile gates, and assert at least
+    // one group trips each family of bounds.
+    val approx = ops.Relational.aggApprox(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = ops.Relational.aggApproxExact(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val distinctViolated = exact.exists { case (flag, e) =>
+      (1 to 2).exists { c =>
+        val biased = (approx(flag).getLong(c) * 1.12).toLong
+        math.abs(biased - e.getLong(c)) > 0.05 * e.getLong(c) + 1
+      }
+    }
+    val pctViolated = exact.exists { case (flag, e) =>
+      math.abs(approx(flag).getDouble(3) * 1.12 - e.getDouble(3)) > 0.10 * e.getDouble(3)
+    }
+    assert(distinctViolated, "a +12% biased distinct-count sketch slipped through the 5%+1 bound")
+    assert(pctViolated, "a +12% biased median sketch slipped through the 10% bound")
+  }
+
   test("salted aggregation equals the direct groupBy") {
     val salted = ops.Relational.aggSalted(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -557,25 +557,37 @@ object Relational {
     * and joins broadcast at harness scale; at 100 TB it exceeds the
     * broadcast threshold and AQE falls back to a shuffle join keyed on
     * partkey, which this shape tolerates (one join, one 12-row agg).
-    * Numerator and denominator are each rounded at 4 BEFORE the one
-    * division, so both engines divide identical doubles; the share
-    * re-rounds at 6. */
+    *
+    * Exact-money quantization (r7 — caught by the sf1 oracle slice,
+    * the first correctness check ever run at that mass): a month of
+    * sf1 lineitems sums to ~4×10⁹ and double ACCUMULATION-ORDER noise
+    * (~10⁻⁴ absolute) exceeds what round-at-4 can absorb, so Spark
+    * and DuckDB legitimately disagreed in the 4th decimal. Each
+    * line's revenue is therefore quantized to an exact integer in
+    * 10⁻⁴ units FIRST — prices and discounts are 2-decimal, so rev is
+    * a 4-decimal grid value computed within 10⁻⁹ of the grid and the
+    * per-row round is deterministic on both engines — and the LONGS
+    * sum exactly (no order sensitivity, headroom to 2⁵³·10⁻⁴ ≈ 10¹²
+    * of revenue per group). One double conversion per group at the
+    * end; the share divides the exact longs. */
   def tpchPromo(s: SparkSession, d: String): DataFrame = {
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(s, d)
       .filter(year(col("l_shipdate")) === 1997)
       .select(col("l_partkey"), month(col("l_shipdate")).as("ship_month"),
-        rev.as("rev"))
+        round(rev * 10000).cast("long").as("rev_e4"))
       .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("ship_month"))
       .agg(
-        round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0)), 4)
-          .as("promo_rev"),
-        round(sum(col("rev")), 4).as("total_rev"),
+        sum(when(col("p_type") === "PROMO", col("rev_e4")).otherwise(0L)).as("promo_e4"),
+        sum(col("rev_e4")).as("total_e4"),
         count(lit(1)).as("n_items"))
-      .withColumn("promo_share",
-        round(lit(100.0) * col("promo_rev") / col("total_rev"), 6))
+      .select(col("ship_month"),
+        round(col("promo_e4") / 10000.0, 4).as("promo_rev"),
+        round(col("total_e4") / 10000.0, 4).as("total_rev"),
+        col("n_items"),
+        round(lit(100.0) * col("promo_e4") / col("total_e4"), 6).as("promo_share"))
       .orderBy(col("ship_month"))
   }
 
@@ -3096,22 +3108,25 @@ object Relational {
            AND l_shipdate > TIMESTAMP '1997-07-01'
          GROUP BY o_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
-    // numerator/denominator each rounded at 4 BEFORE the one division
-    // (identical double operands cross-engine), share re-rounded at 6
+    // per-line revenue quantized to an exact integer (10^-4 units) and
+    // summed as BIGINT — order-free at any SF (the sf1 slice caught
+    // round-at-4 double sums diverging in the 4th decimal at ~4e9 mass)
     "q_tpch_promo" ->
-      """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
-         round(sum(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1.0 - l_discount)
-                        ELSE 0.0 END), 4) AS promo_rev,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_rev,
-         count(*) AS n_items,
-         round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1.0 - l_discount)
-                                      ELSE 0.0 END), 4)
-               / round(sum(l_extendedprice * (1.0 - l_discount)), 4), 6) AS promo_share
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         WHERE year(l_shipdate) = 1997
-         GROUP BY month(l_shipdate) ORDER BY ship_month""",
+      """WITH q AS (SELECT month(l_shipdate) AS m, p_type,
+             CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS rev_e4
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE year(l_shipdate) = 1997),
+         g AS (SELECT m,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_e4,
+             CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+             count(*) AS n_items
+           FROM q GROUP BY m)
+         SELECT CAST(m AS INT) AS ship_month,
+           round(promo_e4 / 10000.0, 4) AS promo_rev,
+           round(total_e4 / 10000.0, 4) AS total_rev,
+           n_items,
+           round(100.0 * promo_e4 / total_e4, 6) AS promo_share
+         FROM g ORDER BY ship_month""",
     // l_quantity is integral-valued → exact double sums, no rounding contract
     "q_tpch_bigorders" ->
       """WITH heavy AS (

@@ -35,18 +35,26 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir, only_dumped=False):
+def main(sf_dir, out_dir, only_dumped=False, query=None):
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # harness SFs are single files; Spark-written siblings (the
+        # ScaleUp sf1 dir) are part-file directories
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only_dumped:
         # slice mode (sf1 correctness tier): Verify was run with
         # SPARK_GRAFT_ONLY, so score only the queries actually dumped
-        import os
         oracle = {n: s for n, s in oracle.items()
                   if os.path.isdir(f"{out_dir}/{n}")}
+    if query:
+        # single-query mode: lets a driver loop wrap each oracle in its
+        # own subprocess + timeout (a pathological oracle at a big SF
+        # must not block the rest of the slice)
+        oracle = {query: oracle[query]}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -95,5 +103,7 @@ def main(sf_dir, out_dir, only_dumped=False):
 
 
 if __name__ == "__main__":
+    qarg = [a.split("=", 1)[1] for a in sys.argv[3:] if a.startswith("--query=")]
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  only_dumped="--only-dumped" in sys.argv[3:]))
+                  only_dumped="--only-dumped" in sys.argv[3:],
+                  query=qarg[0] if qarg else None))

@@ -87,6 +87,15 @@ object Bench {
       // comparable across rounds.
       spark.catalog.clearCache()
       ops.Graph.clearMemos()
+      // localCheckpoint blocks are GC-owned: dropping the memo/loop
+      // references queues them for the ContextCleaner, which runs on
+      // GC — a lag that piles dead blocks across back-to-back heavy
+      // runs (min-of-2 at sf1 OOM'd an 8g heap in q_clustering's
+      // wedge stage before this). Between TIMED queries nothing may
+      // be warm anyway (the one-shot-honesty contract), so release
+      // every persisted RDD eagerly instead of waiting for GC.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       val ok = exec(name, fn, dir)
       spark.catalog.clearCache()

@@ -317,6 +317,10 @@ object Bench {
           ops.PageRank.run(ops.PageRank.starEdges(spark, sfDir), 10, numPartitions = n)
             .write.format("noop").mode("overwrite").save()
           spark.catalog.clearCache()
+          // same eager block release as timedOnce: 10 sweep points × a
+          // 10-iteration loop otherwise stack GC-owned checkpoint blocks
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           (System.nanoTime() - t0) / 1e9
         }
         n -> math.min(once(), once())

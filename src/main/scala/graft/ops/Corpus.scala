@@ -630,6 +630,35 @@ object Corpus {
       .orderBy(col("source"))
   }
 
+  /** k-anonymity / l-diversity audit — the governance check a
+    * training-data pipeline runs BEFORE releasing or retaining a
+    * corpus slice (Sweeney 2002, k-anonymity; Machanavajjhala et al.
+    * 2007, l-diversity): group rows by their quasi-identifier tuple
+    * and ask whether each equivalence class is large enough (≥ k) to
+    * hide an individual, and diverse enough (≥ l distinct sensitive
+    * values) that membership doesn't leak the sensitive attribute.
+    * Quasi-identifiers here: (source, n_chars div 100) — the
+    * release-metadata columns a re-identification join would use;
+    * sensitive stand-in: lang. k = 5, l = 2.
+    *
+    * Scale: one rollup keyed by the quasi-identifier tuple (map-side
+    * combinable counts + a distinct-count), output one row per
+    * equivalence class — |classes| rows regardless of corpus size;
+    * the doc-level suppression verdict is the class flag joined back
+    * on the same key (not materialized here — the class table IS the
+    * audit artifact). Everything is exact integer counting: nothing
+    * to round, nothing engine-specific. */
+  def kAnonymity(docs: DataFrame): DataFrame =
+    docs.select(col("source"), expr("n_chars div 100").as("len_bucket"),
+        col("lang"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("len_bucket"), col("class_size"), col("n_langs"),
+        (col("class_size") >= 5).as("k_anonymous"),
+        (col("n_langs") >= 2).as("l_diverse"))
+      .orderBy(col("source"), col("len_bucket"))
+
   /** Shared oracle CTE chain for the BPE family: the word-frequency
     * training table (wc/w0) and `BpeRounds` induction steps, each
     * producing the round's pair counts (pK), the argmax rule (rK) and
@@ -686,9 +715,19 @@ object Corpus {
       mixEpochs(Tables.documents(s, d))),
     "q_inverted_index" -> ((s: SparkSession, d: String) =>
       invertedIndex(Tables.documents(s, d))),
+    "q_k_anonymity" -> ((s: SparkSession, d: String) =>
+      kAnonymity(Tables.documents(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
+    // pure integer counting over the same quasi-identifier rollup
+    "q_k_anonymity" ->
+      """SELECT source, n_chars // 100 AS len_bucket,
+                count(*) AS class_size,
+                count(DISTINCT lang) AS n_langs,
+                count(*) >= 5 AS k_anonymous,
+                count(DISTINCT lang) >= 2 AS l_diverse
+         FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""",
     // same word-frequency training table, same separator-prefixed
     // symbol strings, same (freq desc, l, r) argmax, same
     // left-to-right non-overlapping replace per round — every

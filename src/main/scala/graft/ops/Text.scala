@@ -1285,6 +1285,55 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020:
+    * "CCNet: Extracting high quality monolingual datasets from web
+    * crawl data" — the head/middle/tail split every crawl-curation
+    * pipeline since has copied): score each document by its average
+    * token log-probability under ITS OWN LANGUAGE's unigram
+    * distribution (the in-sandbox stand-in for CCNet's per-language
+    * wiki LM), then cut each language into equal tertiles — `head` =
+    * most typical third, `tail` = weirdest. Downstream pipelines keep
+    * head+middle and drop (or down-weight) tail.
+    *
+    * Determinism: per-language token counts and totals are exact
+    * integers; avg ln(cnt/n_lang) is rounded at 4 (the
+    * [[unigramLogprobCore]] contract) BEFORE the tertile window
+    * orders by it, and doc_id breaks ties — so ntile(3) sees the same
+    * total order on both engines.
+    *
+    * Scale: one (doc_id) rollup over tokens carrying a window count
+    * per (lang, word) — the [[unigramLogprob]] shape with lang in the
+    * key — a broadcast join of the per-language totals (|langs|
+    * rows), and the tertile window partitioned BY LANGUAGE: its sort
+    * is per-language over doc-level rows (5 partitions of n_docs/5
+    * here; a real deployment quantile-bins the scores instead of
+    * total-ordering when one language dominates the corpus). */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBucketsCore(Tables.documents(s, d))
+
+  /** Bucketing over any `(doc_id, lang, text)` relation —
+    * DataFrame-parameterized so TextSpec can pin the tertile
+    * boundaries on a hand-scored corpus. */
+  def ccnetBucketsCore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(words(col("text"))).as("word"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("lang"), col("word"))))
+    val langTot = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val scored = toks.join(broadcast(langTot), Seq("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt") / col("n_lang").cast("double"))), 4).as("avg_logp"))
+    val nt = ntile(3).over(
+      Window.partitionBy(col("lang")).orderBy(col("avg_logp").desc, col("doc_id")))
+    scored.withColumn("tertile", nt)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("avg_logp"),
+        when(col("tertile") === 1, lit("head"))
+          .when(col("tertile") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multinomial naive-Bayes language classifier (§2.15 extension):
     * train on the corpus's own (lang, token) counts with add-one
     * smoothing, score every document against every class, predict by
@@ -1481,6 +1530,52 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-phrase blocklist filtering — every crawl pipeline screens
+    * documents against a banned-phrase table (boilerplate, slurs,
+    * cheat-sheet markers) with thousands of entries. The anti-pattern
+    * is a per-row scan over all N phrases (`text LIKE '%p1%' OR …` —
+    * O(rows·N·len), unpushable, and regex-alternation compilers fall
+    * over around 10⁴ patterns). The shape that survives 100 TB × 10⁵
+    * phrases is TOKEN-ANCHORED: tokenize once, join token n-grams
+    * against the broadcast phrase table on an equi-key — cost
+    * O(tokens + hits) regardless of phrase count, and the phrase
+    * table can grow to a hash join on the same key when it outgrows
+    * the broadcast gate.
+    *
+    * The blocklist here is derived deterministically from the corpus
+    * (its top-20 bigrams by count, ties alphabetical) as a stand-in
+    * for an externally-supplied table — the join mechanics are
+    * identical. Bigrams come from the [[bigramLogprobCore]] zip-shift
+    * idiom: narrow, no shuffle to build. Output is doc-level: hit
+    * occurrences and the kept/flagged verdict. */
+  def blocklist(s: SparkSession, d: String): DataFrame =
+    blocklistCore(Tables.documents(s, d))
+
+  /** Screening over any `(doc_id, source, text)` relation —
+    * DataFrame-parameterized so TextSpec can pin hit counts on a
+    * hand-planted corpus. */
+  def blocklistCore(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val bi = ws.select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val banned = bi.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("prev"), col("cur"))
+      .limit(20)
+      .select(col("prev"), col("cur"))
+    val hits = bi.join(broadcast(banned), Seq("prev", "cur"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+    docs.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        (coalesce(col("h"), lit(0L)) > 0).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Kneser–Ney smoothed bigram model (T50, r5): the LM-quality
     * scoring pretraining pipelines actually use — absolute
     * discounting (d = 0.75) with the CONTINUATION back-off that makes
@@ -1607,6 +1702,8 @@ object Text {
     "q_pii_redact"    -> piiRedact,
     "q_unigram_logprob" -> unigramLogprob,
     "q_naive_bayes"   -> naiveBayes,
+    "q_ccnet_buckets" -> ccnetBuckets,
+    "q_blocklist"     -> blocklist,
     "q_entropy"       -> entropy,
     "q_chunk_docs"    -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "q_wordcount"     -> wordcount,
@@ -1963,6 +2060,41 @@ object Text {
          SELECT doc_id, count(*) AS n_tokens,
                 round(avg(ln(cnt / CAST(n_corpus AS DOUBLE))), 4) AS avg_logp
          FROM c CROSS JOIN n GROUP BY doc_id ORDER BY doc_id""",
+    // per-language window counts into the same rounded avg ln, then
+    // ntile(3) over the identical (avg_logp DESC, doc_id) total order
+    "q_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, lang,
+                    unnest(string_split(text, ' ')) AS word FROM documents),
+         c AS (SELECT doc_id, lang,
+                 count(*) OVER (PARTITION BY lang, word) AS cnt FROM t),
+         lt AS (SELECT lang, count(*) AS n_lang FROM t GROUP BY 1),
+         sc AS (SELECT doc_id, c.lang, count(*) AS n_tokens,
+                  round(avg(ln(cnt / CAST(n_lang AS DOUBLE))), 4) AS avg_logp
+                FROM c JOIN lt USING (lang) GROUP BY 1, 2),
+         b AS (SELECT *, ntile(3) OVER (
+                 PARTITION BY lang ORDER BY avg_logp DESC, doc_id) AS nt FROM sc)
+         SELECT doc_id, lang, n_tokens, avg_logp,
+                CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+         FROM b ORDER BY doc_id""",
+    // the same adjacent-pair bigrams (range form = the zip-shift),
+    // the same (count DESC, prev, cur) top-20 phrase derivation
+    "q_blocklist" ->
+      """WITH ws AS (SELECT doc_id, source,
+                     string_split(text, ' ') AS ws FROM documents),
+         bi AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur FROM (
+                  SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 1)) AS i FROM ws)),
+         bl AS (SELECT prev, cur FROM (
+                  SELECT prev, cur,
+                         row_number() OVER (ORDER BY count(*) DESC, prev, cur) AS rn
+                  FROM bi GROUP BY prev, cur) r WHERE rn <= 20),
+         hits AS (SELECT doc_id, count(*) AS h
+                  FROM bi JOIN bl USING (prev, cur) GROUP BY 1)
+         SELECT d.doc_id, d.source,
+                coalesce(h, 0) AS n_hits,
+                coalesce(h, 0) > 0 AS flagged
+         FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
     // same integer model counts into identical ln((c+1)/(n_c+V))
     // calls, same c_dw-weighted sums over distinct doc tokens, same
     // max-lang tie-break ((score DESC, lang DESC) rank = Spark's

@@ -646,7 +646,101 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  // ----- Product quantization: the compressed-ANN scale path -----
+
+  /** PQ geometry: M = 4 subspaces × 16 dims, k = 4 codewords each —
+    * 64 doubles compress to 4 small codes (2 bits each at this k; a
+    * production deployment runs M = 8–64, k = 256). Codebook training
+    * is the proven [[kmeansAssign]] recurrence with `sub` added to
+    * every key, so the oracle is the same unrolled SQL. */
+  private val PqSubs = 4
+  private val PqSubDim = 16
+  private val PqTopK = 5
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011: "Product
+    * quantization for nearest neighbor search" — the IVFADC paper;
+    * what FAISS runs when a corpus is too big to keep raw vectors in
+    * memory). Three stages, all declarative:
+    *
+    * 1. TRAIN: an independent k-means per 16-dim subspace — the
+    *    [[kmeansAssign]] fixed 3-assign/2-update Lloyd unroll with
+    *    (sub) joined into every key: assignment = argmin over the
+    *    house left-fold squared distance partitioned by (vec_id,
+    *    sub), update = lockstep-rounded per-(sub, code, dim) means.
+    *    The codebook is M·k·(d/M) = 256 doubles TOTAL regardless of
+    *    corpus size — the whole point of PQ at 100 TB.
+    * 2. ENCODE: the final assignment IS the encoding — each vector
+    *    becomes M small ints. One narrow pass over the corpus; raw
+    *    vectors never shuffle again after this.
+    * 3. SERVE (ADC — asymmetric distance computation): for each query
+    *    in the serving batch, a lookup table of squared distances
+    *    query-subvector → codeword (|Q|·M·k = 80 rows, broadcast);
+    *    the approximate distance of every corpus vector is the SUM of
+    *    its M table entries. Table entries are quantized to exact
+    *    1e-6-unit longs BEFORE the sum, so the 4-term addition is
+    *    order-free integer math on both engines (the q_tpch_promo
+    *    sf1 lesson applied preemptively) — and the per-entry doubles
+    *    feeding the quantization are bit-identical folds.
+    *
+    * Scale: train moves (corpus × k) distance rows per round but only
+    * 256-key moment tables shuffle; encode is map-side against the
+    * broadcast codebook; serve shuffles one (qid, vec_id) partial-sum
+    * row per scored pair into a per-query top-k window — the same
+    * mass [[vectorTopkBatch]] pays, on 2-bit codes instead of raw
+    * floats. Output: top-5 per query by (adist_micro, vec_id). */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
+    val subs = e.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(PqSubs - 1)),
+        j => slice(col("v"), j * PqSubDim + 1, lit(PqSubDim))))
+        .as(Seq("sub", "sv")))
+
+    val init = subs.filter(col("vec_id").isin(0L, 100L, 200L, 300L))
+      .select(col("sub"), expr("vec_id div 100").as("code"), col("sv").as("c"))
+
+    def assign(codebook: DataFrame): DataFrame = {
+      val dist = fold(zip_with(col("sv"), col("c"), (x, y) => (x - y) * (x - y)))
+      val rn = row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dist"), col("code")))
+      subs.join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("code"), dist.as("dist"))
+        .withColumn("rn", rn).filter(col("rn") === 1).drop("rn")
+    }
+
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("sub"), col("code"), col("i"))
+        .agg((round(sum(col("x")), 4) / count(lit(1))).as("cd"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("cd")))),
+          t => t("cd")).as("c"))
+
+    val codebook = update(assign(update(assign(init))))
+    val codes = assign(codebook).select(col("vec_id"), col("sub"), col("code"))
+
+    val queries = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qsubs = queries.select(col("qid"),
+      posexplode(transform(sequence(lit(0), lit(PqSubs - 1)),
+        j => slice(col("qv"), j * PqSubDim + 1, lit(PqSubDim))))
+        .as(Seq("sub", "qsv")))
+    val pdist = fold(zip_with(col("qsv"), col("c"), (x, y) => (x - y) * (x - y)))
+    val lut = qsubs.join(codebook, Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        round(pdist * lit(1e6)).cast("long").as("pd_micro"))
+
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("vec_id")))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd_micro")).as("adist_micro"))
+      .withColumn("rank", rn).filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adist_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_pq" -> annPq,
     "q_jl_project" -> jlProject,
     "q_vector_mmr" -> vectorMmr,
     "q_dedup_semantic" -> dedupSemantic,
@@ -726,7 +820,58 @@ object Vectors {
     s"""WITH $kmeansCtes
        SELECT vec_id, cluster, round(dist, 6) AS dist FROM a3 ORDER BY vec_id"""
 
+  /** The per-subspace Lloyd recurrence unrolled — [[kmeansCtes]] with
+    * `sub` in every key and 16-dim folds; kept structurally parallel
+    * so the two recurrences can be reviewed side by side. */
+  private val pqCtes: String = {
+    def distTo(a: String, c: String) =
+      s"list_reduce(list_transform(range(1, 17), i -> ($a[i] - $c[i]) * ($a[i] - $c[i])), (x, y) -> x + y)"
+    def assign(a: String, cPrev: String) =
+      s"""$a AS MATERIALIZED (
+           SELECT vec_id, sub, code, dist FROM (
+             SELECT dd.*, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+             FROM (SELECT e.vec_id, e.sub, c.code, ${distTo("e.sv", "c.c")} AS dist
+                   FROM e JOIN $cPrev c USING (sub)) dd) WHERE rn = 1)"""
+    def update(c: String, aPrev: String) =
+      s"""$c AS MATERIALIZED (
+           SELECT sub, code, list(cd ORDER BY i) AS c FROM (
+             SELECT a.sub, a.code, t.i, round(sum(e.sv[t.i]), 4) / count(*) AS cd
+             FROM e JOIN $aPrev a USING (vec_id, sub), range(1, ${PqSubDim + 1}) t(i)
+             GROUP BY a.sub, a.code, t.i) m GROUP BY sub, code)"""
+    s"""raw AS MATERIALIZED (
+         SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
+       e AS MATERIALIZED (
+         SELECT vec_id, t.sub,
+                list_slice(v, t.sub * $PqSubDim + 1, t.sub * $PqSubDim + $PqSubDim) AS sv
+         FROM raw, range(0, $PqSubs) t(sub)),
+       c0 AS (SELECT sub, vec_id // 100 AS code, sv AS c FROM e
+              WHERE vec_id IN (0, 100, 200, 300)),
+       ${assign("a1", "c0")},
+       ${update("c1", "a1")},
+       ${assign("a2", "c1")},
+       ${update("c2", "a2")},
+       ${assign("a3", "c2")}"""
+  }
+
   val oracles: Map[String, String] = Map(
+    // the same per-subspace Lloyd unroll (sub joined into every key),
+    // the same 1e-6-quantized LUT entries summed as exact longs
+    "q_ann_pq" ->
+      s"""WITH $pqCtes,
+         q AS (SELECT vec_id AS qid, t.sub,
+                 list_slice(v, t.sub * $PqSubDim + 1, t.sub * $PqSubDim + $PqSubDim) AS qsv
+               FROM raw, range(0, $PqSubs) t(sub) WHERE vec_id % 100 = 7),
+         lut AS (SELECT qid, q.sub, c2.code,
+                   CAST(round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                     i -> (q.qsv[i] - c2.c[i]) * (q.qsv[i] - c2.c[i])),
+                     (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pd_micro
+                 FROM q JOIN c2 USING (sub)),
+         ad AS (SELECT qid, vec_id, CAST(sum(pd_micro) AS BIGINT) AS adist_micro
+                FROM a3 JOIN lut USING (sub, code) GROUP BY 1, 2),
+         top AS (SELECT *, CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY adist_micro, vec_id) AS INT) AS rank FROM ad)
+         SELECT qid, rank, vec_id, adist_micro FROM top
+         WHERE rank <= $PqTopK ORDER BY qid, rank""",
     // same hash-derived ±1 signs, same 0.0-seeded ordered folds
     "q_jl_project" ->
       s"""WITH e AS (SELECT vec_id,

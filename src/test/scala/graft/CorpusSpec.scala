@@ -369,4 +369,28 @@ class CorpusSpec extends SparkSpec {
       "encode under exhausted merges must equal the encode under the merges actually learned")
     assert(exhausted("s0") == ((1L, 2L, 2L, 4L))) // vocab {ab}; 2 words, 1 token each
   }
+
+  test("k-anonymity: hand-built equivalence classes hit all four flag combinations") {
+    import spark.implicits._
+    val docs = (Seq(
+      // (s1, bucket 1): 5 docs, 2 langs -> k-anonymous AND l-diverse
+      (1L, "en", "s1", 150L), (2L, "de", "s1", 160L), (3L, "en", "s1", 170L),
+      (4L, "en", "s1", 180L), (5L, "de", "s1", 190L),
+      // (s2, bucket 0): 1 doc -> neither
+      (6L, "en", "s2", 50L),
+      // (s3, bucket 2): 5 docs, 1 lang -> k-anonymous, NOT l-diverse
+      (7L, "en", "s3", 250L), (8L, "en", "s3", 260L), (9L, "en", "s3", 270L),
+      (10L, "en", "s3", 280L), (11L, "en", "s3", 290L),
+      // (s4, bucket 3): 2 docs, 2 langs -> l-diverse, NOT k-anonymous
+      (12L, "en", "s4", 350L), (13L, "zh", "s4", 360L),
+    )).toDF("doc_id", "lang", "source", "n_chars")
+    val rows = Corpus.kAnonymity(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(rows.size == 4)
+    assert(rows(("s1", 1L)) == ((5L, 2L, true, true)))
+    assert(rows(("s2", 0L)) == ((1L, 1L, false, false)))
+    assert(rows(("s3", 2L)) == ((5L, 1L, true, false)))
+    assert(rows(("s4", 3L)) == ((2L, 2L, false, true)))
+  }
 }

@@ -491,4 +491,47 @@ class TextSpec extends SparkSpec {
       assert(c.getDouble(3) >= 0.0 && c.getDouble(3) <= 1000.0, c.toString)
     }
   }
+
+  test("ccnet buckets: hand-ranked per-language tertiles, scores from the language's own LM") {
+    import spark.implicits._
+    // lang xx: c appears 10 times, r1..r14 once each, n_lang = 24.
+    // avg_logp ranks d1 > d2 > d3 > d4 > d5 = d6 (tie -> doc_id), so
+    // ntile(3) over 6 docs gives two per bucket in exactly that order.
+    // lang yy (3 docs) cuts independently: one doc per bucket.
+    val docs = Seq(
+      (1L, "xx", "c c c c"), (2L, "xx", "c c c r1"),
+      (3L, "xx", "c c r2 r3"), (4L, "xx", "c r4 r5 r6"),
+      (5L, "xx", "r7 r8 r9 r10"), (6L, "xx", "r11 r12 r13 r14"),
+      (7L, "yy", "k k k"), (8L, "yy", "k k u1"), (9L, "yy", "u2 u3 u4"),
+    ).toDF("doc_id", "lang", "text")
+    val got = Text.ccnetBucketsCore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(4), r.getDouble(3))).toMap
+    assert(got.view.mapValues(_._1).toMap == Map(
+      1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "middle",
+      5L -> "tail", 6L -> "tail", 7L -> "head", 8L -> "middle", 9L -> "tail"))
+    // d1: 4 tokens of the 10/24 word
+    val expected = BigDecimal(math.log(10.0 / 24))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 == expected, s"got ${got(1L)._2}, want $expected")
+    // all-rare docs score ln(1/24) exactly
+    assert(got(5L)._2 == got(6L)._2)
+  }
+
+  test("blocklist: planted frequent bigram flagged everywhere, sub-top-20 bigrams escape") {
+    import spark.implicits._
+    // bigram counts: (bad,word)=4, (word,bad)=2, 32 singletons. The
+    // top-20 cut keeps both planted bigrams + docB's two fillers +
+    // the 16 string-least zc bigrams -> exactly 14 zc docs escape.
+    val zcDocs = (0 until 30).map(i => (100L + i, s"s$i", s"zc$i zd$i"))
+    val docs = (Seq(
+      (1L, "sA", "bad word bad word bad word"),
+      (2L, "sB", "bad word filler1 filler2"),
+    ) ++ zcDocs).toDF("doc_id", "source", "text")
+    val rows = Text.blocklistCore(docs).collect()
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId(1L) == ((5L, true)), s"docA: ${byId(1L)}")   // 3 + 2 planted hits
+    assert(byId(2L) == ((3L, true)), s"docB: ${byId(2L)}")   // planted + both fillers
+    assert(rows.count(_.getBoolean(3)) == 18, "2 planted docs + 16 banned zc docs")
+    assert(rows.count(!_.getBoolean(3)) == 14, "zc docs past the top-20 cut escape")
+  }
 }

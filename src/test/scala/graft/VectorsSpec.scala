@@ -300,4 +300,23 @@ class VectorsSpec extends SparkSpec {
     assert(nDup > 0 && nDup < 250,
       s"SemCos gate should prune some but not most of the corpus, got $nDup dups")
   }
+
+  test("PQ ADC: 5 ranked rows per query, distances ascend, every self-hit survives quantization") {
+    val rows = SparkEntry.queries("q_ann_pq")(spark, sf0001).collect()
+    assert(rows.length == 25, s"5 queries x top-5, got ${rows.length}")
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(7L, 107L, 207L, 307L, 407L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5), s"ranks for $q")
+      val d = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b },
+        s"adist must be non-decreasing in rank for $q: ${d.toSeq}")
+      assert(d.head >= 0L)
+    }
+    // ADC distance of a vector to ITS OWN query is pure quantization
+    // error — small enough on this corpus that all 5 self-hits stay
+    // inside the top-5 (deterministic on the fixed testdata)
+    val selfHits = byQ.count { case (q, rs) => rs.exists(_.getLong(2) == q) }
+    assert(selfHits == 5, s"PQ self-recall degraded: $selfHits/5")
+  }
 }

@@ -659,6 +659,93 @@ object Corpus {
         (col("n_langs") >= 2).as("l_diverse"))
       .orderBy(col("source"), col("len_bucket"))
 
+  /** Curation filter funnel — the waterfall table every corpus tech
+    * report publishes (C4, Gopher, RefinedWeb, FineWeb all lead with
+    * one): how many documents survive each curation stage applied
+    * CUMULATIVELY, so reviewers can see which filter does the
+    * cutting. Stages here are the standard cheap gates in their
+    * conventional order: token-length bounds → top-word repetition
+    * cap (the Gopher §A1.1 headline filter) → mean-word-length
+    * quality band → exact-dedup survivorship. Every verdict is
+    * integer arithmetic (`max_wc·5 ≤ n_tokens`, `3n ≤ Σlen ≤ 12n`),
+    * so both engines agree without a rounding contract.
+    *
+    * Scale: per-doc features come from one (doc_id, word) rollup;
+    * survivorship is the digest-keyed min-id window (32-byte
+    * fingerprints shuffle, text never does); the funnel itself is ONE
+    * global aggregate emitting 5 rows regardless of corpus size. */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val perWord = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val feats = perWord.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_wc"),
+        sum(col("c") * length(col("w"))).as("sum_len"))
+    val surv = docs.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .select(col("doc_id"),
+        (col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("fp")))).as("keep"))
+    val f1 = col("n_tokens").between(25, 1000)
+    val f2 = col("max_wc") * 5 <= col("n_tokens")
+    val f3 = col("sum_len") >= col("n_tokens") * 3 &&
+      col("sum_len") <= col("n_tokens") * 12
+    // cumulative verdicts in one pass over the per-doc features
+    val cum = surv.join(feats, Seq("doc_id"), "left")
+      .select(
+        coalesce(f1, lit(false)).as("c1"),
+        coalesce(f1 && f2, lit(false)).as("c2"),
+        coalesce(f1 && f2 && f3, lit(false)).as("c3"),
+        (coalesce(f1 && f2 && f3, lit(false)) && col("keep")).as("c4"))
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("c1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("c3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("c4"), 1L).otherwise(0L)).as("n4"))
+    cum.select(expr(
+        """stack(5,
+             0, 'all',        n0, n0,
+             1, 'length',     n0, n1,
+             2, 'repetition', n1, n2,
+             3, 'quality',    n2, n3,
+             4, 'dedup',      n3, n4) AS (stage, stage_name, n_in, n_out)"""))
+      .withColumn("kept_permille", expr("(n_out * 1000) div n_in"))
+      .orderBy(col("stage"))
+  }
+
+  /** Differentially-private release counts (Dwork et al., TCC 2006:
+    * the Laplace mechanism) — the other half of the governance tier
+    * ([[kAnonymity]] audits; this RELEASES): per-(lang, source) class
+    * counts with Laplace(1/ε) noise at ε = 1 (count queries have
+    * sensitivity 1). A pipeline publishing corpus composition stats
+    * releases exactly this table.
+    *
+    * Harness rendering: the noise draw derives from the portable
+    * string hash of the group key (the module's hash-uniform family)
+    * through the standard inverse CDF — u ∈ (0, 1) maps to
+    * sign(u−½)·ln of the folded tail. That makes the draw
+    * REPRODUCIBLE cross-engine (what the oracle gate needs) — a
+    * production release would draw real randomness and publish ONLY
+    * the noisy column; the mechanism arithmetic, scale shape, and ε
+    * accounting are identical. Exact counts ride along here so the
+    * oracle can pin both sides.
+    *
+    * Scale: one map-side-combinable rollup to |classes| rows; the
+    * noise is a per-row scalar on the tiny output relation. */
+  def dpCounts(docs: DataFrame): DataFrame = {
+    val key = concat(lit("dp#"), col("lang"), lit("#"), col("source"))
+    val u = (graft.functions.PortableStringHash.portableHash(key, Text.HashMod) + lit(1L))
+      .cast("double") / (Text.HashMod + 1L).toDouble
+    val noise = when(u < 0.5, log(lit(2.0) * u))
+      .otherwise(-log(lit(2.0) * (lit(1.0) - u)))
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        round(col("n_docs") + noise, 4).as("noisy_docs"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Shared oracle CTE chain for the BPE family: the word-frequency
     * training table (wc/w0) and `BpeRounds` induction steps, each
     * producing the round's pair counts (pK), the argmax rule (rK) and
@@ -717,9 +804,72 @@ object Corpus {
       invertedIndex(Tables.documents(s, d))),
     "q_k_anonymity" -> ((s: SparkSession, d: String) =>
       kAnonymity(Tables.documents(s, d))),
+    "q_dp_counts" -> ((s: SparkSession, d: String) =>
+      dpCounts(Tables.documents(s, d))),
+    "q_filter_funnel" -> ((s: SparkSession, d: String) =>
+      filterFunnel(Tables.documents(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer verdicts (length bounds, max_wc*5 <= n, 3n <= sum_len
+    // <= 12n, digest-keyed min-id survivor) folded cumulatively
+    "q_filter_funnel" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+         tt AS (SELECT doc_id, w FROM t WHERE w != ''),
+         pw AS (SELECT doc_id, w, count(*) AS c FROM tt GROUP BY 1, 2),
+         f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(max(c) AS BIGINT) AS max_wc,
+                 CAST(sum(c * length(w)) AS BIGINT) AS sum_len
+               FROM pw GROUP BY 1),
+         sv AS (SELECT doc_id,
+                  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+                FROM documents),
+         j AS (SELECT
+                 coalesce(n_tokens BETWEEN 25 AND 1000, FALSE) AS c1,
+                 coalesce(n_tokens BETWEEN 25 AND 1000
+                   AND max_wc * 5 <= n_tokens, FALSE) AS c2,
+                 coalesce(n_tokens BETWEEN 25 AND 1000
+                   AND max_wc * 5 <= n_tokens
+                   AND sum_len >= n_tokens * 3
+                   AND sum_len <= n_tokens * 12, FALSE) AS c3,
+                 coalesce(n_tokens BETWEEN 25 AND 1000
+                   AND max_wc * 5 <= n_tokens
+                   AND sum_len >= n_tokens * 3
+                   AND sum_len <= n_tokens * 12, FALSE) AND keep AS c4
+               FROM sv LEFT JOIN f USING (doc_id)),
+         a AS (SELECT count(*) AS n0,
+                 CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                 CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+               FROM j)
+         SELECT stage, stage_name, n_in, n_out,
+                (n_out * 1000) // n_in AS kept_permille
+         FROM (
+           SELECT CAST(0 AS INT) AS stage, 'all' AS stage_name,
+                  n0 AS n_in, n0 AS n_out FROM a
+           UNION ALL SELECT 1, 'length', n0, n1 FROM a
+           UNION ALL SELECT 2, 'repetition', n1, n2 FROM a
+           UNION ALL SELECT 3, 'quality', n2, n3 FROM a
+           UNION ALL SELECT 4, 'dedup', n3, n4 FROM a)
+         ORDER BY stage""",
+    // same portable-hash fold into the same inverse-CDF Laplace draw;
+    // the ln operand is one division of exact integers on both sides
+    "q_dp_counts" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_docs
+                    FROM documents GROUP BY 1, 2),
+         u AS (SELECT lang, source, n_docs,
+                 (list_reduce(list_transform(
+                    string_split('dp#' || lang || '#' || source, ''),
+                    c -> CAST(ascii(c) AS BIGINT)),
+                  (a, v) -> (a * 31 + v) % 1000003) + 1)
+                 / CAST(1000004 AS DOUBLE) AS u
+               FROM g)
+         SELECT lang, source, n_docs,
+                round(n_docs + CASE WHEN u < 0.5 THEN ln(2.0 * u)
+                                    ELSE -ln(2.0 * (1.0 - u)) END, 4) AS noisy_docs
+         FROM u ORDER BY lang, source""",
     // pure integer counting over the same quasi-identifier rollup
     "q_k_anonymity" ->
       """SELECT source, n_chars // 100 AS len_bucket,

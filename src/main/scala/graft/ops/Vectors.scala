@@ -656,6 +656,10 @@ object Vectors {
   private val PqSubs = 4
   private val PqSubDim = 16
   private val PqTopK = 5
+  /** ADC shortlist size for the exact re-rank stage (IVFADC+R):
+    * production serving takes ADC top-R (R ≫ k), fetches those R raw
+    * vectors by id, and re-ranks exactly. */
+  private val PqRerank = 100
 
   /** Product-quantization ANN (Jégou et al., TPAMI 2011: "Product
     * quantization for nearest neighbor search" — the IVFADC paper;
@@ -688,7 +692,16 @@ object Vectors {
     * row per scored pair into a per-query top-k window — the same
     * mass [[vectorTopkBatch]] pays, on 2-bit codes instead of raw
     * floats. Output: top-5 per query by (adist_micro, vec_id). */
-  def annPq(s: SparkSession, d: String): DataFrame = {
+  def annPq(s: SparkSession, d: String): DataFrame =
+    pqAdc(s, d).orderBy(col("qid"), col("rank"))
+
+  /** The unsorted ADC top-k relation `(qid, rank, vec_id,
+    * adist_micro)` behind [[annPq]] — factored out so [[annPqRecall]]
+    * can reuse the identical train/encode/serve pipeline without
+    * paying (or relying on Catalyst to eliminate) the presentation
+    * sort. */
+  private[graft] def pqAdc(s: SparkSession, d: String,
+      topK: Int = PqTopK): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
     val subs = e.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(PqSubs - 1)),
@@ -734,13 +747,75 @@ object Vectors {
     codes.join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pd_micro")).as("adist_micro"))
-      .withColumn("rank", rn).filter(col("rank") <= PqTopK)
+      .withColumn("rank", rn).filter(col("rank") <= topK)
       .select(col("qid"), col("rank"), col("vec_id"), col("adist_micro"))
-      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** PQ recall harness — the V11 evaluation posture applied to the
+    * compressed index: recall@5 against brute-force exact-L2 ground
+    * truth for every query in the serving batch, measured at BOTH
+    * serving tiers. PQ trades accuracy for a 128× memory cut (64
+    * doubles → 4 codes), and these are the numbers that say whether
+    * the trade was sane — as a declared oracle-checked query, not a
+    * docstring claim:
+    *
+    *  - `recall_adc`: raw ADC top-5. At the harness's deliberately
+    *    tiny codebook (8-bit codes — 256 cells for the whole corpus)
+    *    this lands ~0.2–0.4, the expected information-theoretic
+    *    outcome, honestly reported (production runs M=8–64 ×
+    *    k=256).
+    *  - `recall_refined`: the production serving shape (IVFADC+R):
+    *    ADC shortlists top-[[PqRerank]] per query, those raw vectors
+    *    are fetched by id, and exact L2 re-ranks the shortlist — the
+    *    corpus-wide scan stays on 2-bit codes, exact math touches
+    *    ≤ R rows per query.
+    *
+    * Truth = one corpus scan per batch (bounded
+    * BroadcastNestedLoopJoin, exact 64-dim squared L2, the house
+    * fold); intersections = (qid, vec_id) semi joins of
+    * ≤5-row-per-query relations, every post-top-k join broadcast
+    * explicitly (the q_ann_recall AQE stage-race lesson). */
+  def annPqRecall(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
+    val queries = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dist = fold(zip_with(col("v"), col("qv"), (x, y) => (x - y) * (x - y)))
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id")))
+    val truth = e.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"), dist.as("dist"))
+      .withColumn("rn", rn).filter(col("rn") <= PqTopK)
+      .select(col("qid"), col("vec_id"))
+    val shortlist = pqAdc(s, d, PqRerank)
+    val adcTop = shortlist.filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("vec_id"))
+    // fetch-by-id: the ≤R·|Q|-row shortlist broadcasts against the
+    // corpus scan, never the other way around
+    val refined = e
+      .join(broadcast(shortlist.select(col("qid"), col("vec_id"))), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("vec_id"), dist.as("dist"))
+      .withColumn("rn", rn).filter(col("rn") <= PqTopK)
+      .select(col("qid"), col("vec_id"))
+    def hitsOf(approx: DataFrame): DataFrame =
+      truth.join(broadcast(approx), Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    val recall = (h: Column) =>
+      round(coalesce(h, lit(0L)) / lit(PqTopK.toDouble), 2)
+    queries.select(col("qid"))
+      .join(broadcast(hitsOf(adcTop).withColumnRenamed("n_hits", "h_adc")), Seq("qid"), "left")
+      .join(broadcast(hitsOf(refined).withColumnRenamed("n_hits", "h_ref")), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h_adc"), lit(0L)).as("n_hits_adc"),
+        recall(col("h_adc")).as("recall_adc"),
+        coalesce(col("h_ref"), lit(0L)).as("n_hits_refined"),
+        recall(col("h_ref")).as("recall_refined"))
+      .orderBy(col("qid"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> annPq,
+    "q_ann_pq_recall" -> annPqRecall,
     "q_jl_project" -> jlProject,
     "q_vector_mmr" -> vectorMmr,
     "q_dedup_semantic" -> dedupSemantic,
@@ -853,25 +928,65 @@ object Vectors {
        ${assign("a3", "c2")}"""
   }
 
+  /** The ADC serving chain on top of [[pqCtes]] (`q` → `lut` → `ad` →
+    * `top`), shared verbatim between the q_ann_pq oracle and the
+    * q_ann_pq_recall oracle so the two can never disagree on a
+    * ranking. */
+  private val pqAdcCtes: String =
+    s"""$pqCtes,
+       q AS (SELECT vec_id AS qid, t.sub,
+               list_slice(v, t.sub * $PqSubDim + 1, t.sub * $PqSubDim + $PqSubDim) AS qsv
+             FROM raw, range(0, $PqSubs) t(sub) WHERE vec_id % 100 = 7),
+       lut AS (SELECT qid, q.sub, c2.code,
+                 CAST(round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+                   i -> (q.qsv[i] - c2.c[i]) * (q.qsv[i] - c2.c[i])),
+                   (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pd_micro
+               FROM q JOIN c2 USING (sub)),
+       ad AS (SELECT qid, vec_id, CAST(sum(pd_micro) AS BIGINT) AS adist_micro
+              FROM a3 JOIN lut USING (sub, code) GROUP BY 1, 2),
+       top AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY adist_micro, vec_id) AS INT) AS rank FROM ad)"""
+
   val oracles: Map[String, String] = Map(
     // the same per-subspace Lloyd unroll (sub joined into every key),
     // the same 1e-6-quantized LUT entries summed as exact longs
     "q_ann_pq" ->
-      s"""WITH $pqCtes,
-         q AS (SELECT vec_id AS qid, t.sub,
-                 list_slice(v, t.sub * $PqSubDim + 1, t.sub * $PqSubDim + $PqSubDim) AS qsv
-               FROM raw, range(0, $PqSubs) t(sub) WHERE vec_id % 100 = 7),
-         lut AS (SELECT qid, q.sub, c2.code,
-                   CAST(round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
-                     i -> (q.qsv[i] - c2.c[i]) * (q.qsv[i] - c2.c[i])),
-                     (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pd_micro
-                 FROM q JOIN c2 USING (sub)),
-         ad AS (SELECT qid, vec_id, CAST(sum(pd_micro) AS BIGINT) AS adist_micro
-                FROM a3 JOIN lut USING (sub, code) GROUP BY 1, 2),
-         top AS (SELECT *, CAST(row_number() OVER (
-                   PARTITION BY qid ORDER BY adist_micro, vec_id) AS INT) AS rank FROM ad)
+      s"""WITH $pqAdcCtes
          SELECT qid, rank, vec_id, adist_micro FROM top
          WHERE rank <= $PqTopK ORDER BY qid, rank""",
+    // truth = exact 64-dim squared L2 (the house fold) per query;
+    // approx tiers = the shared ADC chain raw and exact-re-ranked off
+    // its top-R shortlist; hits = the same (qid, vec_id)
+    // intersections counted as exact integers
+    "q_ann_pq_recall" ->
+      s"""WITH $pqAdcCtes,
+         qr AS (SELECT vec_id AS qid, v AS qv FROM raw WHERE vec_id % 100 = 7),
+         tr AS (SELECT qid, vec_id FROM (
+             SELECT qr.qid, raw.vec_id, row_number() OVER (PARTITION BY qr.qid
+               ORDER BY list_reduce(list_transform(range(1, 65),
+                 i -> (raw.v[i] - qr.qv[i]) * (raw.v[i] - qr.qv[i])),
+                 (x, y) -> x + y), raw.vec_id) AS rn
+             FROM raw CROSS JOIN qr) WHERE rn <= $PqTopK),
+         ap AS (SELECT qid, vec_id FROM top WHERE rank <= $PqTopK),
+         rf AS (SELECT qid, vec_id FROM (
+             SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+               ORDER BY list_reduce(list_transform(range(1, 65),
+                 i -> (raw.v[i] - qr.qv[i]) * (raw.v[i] - qr.qv[i])),
+                 (x, y) -> x + y), s.vec_id) AS rn
+             FROM (SELECT qid, vec_id FROM top WHERE rank <= $PqRerank) s
+             JOIN raw ON raw.vec_id = s.vec_id
+             JOIN qr ON qr.qid = s.qid) WHERE rn <= $PqTopK),
+         ha AS (SELECT tr.qid, count(*) AS n_hits FROM tr
+                JOIN ap ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id GROUP BY tr.qid),
+         hr AS (SELECT tr.qid, count(*) AS n_hits FROM tr
+                JOIN rf ON tr.qid = rf.qid AND tr.vec_id = rf.vec_id GROUP BY tr.qid)
+         SELECT qr.qid,
+           CAST(coalesce(ha.n_hits, 0) AS BIGINT) AS n_hits_adc,
+           round(coalesce(ha.n_hits, 0) / CAST($PqTopK.0 AS DOUBLE), 2) AS recall_adc,
+           CAST(coalesce(hr.n_hits, 0) AS BIGINT) AS n_hits_refined,
+           round(coalesce(hr.n_hits, 0) / CAST($PqTopK.0 AS DOUBLE), 2) AS recall_refined
+         FROM qr LEFT JOIN ha ON qr.qid = ha.qid LEFT JOIN hr ON qr.qid = hr.qid
+         ORDER BY qr.qid""",
     // same hash-derived ±1 signs, same 0.0-seeded ordered folds
     "q_jl_project" ->
       s"""WITH e AS (SELECT vec_id,

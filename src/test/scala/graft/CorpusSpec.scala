@@ -393,4 +393,46 @@ class CorpusSpec extends SparkSpec {
     assert(rows(("s3", 2L)) == ((5L, 1L, true, false)))
     assert(rows(("s4", 3L)) == ((2L, 2L, false, true)))
   }
+
+  test("dp counts: hand-folded hash uniform through the inverse-CDF Laplace draw") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s1"),
+      (4L, "de", "s2"),
+    ).toDF("doc_id", "lang", "source")
+    val rows = Corpus.dpCounts(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def noisy(key: String, n: Long): Double = {
+      val h = key.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + b) % 1000003L)
+      val u = (h + 1).toDouble / 1000004.0
+      val noise = if (u < 0.5) math.log(2.0 * u) else -math.log(2.0 * (1.0 - u))
+      BigDecimal(n + noise).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(rows(("en", "s1"))._1 == 3L)
+    assert(rows(("en", "s1"))._2 == noisy("dp#en#s1", 3L))
+    assert(rows(("de", "s2"))._1 == 1L)
+    assert(rows(("de", "s2"))._2 == noisy("dp#de#s2", 1L))
+    // the mechanism must actually perturb (a zero draw needs u = 0.5
+    // exactly — measure-zero on the hash family)
+    rows.foreach { case (_, (n, nz)) => assert(math.abs(nz - n) > 0) }
+  }
+
+  test("filter funnel: each stage cuts exactly its planted victim, cumulatively") {
+    import spark.implicits._
+    val ok = (1 to 30).map(i => f"w$i%03d").mkString(" ")           // 30 x 4-char distinct
+    val short = (1 to 10).map(i => f"w$i%03d").mkString(" ")        // cut: length
+    val repeat = (Seq.fill(10)("xxxx") ++ (1 to 20).map(i => f"y$i%03d")).mkString(" ") // cut: repetition
+    val thin = (1 to 30).map(i => ('a' + (i - 1) % 26).toChar.toString + (i / 26)).mkString(" ") // 2-char words, cut: quality
+    val docs = Seq(
+      (1L, ok), (2L, short), (3L, repeat), (4L, thin), (5L, ok),    // 5 clones 1
+    ).toDF("doc_id", "text")
+    val rows = Corpus.filterFunnel(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows(0) == (("all", 5L, 5L, 1000L)))
+    assert(rows(1) == (("length", 5L, 4L, 800L)))
+    assert(rows(2) == (("repetition", 4L, 3L, 750L)))
+    assert(rows(3) == (("quality", 3L, 2L, 666L)))
+    assert(rows(4) == (("dedup", 2L, 1L, 500L)))
+  }
 }

@@ -319,4 +319,23 @@ class VectorsSpec extends SparkSpec {
     val selfHits = byQ.count { case (q, rs) => rs.exists(_.getLong(2) == q) }
     assert(selfHits == 5, s"PQ self-recall degraded: $selfHits/5")
   }
+
+  test("PQ recall harness: refine dominates raw ADC per query and recovers real recall") {
+    val rows = SparkEntry.queries("q_ann_pq_recall")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(7L, 107L, 207L, 307L, 407L))
+    rows.foreach { r =>
+      val (hAdc, hRef) = (r.getLong(1), r.getLong(3))
+      assert(hAdc >= 0 && hAdc <= 5 && hRef >= 0 && hRef <= 5, r.toString)
+      // any truth vector the raw ADC top-5 finds is in the shortlist,
+      // and exact re-ranking within the shortlist can only promote
+      // truth vectors — so refine dominates ADC pointwise, always
+      assert(hRef >= hAdc, s"refine must dominate raw ADC: $r")
+      assert(math.abs(r.getDouble(2) - hAdc / 5.0) < 1e-9, r.toString)
+      assert(math.abs(r.getDouble(4) - hRef / 5.0) < 1e-9, r.toString)
+    }
+    val meanAdc = rows.map(_.getLong(1)).sum / 5.0
+    val meanRef = rows.map(_.getLong(3)).sum / 5.0
+    assert(meanRef > meanAdc,
+      s"on the harness corpus the refine tier must add recall: $meanAdc vs $meanRef")
+  }
 }

@@ -813,8 +813,112 @@ object Vectors {
       .orderBy(col("qid"))
   }
 
+  // ----- PCA: the data-dependent dimensionality-reduction path -----
+
+  /** Power-iteration rounds. The harness corpus is near-ISOTROPIC
+    * (λ₁ barely above the bulk — evr ≈ 2.6% vs the uniform 1/64 =
+    * 1.6%), so the (λ₂/λ₁)^k contraction is slow by construction and
+    * 8 rounds do NOT settle the direction to output rounding; real
+    * embedding corpora have large eigengaps and converge in a few
+    * rounds. The contract is therefore the honest bounded-round one:
+    * the Rayleigh estimate is a monotonically non-decreasing LOWER
+    * bound on λ₁ (the textbook power-iteration property, spec-pinned
+    * as monotone-with-contracting-gains), not a converged claim. */
+  private val PcaIters = 8
+
+  /** PC1 by power iteration over the embedding corpus — the
+    * data-DEPENDENT complement of [[jlProject]]'s data-independent
+    * projection (PCA is what a pipeline reaches for when it can
+    * afford a corpus pass: same 4× shuffle cut ahead of ANN, but
+    * aligned to the data's own variance instead of random signs).
+    *
+    * The 100 TB shape is the whole point: the covariance matrix is
+    * NEVER materialized. Each iteration computes C·v as
+    * Σ_rows cv·(cv·v)/n — per row one ordered-fold dot (cv·v = s) and
+    * a 64-term weighted contribution, aggregated per dimension. d×d
+    * is out of the plan entirely (at real embedding widths C is
+    * d² ≫ memory; the row-streamed form is how distributed PCA is
+    * actually run), the corpus never shuffles — only 64-row moment
+    * tables move per iteration, exactly the k-means update shape.
+    *
+    * Determinism (the [[kmeansAssign]] lockstep contract): means and
+    * every per-dimension iteration aggregate are rounded at 4 BEFORE
+    * further arithmetic (Σcv·s magnitudes ~10²–10³ vs ~1e-11
+    * summation noise), per-row dots are ordered folds, and the
+    * normalization divides by an ordered-fold norm — so every engine
+    * walks the same v₀ → v₈ trajectory bit-for-bit. v₀ = 1/8
+    * uniform (a fixed literal, never collected), sign therefore
+    * deterministic. Output: per-dimension mean, variance, PC1
+    * loading, plus the Rayleigh λ₁ and explained-variance share. */
+  def pcaPower(s: SparkSession, d: String): DataFrame =
+    pcaPowerCore(Tables.embeddings(s, d))
+
+  /** Power iteration over any `(vec_id, embedding)` relation —
+    * DataFrame-parameterized so VectorsSpec can pin the trajectory on
+    * a hand-solved 2-dim corpus and check round-8 convergence. */
+  def pcaPowerCore(emb: DataFrame, width: Int = 64,
+      iters: Int = PcaIters): DataFrame = {
+    val e0 = emb.select(col("vec_id"), darr.as("v"))
+    val means = e0.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg((round(sum(col("x")), 4) / count(lit(1))).as("m"))
+      .groupBy()
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("m")))),
+        t => t("m")).as("m"))
+    val cv = e0.crossJoin(broadcast(means))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("m"), (x, mm) => x - mm).as("cv"))
+
+    // one power step: vRel (single row `vv`) -> normalized C·v
+    def step(vRel: DataFrame): DataFrame = {
+      val y = cv.crossJoin(broadcast(vRel))
+        .select(col("cv"),
+          fold(zip_with(col("cv"), col("vv"), (a, b) => a * b)).as("s"))
+        .select(col("s"), posexplode(col("cv")).as(Seq("i", "c")))
+        .groupBy(col("i"))
+        .agg(round(sum(col("c") * col("s")), 4).as("y"))
+        .groupBy()
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("y")))),
+          t => t("y")).as("y"))
+      y.select(transform(col("y"),
+        yi => yi / sqrt(fold(transform(col("y"), t => t * t)))).as("vv"))
+    }
+
+    // unit v0, every component 1/sqrt(width) — exactly 0.125 at 64
+    val v0: DataFrame = emb.sparkSession.range(1).toDF("one")
+      .select(typedLit(Seq.fill(width)(1.0 / math.sqrt(width.toDouble))).as("vv"))
+    val vFin = (1 to iters).foldLeft(v0)((acc, _) => step(acc))
+
+    // Rayleigh quotient along the settled direction + per-dim stats.
+    // tot_var sums EXACT 1e-4-unit longs (the q_tpch_promo discipline)
+    // so the 64-term addition is order-free on both engines.
+    val scored = cv.crossJoin(broadcast(vFin))
+      .select(col("cv"),
+        fold(zip_with(col("cv"), col("vv"), (a, b) => a * b)).as("s"))
+    val lam = scored.agg(
+      (round(sum(col("s") * col("s")), 4) / count(lit(1))).as("lambda1"))
+    val stats = cv.select(posexplode(col("cv")).as(Seq("i", "c")))
+      .groupBy(col("i"))
+      .agg(round(sum(col("c") * col("c")), 4).as("ss"),
+        count(lit(1)).as("n"))
+    val totVar = stats.agg((sum(round(col("ss") * 1e4).cast("long"))
+        / (lit(1e4) * max(col("n")))).as("tot_var"))
+    stats
+      .join(means.select(posexplode(col("m")).as(Seq("i", "mean"))), Seq("i"))
+      .join(vFin.select(posexplode(col("vv")).as(Seq("i", "pc1"))), Seq("i"))
+      .crossJoin(broadcast(lam)).crossJoin(broadcast(totVar))
+      .select(col("i").as("dim"),
+        round(col("mean"), 6).as("mean"),
+        round(col("ss") / col("n"), 6).as("variance"),
+        round(col("pc1"), 6).as("pc1"),
+        round(col("lambda1"), 6).as("lambda1"),
+        round(col("lambda1") / col("tot_var"), 6).as("evr"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_pq" -> annPq,
+    "q_pca_power" -> pcaPower,
     "q_ann_pq_recall" -> annPqRecall,
     "q_jl_project" -> jlProject,
     "q_vector_mmr" -> vectorMmr,
@@ -947,7 +1051,54 @@ object Vectors {
        top AS (SELECT *, CAST(row_number() OVER (
                  PARTITION BY qid ORDER BY adist_micro, vec_id) AS INT) AS rank FROM ad)"""
 
+  /** The power-iteration recurrence unrolled: per-row ordered-fold
+    * dots, per-dimension sums lockstep-rounded at 4, ordered-fold
+    * norms — [[pcaPowerCore]]'s v₀ → v₈ trajectory step for step. */
+  private val pcaOracle: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    val steps = (1 to PcaIters).map { k =>
+      s""",
+         s$k AS (SELECT vec_id, cv, ${dot("cv", "vv")} AS s
+                 FROM cvr CROSS JOIN v${k - 1}),
+         y$k AS (SELECT i, round(sum(cv[i] * s), 4) AS y
+                 FROM s$k, range(1, 65) t(i) GROUP BY i),
+         yl$k AS (SELECT list(y ORDER BY i) AS y FROM y$k),
+         v$k AS (SELECT list_transform(y, t -> t / sqrt(
+                   list_reduce(list_transform(y, u -> u * u), (a, b) -> a + b))) AS vv
+                 FROM yl$k)"""
+    }.mkString
+    s"""WITH raw AS MATERIALIZED (
+         SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
+       mn AS (SELECT i, round(sum(v[i]), 4) / count(*) AS m
+              FROM raw, range(1, 65) t(i) GROUP BY i),
+       ml AS (SELECT list(m ORDER BY i) AS m FROM mn),
+       cvr AS MATERIALIZED (
+         SELECT vec_id, list_transform(range(1, 65), i -> v[i] - m[i]) AS cv
+         FROM raw CROSS JOIN ml),
+       v0 AS (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS vv)
+       $steps,
+       sc AS (SELECT ${dot("cv", "vv")} AS s FROM cvr CROSS JOIN v$PcaIters),
+       lam AS (SELECT round(sum(s * s), 4) / count(*) AS lambda1 FROM sc),
+       st AS (SELECT i, round(sum(cv[i] * cv[i]), 4) AS ss, count(*) AS n
+              FROM cvr, range(1, 65) t(i) GROUP BY i),
+       tv AS (SELECT sum(CAST(round(ss * 10000.0) AS BIGINT)) / (10000.0 * max(n)) AS tot_var
+              FROM st),
+       pcl AS (SELECT i, vv[i] AS pc1 FROM v$PcaIters, range(1, 65) t(i))
+       SELECT CAST(st.i - 1 AS INT) AS dim,
+              round(mn.m, 6) AS mean,
+              round(st.ss / st.n, 6) AS variance,
+              round(pcl.pc1, 6) AS pc1,
+              round(lam.lambda1, 6) AS lambda1,
+              round(lam.lambda1 / tv.tot_var, 6) AS evr
+       FROM st JOIN mn USING (i) JOIN pcl USING (i)
+       CROSS JOIN lam CROSS JOIN tv
+       ORDER BY dim"""
+  }
+
   val oracles: Map[String, String] = Map(
+    // the power-iteration trajectory replayed step for step
+    "q_pca_power" -> pcaOracle,
     // the same per-subspace Lloyd unroll (sub joined into every key),
     // the same 1e-6-quantized LUT entries summed as exact longs
     "q_ann_pq" ->

@@ -338,4 +338,46 @@ class VectorsSpec extends SparkSpec {
     assert(meanRef > meanAdc,
       s"on the harness corpus the refine tier must add recall: $meanAdc vs $meanRef")
   }
+
+  test("PCA power iteration: hand-solved 2-dim corpus lands exactly on the variance axis") {
+    import spark.implicits._
+    // points (±1, 0), (±2, 0): means (0,0); cov diag (2.5, 0); the
+    // first power step already normalizes to (1, 0) and stays there.
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(2.0f, 0.0f)), (4L, Seq(-2.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val rows = ops.Vectors.pcaPowerCore(emb, width = 2).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.size == 2)
+    val d0 = rows(0)
+    assert(d0.getDouble(1) == 0.0 && d0.getDouble(2) == 2.5, d0.toString)
+    assert(d0.getDouble(3) == 1.0, s"PC1 must align with the variance axis: $d0")
+    assert(d0.getDouble(4) == 2.5 && d0.getDouble(5) == 1.0, d0.toString)
+    val d1 = rows(1)
+    assert(d1.getDouble(2) == 0.0 && d1.getDouble(3) == 0.0, d1.toString)
+  }
+
+  test("PCA power iteration: Rayleigh estimate is a monotone lower bound with contracting gains") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def lamAt(k: Int): Double =
+      ops.Vectors.pcaPowerCore(emb, iters = k).collect().head.getDouble(4)
+    val lams = Seq(1, 2, 4, 7, 8).map(k => k -> lamAt(k))
+    lams.sliding(2).foreach { case Seq((ka, a), (kb, b)) =>
+      assert(b >= a, s"Rayleigh must be non-decreasing: iters $ka=$a vs $kb=$b")
+    }
+    // contraction: the late gain is a fraction of the early one (the
+    // harness corpus is near-isotropic, so full convergence by round 8
+    // is not claimed — the estimate is an honest lower bound)
+    val early = lams(1)._2 - lams(0)._2
+    val late = lams(4)._2 - lams(3)._2
+    assert(late < early, s"per-round gain must contract: early $early vs late $late")
+    // the reported direction is unit-norm and spread, not a degenerate axis
+    val v8 = ops.Vectors.pcaPowerCore(emb).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val norm = math.sqrt(v8.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"unit loading vector, got norm $norm")
+    assert(v8.values.count(x => math.abs(x) > 0.05) > 8,
+      "PC1 should spread across dimensions on this corpus")
+  }
 }

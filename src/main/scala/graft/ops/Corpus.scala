@@ -366,6 +366,62 @@ object Corpus {
       .orderBy(col("split"), col("source"))
   }
 
+  /** Train/val/test leakage audit — the check every pipeline should
+    * run after splitting and most don't (Lewis et al. 2021 found
+    * 30%+ of popular QA test sets leaked from train): near-duplicate
+    * pairs that CROSS split boundaries make eval scores lies, because
+    * random document-level splits put clones of the same page on both
+    * sides. Splits are [[splitAssign]]'s own hash buckets (the same
+    * draw the user ships), near-dup candidates are the portable
+    * MinHash-LSH band buckets (T3's declared at-scale mechanics) —
+    * two docs leak if they share any band bucket and sit in different
+    * splits. Output: one row per ordered split pair (train→val,
+    * train→test, val→test): candidate pair count, distinct
+    * contaminated eval-side docs, and the contamination rate in
+    * exact permille. Zero-leak pairs still emit their row (a clean
+    * audit is a result, not an absence).
+    *
+    * Scale: the band self-join is bucket-bounded (never all-pairs —
+    * the LSH guarantee), splits ride as a broadcast-joinable narrow
+    * column, and the rollup is 3 rows at any corpus size. On the sf1
+    * clone corpus this query is the punchline: ~10 clones of every
+    * doc scattered over an 80/10/10 split leak nearly every val/test
+    * doc — exactly what it exists to catch. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val bucket = ((col("doc_id") * SplitA + SplitC) % SplitP) % 100
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise(lit("test"))
+    val rank = when(col("split") === "train", 0)
+      .when(col("split") === "val", 1).otherwise(2)
+    val assigned = docs.select(col("doc_id"), split.as("split"))
+      .withColumn("rk", rank)
+    val sizes = assigned.groupBy(col("split"), col("rk"))
+      .agg(count(lit(1)).as("n_docs"))
+    val b = Text.portableBands(docs)
+      .join(assigned, Seq("doc_id"))
+    val l = b.select(col("band"), col("band_sig"),
+      col("doc_id").as("da"), col("split").as("split_a"), col("rk").as("ra"))
+    val r = b.select(col("band"), col("band_sig"),
+      col("doc_id").as("db"), col("split").as("split_b"), col("rk").as("rb"))
+    val pairs = l.join(r, Seq("band", "band_sig"))
+      .filter(col("ra") < col("rb"))
+      .select(col("split_a"), col("split_b"), col("da"), col("db"))
+      .distinct()
+    val agg = pairs.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("np"), countDistinct(col("db")).as("nl"))
+    val lo = sizes.select(col("split").as("split_a"), col("rk").as("ra"))
+    val hi = sizes.select(col("split").as("split_b"), col("rk").as("rb"),
+      col("n_docs").as("n_docs_b"))
+    lo.crossJoin(hi).filter(col("ra") < col("rb"))
+      .join(agg, Seq("split_a", "split_b"), "left")
+      .withColumn("n_pairs", coalesce(col("np"), lit(0L)))
+      .withColumn("n_leaked_docs", coalesce(col("nl"), lit(0L)))
+      .withColumn("leaked_permille", expr("(n_leaked_docs * 1000) div n_docs_b"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("n_leaked_docs"), col("n_docs_b"), col("leaked_permille"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Fixed-k per-group deterministic sample (r5 wave 14): k = 10 docs
     * per source by hash-rank — the eval-slice draw ("give me 10
     * representative docs from every shard to eyeball / hold out").
@@ -808,9 +864,42 @@ object Corpus {
       dpCounts(Tables.documents(s, d))),
     "q_filter_funnel" -> ((s: SparkSession, d: String) =>
       filterFunnel(Tables.documents(s, d))),
+    "q_split_leakage" -> ((s: SparkSession, d: String) =>
+      splitLeakage(Tables.documents(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
+    // the same split hash buckets and the same portable band buckets;
+    // leak counting is pure integer arithmetic on the distinct pairs
+    "q_split_leakage" -> {
+      s"""WITH ${Text.portableBandsCte},
+         s AS (SELECT doc_id,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 CASE WHEN b < 80 THEN 0 WHEN b < 90 THEN 1 ELSE 2 END AS rk
+               FROM (SELECT doc_id,
+                       ((doc_id * $SplitA + $SplitC) % $SplitP) % 100 AS b
+                     FROM documents)),
+         sz AS (SELECT split, rk, count(*) AS n_docs FROM s GROUP BY 1, 2),
+         pr AS (SELECT DISTINCT la.split AS split_a, lb.split AS split_b,
+                  a.doc_id AS da, b.doc_id AS db
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_sig = b.band_sig
+                JOIN s la ON la.doc_id = a.doc_id
+                JOIN s lb ON lb.doc_id = b.doc_id
+                WHERE la.rk < lb.rk),
+         ag AS (SELECT split_a, split_b, count(*) AS np,
+                  count(DISTINCT db) AS nl FROM pr GROUP BY 1, 2)
+         SELECT lo.split AS split_a, hi.split AS split_b,
+           CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(nl, 0) AS BIGINT) AS n_leaked_docs,
+           CAST(hi.n_docs AS BIGINT) AS n_docs_b,
+           (CAST(coalesce(nl, 0) AS BIGINT) * 1000) // hi.n_docs AS leaked_permille
+         FROM sz lo CROSS JOIN sz hi
+         LEFT JOIN ag ON ag.split_a = lo.split AND ag.split_b = hi.split
+         WHERE lo.rk < hi.rk
+         ORDER BY split_a, split_b"""
+    },
     // same integer verdicts (length bounds, max_wc*5 <= n, 3n <= sum_len
     // <= 12n, digest-keyed min-id survivor) folded cumulatively
     "q_filter_funnel" ->

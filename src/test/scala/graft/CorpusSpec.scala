@@ -417,6 +417,39 @@ class CorpusSpec extends SparkSpec {
     rows.foreach { case (_, (n, nz)) => assert(math.abs(nz - n) > 0) }
   }
 
+  test("split leakage: planted cross-split clone flagged, same-split clone pair stays silent") {
+    import spark.implicits._
+    // derive each id's split with the engine's own hash so the test
+    // can PLACE clones deliberately
+    def splitOf(id: Long): String = {
+      val b = ((id * 2654435761L + 12345L) % 1000003L) % 100L
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val ids = (1L to 300L)
+    val trainIds = ids.filter(splitOf(_) == "train")
+    val valIds = ids.filter(splitOf(_) == "val")
+    val testIds = ids.filter(splitOf(_) == "test")
+    assert(trainIds.size >= 2 && valIds.nonEmpty && testIds.nonEmpty)
+    val clone = "the quick brown fox jumps over the lazy dog again tonight"
+    val trainClone = "pack my box with five dozen liquor jugs every single day"
+    val docs = Seq(
+      (trainIds(0), clone),                     // leaks into val
+      (valIds(0), clone),
+      (trainIds(1), trainClone),                // same-split pair: silent
+      (trainIds(2), trainClone),
+      (testIds(0), "unique zebra walrus text nothing shares these words"),
+    ).toDF("doc_id", "text")
+    val rows = Corpus.splitLeakage(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size == 3)
+    val (np, nl, nb, pm) = rows(("train", "val"))
+    assert(np >= 1 && nl == 1 && nb == 1 && pm == 1000,
+      s"planted train-val clone must contaminate the whole 1-doc val split: ${rows(("train", "val"))}")
+    assert(rows(("train", "test"))._2 == 0, "test split must stay clean")
+    assert(rows(("val", "test"))._2 == 0)
+  }
+
   test("filter funnel: each stage cuts exactly its planted victim, cumulatively") {
     import spark.implicits._
     val ok = (1 to 30).map(i => f"w$i%03d").mkString(" ")           // 30 x 4-char distinct

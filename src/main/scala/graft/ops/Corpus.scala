@@ -730,6 +730,14 @@ object Corpus {
     * survivorship is the digest-keyed min-id window (32-byte
     * fingerprints shuffle, text never does); the funnel itself is ONE
     * global aggregate emitting 5 rows regardless of corpus size. */
+  /** Funnel gate constants — interpolated into both the plan and the
+    * oracle so the verdicts can't drift. */
+  private val FunnelMinTok = 25
+  private val FunnelMaxTok = 1000
+  private val FunnelTopWordDen = 5    // max_wc * 5 <= n  ==  top-word <= 20%
+  private val FunnelLenLo = 3
+  private val FunnelLenHi = 12
+
   def filterFunnel(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -743,10 +751,10 @@ object Corpus {
       .select(col("doc_id"),
         (col("doc_id") === min(col("doc_id"))
           .over(Window.partitionBy(col("fp")))).as("keep"))
-    val f1 = col("n_tokens").between(25, 1000)
-    val f2 = col("max_wc") * 5 <= col("n_tokens")
-    val f3 = col("sum_len") >= col("n_tokens") * 3 &&
-      col("sum_len") <= col("n_tokens") * 12
+    val f1 = col("n_tokens").between(FunnelMinTok, FunnelMaxTok)
+    val f2 = col("max_wc") * FunnelTopWordDen <= col("n_tokens")
+    val f3 = col("sum_len") >= col("n_tokens") * FunnelLenLo &&
+      col("sum_len") <= col("n_tokens") * FunnelLenHi
     // cumulative verdicts in one pass over the per-doc features
     val cum = surv.join(feats, Seq("doc_id"), "left")
       .select(
@@ -903,7 +911,7 @@ object Corpus {
     // same integer verdicts (length bounds, max_wc*5 <= n, 3n <= sum_len
     // <= 12n, digest-keyed min-id survivor) folded cumulatively
     "q_filter_funnel" ->
-      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                     FROM documents),
          tt AS (SELECT doc_id, w FROM t WHERE w != ''),
          pw AS (SELECT doc_id, w, count(*) AS c FROM tt GROUP BY 1, 2),
@@ -915,17 +923,17 @@ object Corpus {
                   doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
                 FROM documents),
          j AS (SELECT
-                 coalesce(n_tokens BETWEEN 25 AND 1000, FALSE) AS c1,
-                 coalesce(n_tokens BETWEEN 25 AND 1000
-                   AND max_wc * 5 <= n_tokens, FALSE) AS c2,
-                 coalesce(n_tokens BETWEEN 25 AND 1000
-                   AND max_wc * 5 <= n_tokens
-                   AND sum_len >= n_tokens * 3
-                   AND sum_len <= n_tokens * 12, FALSE) AS c3,
-                 coalesce(n_tokens BETWEEN 25 AND 1000
-                   AND max_wc * 5 <= n_tokens
-                   AND sum_len >= n_tokens * 3
-                   AND sum_len <= n_tokens * 12, FALSE) AND keep AS c4
+                 coalesce(n_tokens BETWEEN $FunnelMinTok AND $FunnelMaxTok, FALSE) AS c1,
+                 coalesce(n_tokens BETWEEN $FunnelMinTok AND $FunnelMaxTok
+                   AND max_wc * $FunnelTopWordDen <= n_tokens, FALSE) AS c2,
+                 coalesce(n_tokens BETWEEN $FunnelMinTok AND $FunnelMaxTok
+                   AND max_wc * $FunnelTopWordDen <= n_tokens
+                   AND sum_len >= n_tokens * $FunnelLenLo
+                   AND sum_len <= n_tokens * $FunnelLenHi, FALSE) AS c3,
+                 coalesce(n_tokens BETWEEN $FunnelMinTok AND $FunnelMaxTok
+                   AND max_wc * $FunnelTopWordDen <= n_tokens
+                   AND sum_len >= n_tokens * $FunnelLenLo
+                   AND sum_len <= n_tokens * $FunnelLenHi, FALSE) AND keep AS c4
                FROM sv LEFT JOIN f USING (doc_id)),
          a AS (SELECT count(*) AS n0,
                  CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -946,14 +954,14 @@ object Corpus {
     // same portable-hash fold into the same inverse-CDF Laplace draw;
     // the ln operand is one division of exact integers on both sides
     "q_dp_counts" ->
-      """WITH g AS (SELECT lang, source, count(*) AS n_docs
+      s"""WITH g AS (SELECT lang, source, count(*) AS n_docs
                     FROM documents GROUP BY 1, 2),
          u AS (SELECT lang, source, n_docs,
                  (list_reduce(list_transform(
                     string_split('dp#' || lang || '#' || source, ''),
                     c -> CAST(ascii(c) AS BIGINT)),
-                  (a, v) -> (a * 31 + v) % 1000003) + 1)
-                 / CAST(1000004 AS DOUBLE) AS u
+                  (a, v) -> (a * 31 + v) % ${Text.HashMod}) + 1)
+                 / CAST(${Text.HashMod + 1} AS DOUBLE) AS u
                FROM g)
          SELECT lang, source, n_docs,
                 round(n_docs + CASE WHEN u < 0.5 THEN ln(2.0 * u)

@@ -1554,6 +1554,10 @@ object Text {
   /** Screening over any `(doc_id, source, text)` relation —
     * DataFrame-parameterized so TextSpec can pin hit counts on a
     * hand-planted corpus. */
+  /** Blocklist size — top-K corpus bigrams stand in for the external
+    * phrase table; interpolated into both the plan and the oracle. */
+  private val BlocklistK = 20
+
   def blocklistCore(docs: DataFrame): DataFrame = {
     val ws = docs.select(col("doc_id"), words(col("text")).as("ws"))
     val bi = ws.select(col("doc_id"), explode(zip_with(
@@ -1564,7 +1568,7 @@ object Text {
     val banned = bi.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("prev"), col("cur"))
-      .limit(20)
+      .limit(BlocklistK)
       .select(col("prev"), col("cur"))
     val hits = bi.join(broadcast(banned), Seq("prev", "cur"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
@@ -2080,7 +2084,7 @@ object Text {
     // the same adjacent-pair bigrams (range form = the zip-shift),
     // the same (count DESC, prev, cur) top-20 phrase derivation
     "q_blocklist" ->
-      """WITH ws AS (SELECT doc_id, source,
+      s"""WITH ws AS (SELECT doc_id, source,
                      string_split(text, ' ') AS ws FROM documents),
          bi AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur FROM (
                   SELECT doc_id, ws,
@@ -2088,7 +2092,7 @@ object Text {
          bl AS (SELECT prev, cur FROM (
                   SELECT prev, cur,
                          row_number() OVER (ORDER BY count(*) DESC, prev, cur) AS rn
-                  FROM bi GROUP BY prev, cur) r WHERE rn <= 20),
+                  FROM bi GROUP BY prev, cur) r WHERE rn <= $BlocklistK),
          hits AS (SELECT doc_id, count(*) AS h
                   FROM bi JOIN bl USING (prev, cur) GROUP BY 1)
          SELECT d.doc_id, d.source,

@@ -656,6 +656,10 @@ object Vectors {
   private val PqSubs = 4
   private val PqSubDim = 16
   private val PqTopK = 5
+  /** LUT quantization grid: ADC entries become exact longs in
+    * 1/PqLutScale units before the order-free sum — interpolated into
+    * BOTH the plan and the oracle so the two can't drift. */
+  private val PqLutScale = 1000000L
   /** ADC shortlist size for the exact re-rank stage (IVFADC+R):
     * production serving takes ADC top-R (R ≫ k), fetches those R raw
     * vectors by id, and re-ranks exactly. */
@@ -701,8 +705,15 @@ object Vectors {
     * paying (or relying on Catalyst to eliminate) the presentation
     * sort. */
   private[graft] def pqAdc(s: SparkSession, d: String,
-      topK: Int = PqTopK): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
+      topK: Int = PqTopK): DataFrame =
+    pqAdcCore(Tables.embeddings(s, d), topK)
+
+  /** The full train/encode/serve pipeline over any `(vec_id,
+    * embedding)` relation — DataFrame-parameterized so
+    * FaultToleranceSpec can inject task failures into the scan and
+    * watch the retried run produce a bit-identical ranking. */
+  private[graft] def pqAdcCore(emb: DataFrame, topK: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), darr.as("v"))
     val subs = e.select(col("vec_id"),
       posexplode(transform(sequence(lit(0), lit(PqSubs - 1)),
         j => slice(col("v"), j * PqSubDim + 1, lit(PqSubDim))))
@@ -740,7 +751,7 @@ object Vectors {
     val pdist = fold(zip_with(col("qsv"), col("c"), (x, y) => (x - y) * (x - y)))
     val lut = qsubs.join(codebook, Seq("sub"))
       .select(col("qid"), col("sub"), col("code"),
-        round(pdist * lit(1e6)).cast("long").as("pd_micro"))
+        round(pdist * lit(PqLutScale.toDouble)).cast("long").as("pd_micro"))
 
     val rn = row_number().over(
       Window.partitionBy(col("qid")).orderBy(col("adist_micro"), col("vec_id")))
@@ -1044,7 +1055,7 @@ object Vectors {
        lut AS (SELECT qid, q.sub, c2.code,
                  CAST(round(list_reduce(list_transform(range(1, ${PqSubDim + 1}),
                    i -> (q.qsv[i] - c2.c[i]) * (q.qsv[i] - c2.c[i])),
-                   (x, y) -> x + y) * 1000000.0) AS BIGINT) AS pd_micro
+                   (x, y) -> x + y) * $PqLutScale.0) AS BIGINT) AS pd_micro
                FROM q JOIN c2 USING (sub)),
        ad AS (SELECT qid, vec_id, CAST(sum(pd_micro) AS BIGINT) AS adist_micro
               FROM a3 JOIN lut USING (sub, code) GROUP BY 1, 2),
@@ -1076,7 +1087,7 @@ object Vectors {
        cvr AS MATERIALIZED (
          SELECT vec_id, list_transform(range(1, 65), i -> v[i] - m[i]) AS cv
          FROM raw CROSS JOIN ml),
-       v0 AS (SELECT list_transform(range(1, 65), i -> CAST(0.125 AS DOUBLE)) AS vv)
+       v0 AS (SELECT list_transform(range(1, 65), i -> CAST(${1.0 / math.sqrt(64.0)} AS DOUBLE)) AS vv)
        $steps,
        sc AS (SELECT ${dot("cv", "vv")} AS s FROM cvr CROSS JOIN v$PcaIters),
        lam AS (SELECT round(sum(s * s), 4) / count(*) AS lambda1 FROM sc),

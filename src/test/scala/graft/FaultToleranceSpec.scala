@@ -217,6 +217,23 @@ class FaultToleranceSpec extends SparkSpec {
     assert(failedTasks.size() > 0, "injection never fired — the experiment didn't run")
     assert(recovered == clean, s"assignments diverged after recovery")
   }
+
+  test("PQ train/encode/serve survives first-attempt task failures with identical rankings") {
+    import graft.ops.Vectors
+    // the deepest pipeline in the fault matrix: the injected failure
+    // sits under 3 codebook assigns, 2 updates, the encode pass AND
+    // the ADC serve — all must replay to the same bits
+    val emb = Tables.embeddings(spark, sf0001)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))
+    val clean = Vectors.pqAdcCore(emb, 5).collect().map(key).toMap
+
+    failedTasks.clear()
+    val recovered = Vectors.pqAdcCore(emb.filter(flakyLong(col("vec_id"))), 5)
+      .collect().map(key).toMap
+    assert(failedTasks.size() > 0, "injection never fired — the experiment didn't run")
+    assert(recovered == clean, "ADC rankings diverged after recovery")
+  }
 }
 
 object FaultToleranceSpec {

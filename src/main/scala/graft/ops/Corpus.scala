@@ -730,6 +730,57 @@ object Corpus {
     * survivorship is the digest-keyed min-id window (32-byte
     * fingerprints shuffle, text never does); the funnel itself is ONE
     * global aggregate emitting 5 rows regardless of corpus size. */
+  /** Dataset release card — the one-row summary table every corpus
+    * release ships (HF dataset cards, C4/Pile/FineWeb tech-report
+    * table 1): sizes, composition, duplication, and central tendency
+    * in one artifact. Every statistic is exact-integer or
+    * deterministic-discrete so the card is reproducible to the bit:
+    * token counts are exact sums, the mean is an integer div, the
+    * median is the DISCRETE order statistic at rank (n+1) div 2 via
+    * the histogram method (no interpolation contract to disagree on),
+    * duplication is the exact-dedup survivor count, and the dominant
+    * source breaks ties alphabetically via max(struct).
+    *
+    * Scale: one token rollup, one digest rollup, and the median's
+    * cumulative window runs over the (n_chars, count) HISTOGRAM —
+    * |distinct lengths| rows, never the corpus (the single-task
+    * window over raw input the plan gates ban); everything else is
+    * map-side aggregates → ONE output row. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val dups = docs.groupBy(sha2(col("text"), 256).as("fp"))
+      .agg(count(lit(1)).as("k"))
+      .agg(sum(col("k") - 1).as("dup_docs"))
+    val med = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .select(col("n_chars"), col("c"),
+        sum(col("c")).over(Window.orderBy(col("n_chars"))).as("cum"),
+        sum(col("c")).over().as("n"))
+      .withColumn("rk", expr("(n + 1) div 2"))
+      .filter(col("cum") - col("c") < col("rk") && col("rk") <= col("cum"))
+      .select(col("n_chars").as("median_chars"))
+    val topSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("sd"))
+      .agg(max(struct(col("sd"), col("source"))).as("t"))
+      .select(col("t.source").as("top_source"), col("t.sd").as("top_source_docs"))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"))
+    val tokTot = toks.agg(sum(col("n_tok")).as("n_tokens"))
+    base.crossJoin(broadcast(tokTot)).crossJoin(broadcast(dups))
+      .crossJoin(broadcast(med)).crossJoin(broadcast(topSrc))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"), col("total_chars"),
+        expr("n_tokens div n_docs").as("mean_tokens_per_doc"),
+        col("median_chars"),
+        col("dup_docs"),
+        expr("(dup_docs * 1000) div n_docs").as("dup_permille"),
+        col("top_source"), col("top_source_docs"))
+  }
+
   /** Funnel gate constants — interpolated into both the plan and the
     * oracle so the verdicts can't drift. */
   private val FunnelMinTok = 25
@@ -874,9 +925,42 @@ object Corpus {
       filterFunnel(Tables.documents(s, d))),
     "q_split_leakage" -> ((s: SparkSession, d: String) =>
       splitLeakage(Tables.documents(s, d))),
+    "q_dataset_card" -> ((s: SparkSession, d: String) =>
+      datasetCard(Tables.documents(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integers throughout; the median is the same discrete
+    // histogram order statistic, the top source the same max(struct)
+    "q_dataset_card" ->
+      """WITH tk AS (SELECT doc_id, count(*) AS n_tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w != '' GROUP BY doc_id),
+         tt AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tk),
+         dp AS (SELECT CAST(sum(k - 1) AS BIGINT) AS dup_docs FROM (
+             SELECT count(*) AS k FROM documents GROUP BY sha256(text))),
+         h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+         hh AS (SELECT n_chars, c,
+                  sum(c) OVER (ORDER BY n_chars) AS cum,
+                  sum(c) OVER () AS n FROM h),
+         md AS (SELECT n_chars AS median_chars FROM hh
+                WHERE cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+         ts AS (SELECT source AS top_source,
+                  CAST(sd AS BIGINT) AS top_source_docs FROM (
+                    SELECT source, count(*) AS sd FROM documents GROUP BY source)
+                ORDER BY sd DESC, source DESC LIMIT 1),
+         b AS (SELECT count(*) AS n_docs,
+                 count(DISTINCT source) AS n_sources,
+                 count(DISTINCT lang) AS n_langs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
+               FROM documents)
+         SELECT n_docs, n_sources, n_langs, n_tokens, total_chars,
+                n_tokens // n_docs AS mean_tokens_per_doc,
+                median_chars, dup_docs,
+                (dup_docs * 1000) // n_docs AS dup_permille,
+                top_source, top_source_docs
+         FROM b CROSS JOIN tt CROSS JOIN dp CROSS JOIN md CROSS JOIN ts
+         ORDER BY n_docs""",
     // the same split hash buckets and the same portable band buckets;
     // leak counting is pure integer arithmetic on the distinct pairs
     "q_split_leakage" -> {

@@ -417,6 +417,26 @@ class CorpusSpec extends SparkSpec {
     rows.foreach { case (_, (n, nz)) => assert(math.abs(nz - n) > 0) }
   }
 
+  test("dataset card: every field hand-computed on a five-doc corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s1", 5L), (2L, "a b c", "en", "s1", 5L), // dup pair
+      (3L, "x y", "de", "s1", 3L),
+      (4L, "p q r s", "en", "s2", 7L),
+      (5L, "z", "de", "s2", 1L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Corpus.datasetCard(docs).collect()
+    assert(r.length == 1)
+    val c = r.head
+    assert(c.getLong(0) == 5 && c.getLong(1) == 2 && c.getLong(2) == 2)
+    assert(c.getLong(3) == 13, s"tokens: $c")          // 3+3+2+4+1
+    assert(c.getLong(4) == 21)                          // chars
+    assert(c.getLong(5) == 2, "mean 13 div 5")
+    assert(c.getLong(6) == 5, "discrete median of 1,3,5,5,7")
+    assert(c.getLong(7) == 1 && c.getLong(8) == 200, "one dup of five docs")
+    assert(c.getString(9) == "s1" && c.getLong(10) == 3)
+  }
+
   test("split leakage: planted cross-split clone flagged, same-split clone pair stays silent") {
     import spark.implicits._
     // derive each id's split with the engine's own hash so the test

@@ -704,6 +704,11 @@ object Corpus {
     * on the same key (not materialized here — the class table IS the
     * audit artifact). Everything is exact integer counting: nothing
     * to round, nothing engine-specific. */
+  /** Audit thresholds — interpolated into both the plan and the
+    * oracle so the flags can't drift. */
+  private val AnonK = 5
+  private val DiversityL = 2
+
   def kAnonymity(docs: DataFrame): DataFrame =
     docs.select(col("source"), expr("n_chars div 100").as("len_bucket"),
         col("lang"))
@@ -711,8 +716,8 @@ object Corpus {
       .agg(count(lit(1)).as("class_size"),
         countDistinct(col("lang")).as("n_langs"))
       .select(col("source"), col("len_bucket"), col("class_size"), col("n_langs"),
-        (col("class_size") >= 5).as("k_anonymous"),
-        (col("n_langs") >= 2).as("l_diverse"))
+        (col("class_size") >= AnonK).as("k_anonymous"),
+        (col("n_langs") >= DiversityL).as("l_diverse"))
       .orderBy(col("source"), col("len_bucket"))
 
   /** Curation filter funnel — the waterfall table every corpus tech
@@ -1053,11 +1058,11 @@ object Corpus {
          FROM u ORDER BY lang, source""",
     // pure integer counting over the same quasi-identifier rollup
     "q_k_anonymity" ->
-      """SELECT source, n_chars // 100 AS len_bucket,
+      s"""SELECT source, n_chars // 100 AS len_bucket,
                 count(*) AS class_size,
                 count(DISTINCT lang) AS n_langs,
-                count(*) >= 5 AS k_anonymous,
-                count(DISTINCT lang) >= 2 AS l_diverse
+                count(*) >= $AnonK AS k_anonymous,
+                count(DISTINCT lang) >= $DiversityL AS l_diverse
          FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""",
     // same word-frequency training table, same separator-prefixed
     // symbol strings, same (freq desc, l, r) argmax, same

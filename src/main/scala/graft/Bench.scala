@@ -311,20 +311,23 @@ object Bench {
       // min-of-2 per grid point (r6 postmortem: the single-sample r6
       // sweep drowned the knee-at-50 shape — the reference's task2
       // result, reproduced by every earlier round — in co-tenant noise)
-      val times = ns.map { n =>
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          ops.PageRank.run(ops.PageRank.starEdges(spark, sfDir), 10, numPartitions = n)
-            .write.format("noop").mode("overwrite").save()
-          spark.catalog.clearCache()
-          // same eager block release as timedOnce: 10 sweep points × a
-          // 10-iteration loop otherwise stack GC-owned checkpoint blocks
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          (System.nanoTime() - t0) / 1e9
-        }
-        n -> math.min(once(), once())
+      def sweepOnce(n: Int): Double = {
+        val t0 = System.nanoTime()
+        ops.PageRank.run(ops.PageRank.starEdges(spark, sfDir), 10, numPartitions = n)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        // same eager block release as timedOnce: 10 sweep points × a
+        // 10-iteration loop otherwise stack GC-owned checkpoint blocks
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (System.nanoTime() - t0) / 1e9
       }
+      // one UNTIMED execution before the grid: the r7 clean-run4
+      // artifact recorded n=10 at 31.9 s vs 1.9 s clean because BOTH
+      // min-of-2 samples of the first grid point paid PageRank's JIT
+      // warm-up — the sweep query must be hot before any timed point
+      sweepOnce(ns.head)
+      val times = ns.map(n => n -> math.min(sweepOnce(n), sweepOnce(n)))
       times.map { case (n, t) => "\"" + n + "\":" + t }
         .mkString(""","partition_sweep":{""", ",", "}")
     }

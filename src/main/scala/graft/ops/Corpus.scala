@@ -409,14 +409,24 @@ object Corpus {
       .distinct()
     val agg = pairs.groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("np"), countDistinct(col("db")).as("nl"))
-    val lo = sizes.select(col("split").as("split_a"), col("rk").as("ra"))
-    val hi = sizes.select(col("split").as("split_b"), col("rk").as("rb"),
-      col("n_docs").as("n_docs_b"))
-    lo.crossJoin(hi).filter(col("ra") < col("rb"))
+    // the three ordered split pairs come from a LITERAL relation, not
+    // a crossJoin of the observed per-split sizes — an empty split
+    // (tiny corpora) now still emits its zero rows, making the "zero-
+    // leak pairs still emit their row" contract true unconditionally
+    // (r8, ADVICE); sizes left-join on, n_docs_b coalesces to 0
+    val pairFrame = docs.sparkSession
+      .createDataFrame(Seq(("train", "val"), ("train", "test"), ("val", "test")))
+      .toDF("split_a", "split_b")
+    pairFrame
+      .join(sizes.select(col("split").as("split_b"), col("n_docs")),
+        Seq("split_b"), "left")
       .join(agg, Seq("split_a", "split_b"), "left")
       .withColumn("n_pairs", coalesce(col("np"), lit(0L)))
       .withColumn("n_leaked_docs", coalesce(col("nl"), lit(0L)))
-      .withColumn("leaked_permille", expr("(n_leaked_docs * 1000) div n_docs_b"))
+      .withColumn("n_docs_b", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("leaked_permille",
+        expr("CASE WHEN n_docs_b = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_leaked_docs * 1000) div n_docs_b END"))
       .select(col("split_a"), col("split_b"), col("n_pairs"),
         col("n_leaked_docs"), col("n_docs_b"), col("leaked_permille"))
       .orderBy(col("split_a"), col("split_b"))
@@ -744,7 +754,9 @@ object Corpus {
     * median is the DISCRETE order statistic at rank (n+1) div 2 via
     * the histogram method (no interpolation contract to disagree on),
     * duplication is the exact-dedup survivor count, and the dominant
-    * source breaks ties alphabetically via max(struct).
+    * source breaks count ties REVERSE-alphabetically — max(struct(sd,
+    * source)) picks the lexicographically last source, mirrored by
+    * the oracle's (sd DESC, source DESC) order.
     *
     * Scale: one token rollup, one digest rollup, and the median's
     * cumulative window runs over the (n_chars, count) HISTOGRAM —
@@ -849,7 +861,12 @@ object Corpus {
     * production release would draw real randomness and publish ONLY
     * the noisy column; the mechanism arithmetic, scale shape, and ε
     * accounting are identical. Exact counts ride along here so the
-    * oracle can pin both sides.
+    * oracle can pin both sides. Because the "noise" is a deterministic
+    * function of the PUBLIC group key and the exact count is emitted
+    * beside it, this table provides ZERO actual privacy — the output
+    * column is therefore named `noisy_docs_sim` (simulated draw) so
+    * the harness-only nature is visible in the released schema itself,
+    * not just here. Do not copy this pattern into a real DP release.
     *
     * Scale: one map-side-combinable rollup to |classes| rows; the
     * noise is a per-row scalar on the tiny output relation. */
@@ -862,7 +879,79 @@ object Corpus {
     docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("lang"), col("source"), col("n_docs"),
-        round(col("n_docs") + noise, 4).as("noisy_docs"))
+        round(col("n_docs") + noise, 4).as("noisy_docs_sim"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Composed governance release flagship (r8) — the r7 governance
+    * family chained end-to-end the way a real corpus release runs it,
+    * as ONE oracle-checked query (the T23/E26 composition convention):
+    * (1) the [[filterFunnel]] gates applied as a doc-level verdict
+    * (length band → Gopher repetition cap → quality band → exact-dedup
+    * survivorship); (2) the [[kAnonymity]] gate over the SURVIVORS'
+    * quasi-identifier classes (source, n_chars div 100) — every doc in
+    * a class smaller than k = [[AnonK]] is suppressed, so no released
+    * class can hide fewer than k individuals; (3) the released
+    * composition table per (lang, source) with the [[dpCounts]]
+    * simulated-Laplace column (key prefix `rel#`, so the draw is this
+    * release's own, and the same zero-actual-privacy caveat — see
+    * [[dpCounts]]); (4) card-style context: raw class size and the
+    * exact released permille. Suppressed-to-zero classes still emit
+    * their row (n_released = 0), so suppression is visible, not
+    * silent. CorpusSpec pins that a planted k<5 class is suppressed
+    * end-to-end.
+    *
+    * Scale: one (doc_id, word) rollup for the funnel features, one
+    * digest-keyed window for survivorship, one |classes|-row rollup +
+    * left-semi join for the k-gate (never a class-partitioned window
+    * over docs — a dominant class would be one task), and two
+    * map-side-combinable count rollups to |lang × source| rows. Text
+    * never shuffles; the noise is a per-row scalar on the tiny output
+    * relation. */
+  def releasePipeline(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val feats = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_wc"),
+        sum(col("c") * length(col("w"))).as("sum_len"))
+    val surv = docs.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .select(col("doc_id"),
+        (col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("fp")))).as("keep"))
+    val gate = coalesce(
+      col("n_tokens").between(FunnelMinTok, FunnelMaxTok) &&
+        col("max_wc") * FunnelTopWordDen <= col("n_tokens") &&
+        col("sum_len") >= col("n_tokens") * FunnelLenLo &&
+        col("sum_len") <= col("n_tokens") * FunnelLenHi, lit(false)) &&
+      col("keep")
+    val pass = docs.select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .join(surv, Seq("doc_id"))
+      .join(feats, Seq("doc_id"), "left")
+      .filter(gate)
+      .select(col("lang"), col("source"), col("len_bucket"))
+    val bigClasses = pass.groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") >= AnonK)
+      .select(col("source"), col("len_bucket"))
+    val released = pass.join(bigClasses, Seq("source", "len_bucket"), "left_semi")
+    val relCounts = released.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("nr"))
+    val raw = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_raw"))
+    val key = concat(lit("rel#"), col("lang"), lit("#"), col("source"))
+    val u = (graft.functions.PortableStringHash.portableHash(key, Text.HashMod) + lit(1L))
+      .cast("double") / (Text.HashMod + 1L).toDouble
+    val noise = when(u < 0.5, log(lit(2.0) * u))
+      .otherwise(-log(lit(2.0) * (lit(1.0) - u)))
+    raw.join(relCounts, Seq("lang", "source"), "left")
+      .withColumn("n_released", coalesce(col("nr"), lit(0L)))
+      .select(col("lang"), col("source"), col("n_raw"), col("n_released"),
+        expr("(n_released * 1000) div n_raw").as("released_permille"),
+        round(col("n_released") + noise, 4).as("noisy_released_sim"))
       .orderBy(col("lang"), col("source"))
   }
 
@@ -932,6 +1021,8 @@ object Corpus {
       splitLeakage(Tables.documents(s, d))),
     "q_dataset_card" -> ((s: SparkSession, d: String) =>
       datasetCard(Tables.documents(s, d))),
+    "q_pipeline_release" -> ((s: SparkSession, d: String) =>
+      releasePipeline(Tables.documents(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -986,16 +1077,20 @@ object Corpus {
                 JOIN s lb ON lb.doc_id = b.doc_id
                 WHERE la.rk < lb.rk),
          ag AS (SELECT split_a, split_b, count(*) AS np,
-                  count(DISTINCT db) AS nl FROM pr GROUP BY 1, 2)
-         SELECT lo.split AS split_a, hi.split AS split_b,
+                  count(DISTINCT db) AS nl FROM pr GROUP BY 1, 2),
+         pp AS (SELECT * FROM (VALUES ('train', 'val'), ('train', 'test'),
+                  ('val', 'test')) t(split_a, split_b))
+         SELECT pp.split_a, pp.split_b,
            CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
            CAST(coalesce(nl, 0) AS BIGINT) AS n_leaked_docs,
-           CAST(hi.n_docs AS BIGINT) AS n_docs_b,
-           (CAST(coalesce(nl, 0) AS BIGINT) * 1000) // hi.n_docs AS leaked_permille
-         FROM sz lo CROSS JOIN sz hi
-         LEFT JOIN ag ON ag.split_a = lo.split AND ag.split_b = hi.split
-         WHERE lo.rk < hi.rk
-         ORDER BY split_a, split_b"""
+           CAST(coalesce(hi.n_docs, 0) AS BIGINT) AS n_docs_b,
+           CASE WHEN coalesce(hi.n_docs, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE (CAST(coalesce(nl, 0) AS BIGINT) * 1000) // hi.n_docs
+           END AS leaked_permille
+         FROM pp
+         LEFT JOIN sz hi ON hi.split = pp.split_b
+         LEFT JOIN ag ON ag.split_a = pp.split_a AND ag.split_b = pp.split_b
+         ORDER BY pp.split_a, pp.split_b"""
     },
     // same integer verdicts (length bounds, max_wc*5 <= n, 3n <= sum_len
     // <= 12n, digest-keyed min-id survivor) folded cumulatively
@@ -1054,7 +1149,51 @@ object Corpus {
                FROM g)
          SELECT lang, source, n_docs,
                 round(n_docs + CASE WHEN u < 0.5 THEN ln(2.0 * u)
-                                    ELSE -ln(2.0 * (1.0 - u)) END, 4) AS noisy_docs
+                                    ELSE -ln(2.0 * (1.0 - u)) END, 4) AS noisy_docs_sim
+         FROM u ORDER BY lang, source""",
+    // the same funnel verdicts → survivor-class k-gate → released
+    // composition; the noise draw replays the rel#-prefixed portable
+    // hash fold; every other statistic is exact-integer
+    "q_pipeline_release" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+         tt AS (SELECT doc_id, w FROM t WHERE w != ''),
+         pw AS (SELECT doc_id, w, count(*) AS c FROM tt GROUP BY 1, 2),
+         f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(max(c) AS BIGINT) AS max_wc,
+                 CAST(sum(c * length(w)) AS BIGINT) AS sum_len
+               FROM pw GROUP BY 1),
+         sv AS (SELECT doc_id,
+                  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+                FROM documents),
+         pass AS (SELECT d.lang, d.source, d.n_chars // 100 AS len_bucket
+                  FROM documents d JOIN sv USING (doc_id)
+                  LEFT JOIN f USING (doc_id)
+                  WHERE coalesce(n_tokens BETWEEN $FunnelMinTok AND $FunnelMaxTok
+                    AND max_wc * $FunnelTopWordDen <= n_tokens
+                    AND sum_len >= n_tokens * $FunnelLenLo
+                    AND sum_len <= n_tokens * $FunnelLenHi, FALSE) AND keep),
+         big AS (SELECT source, len_bucket FROM pass
+                 GROUP BY 1, 2 HAVING count(*) >= $AnonK),
+         rel AS (SELECT p.lang, p.source FROM pass p
+                 JOIN big USING (source, len_bucket)),
+         rc AS (SELECT lang, source, count(*) AS nr FROM rel GROUP BY 1, 2),
+         raw AS (SELECT lang, source, count(*) AS n_raw
+                 FROM documents GROUP BY 1, 2),
+         u AS (SELECT raw.lang, raw.source, n_raw,
+                 CAST(coalesce(nr, 0) AS BIGINT) AS n_released,
+                 (list_reduce(list_transform(
+                    string_split('rel#' || raw.lang || '#' || raw.source, ''),
+                    c -> CAST(ascii(c) AS BIGINT)),
+                  (a, v) -> (a * 31 + v) % ${Text.HashMod}) + 1)
+                 / CAST(${Text.HashMod + 1} AS DOUBLE) AS u
+               FROM raw LEFT JOIN rc
+                 ON rc.lang = raw.lang AND rc.source = raw.source)
+         SELECT lang, source, CAST(n_raw AS BIGINT) AS n_raw, n_released,
+                (n_released * 1000) // n_raw AS released_permille,
+                round(n_released + CASE WHEN u < 0.5 THEN ln(2.0 * u)
+                                        ELSE -ln(2.0 * (1.0 - u)) END, 4)
+                  AS noisy_released_sim
          FROM u ORDER BY lang, source""",
     // pure integer counting over the same quasi-identifier rollup
     "q_k_anonymity" ->

@@ -381,6 +381,90 @@ object Multimodal {
     * DuckDB (whose BLOB lacks substring/md5 in this build) slices the
     * same bytes as VARCHAR — TESTDATA-verified byte==char at every
     * SF. */
+  /** Perceptual hash of one image: aHash bits over an 8×8
+    * nearest-neighbor sample grid, packed as four 16-bit band keys.
+    * All integer arithmetic (bit i set iff sample·64 > Σsamples), so
+    * the hash is bit-reproducible from the closed-form pixel model. */
+  case class ImageHash(media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** aHash per image, inside the batched decode map — pixels never
+    * become rows; only (id, 4×16-bit keys) leaves the scan. */
+  private[graft] def imageHashes(media: Dataset[Media],
+      batchSize: Int = 64): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          bmpDecode(m.payload).map { img =>
+            val s = new Array[Int](64)
+            var sum = 0L
+            var i = 0
+            while (i < 64) {
+              val x = (i % 8) * img.width / 8
+              val y = (i / 8) * img.height / 8
+              val g = img.gray(y * img.width + x) & 0xFF
+              s(i) = g
+              sum += g
+              i += 1
+            }
+            val bands = new Array[Int](4)
+            i = 0
+            while (i < 64) {
+              if (s(i) * 64L > sum) bands(i / 16) |= 1 << (i % 16)
+              i += 1
+            }
+            ImageHash(m.media_id, bands(0), bands(1), bands(2), bands(3))
+          }.iterator
+        }
+      }
+    }
+  }
+
+  /** Near-dup pair threshold: Hamming ≤ 3 over the 64 aHash bits. By
+    * pigeonhole, any pair within 3 bits agrees EXACTLY on at least one
+    * of the four 16-bit bands — so the band equi-join below has 100%
+    * recall at this radius (the SimHash Hamming-band argument applied
+    * to images). */
+  private[graft] val ImageHamMax = 3
+
+  /** Perceptual-hash image dedup (r8, closing the one LLM-pipeline
+    * modality without a near-dup path): decode → aHash in the batched
+    * map, then candidates = a band-keyed EQUI self-join (one of four
+    * 16-bit keys must collide — never all-pairs; at 100 TB the band
+    * key is the shuffle key and bucket sizes bound candidates exactly
+    * like the text SimHash family), verified by the exact 64-bit
+    * Hamming distance via xor + bit_count over the four band words,
+    * deduped on (a, b) since a close pair can collide in several
+    * bands. The synthetic pixel model makes the whole hash derivable
+    * relationally, so the oracle replays it in closed form. */
+  def dedupImageCore(media: Dataset[Media]): DataFrame = {
+    val h = imageHashes(media).toDF()
+    val withBands = h.select(col("media_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "key")))
+    val l = withBands.select(col("band"), col("key"),
+      col("media_id").as("media_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val r = withBands.select(col("band"), col("key"),
+      col("media_id").as("media_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val hamming =
+      bit_count(col("a0").bitwiseXOR(col("c0"))) +
+        bit_count(col("a1").bitwiseXOR(col("c1"))) +
+        bit_count(col("a2").bitwiseXOR(col("c2"))) +
+        bit_count(col("a3").bitwiseXOR(col("c3")))
+    l.join(r, Seq("band", "key"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= ImageHamMax)
+      .distinct()
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  def dedupImage(s: SparkSession, d: String): DataFrame =
+    dedupImageCore(mediaTable(s, d).filter(_.kind == "image"))
+
   def multimodalFrames(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d).toDF()
       .filter(col("kind") === "video")
@@ -400,9 +484,42 @@ object Multimodal {
     "q_multimodal_decode"   -> multimodalDecode,
     "q_multimodal_features" -> multimodalFeatures,
     "q_multimodal_resize"   -> multimodalResize,
+    "q_dedup_image"         -> dedupImage,
   )
 
   val oracles: Map[String, String] = Map(
+    // the aHash replayed in closed form from the synthetic pixel
+    // model: the same 8×8 floor-div sample grid, the same integer
+    // bit rule (sample·64 > Σ), the same 16-bit band packing, the
+    // same band equi-join + xor/bit_count Hamming verify
+    "q_dedup_image" ->
+      """WITH d AS (SELECT doc_id AS media_id, CAST(n_chars AS INT) AS nc
+             FROM documents WHERE n_chars % 3 = 1),
+         g AS (SELECT media_id, 16 + nc % 48 AS w, 16 + (nc * 5) % 48 AS h
+               FROM d),
+         sm AS (SELECT media_id, list_transform(range(0, 64),
+                  i -> CAST(((((i % 8) * w) // 8) * 7
+                    + (((i // 8) * h) // 8) * 13 + media_id) % 256 AS BIGINT)) AS s
+                FROM g),
+         hb AS (SELECT media_id, s, list_aggregate(s, 'sum') AS tot FROM sm),
+         bw AS (SELECT media_id, list_transform(range(0, 4), j ->
+                  CAST(list_aggregate(list_transform(range(0, 16),
+                    t -> CASE WHEN s[j * 16 + t + 1] * 64 > tot
+                         THEN 1 << t ELSE 0 END), 'sum') AS BIGINT)) AS ks
+                FROM hb),
+         kb AS (SELECT media_id, ks, band, ks[band + 1] AS key FROM (
+                  SELECT media_id, ks, unnest(range(0, 4)) AS band FROM bw)),
+         p AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+                 CAST(bit_count(xor(a.ks[1], b.ks[1]))
+                   + bit_count(xor(a.ks[2], b.ks[2]))
+                   + bit_count(xor(a.ks[3], b.ks[3]))
+                   + bit_count(xor(a.ks[4], b.ks[4])) AS INT) AS hamming
+               FROM kb a JOIN kb b
+                 ON a.band = b.band AND a.key = b.key
+                 AND a.media_id < b.media_id)
+         SELECT DISTINCT media_a, media_b, hamming
+         FROM p WHERE hamming <= 3
+         ORDER BY media_a, media_b""",
     // byte==char on this ASCII corpus, so VARCHAR substr slices the
     // same bytes the engine cuts from the BinaryType payload
     "q_multimodal_frames" ->

@@ -1315,8 +1315,11 @@ object Text {
     * DataFrame-parameterized so TextSpec can pin the tertile
     * boundaries on a hand-scored corpus. */
   def ccnetBucketsCore(docs: DataFrame): DataFrame = {
+    // empty tokens from runs of spaces are dropped — the filterFunnel
+    // / datasetCard token convention, applied here too (r8, ADVICE)
     val toks = docs.select(col("doc_id"), col("lang"),
         explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
       .withColumn("cnt",
         count(lit(1)).over(Window.partitionBy(col("lang"), col("word"))))
     val langTot = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
@@ -1560,11 +1563,14 @@ object Text {
 
   def blocklistCore(docs: DataFrame): DataFrame = {
     val ws = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    // bigrams touching an empty token (runs of spaces) are dropped —
+    // the filterFunnel / datasetCard token convention (r8, ADVICE)
     val bi = ws.select(col("doc_id"), explode(zip_with(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
         slice(col("ws"), lit(2), size(col("ws")) - 1),
         (a, b) => struct(a.as("prev"), b.as("cur")))).as("bg"))
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .filter(col("prev") =!= "" && col("cur") =!= "")
     val banned = bi.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("prev"), col("cur"))
@@ -2067,8 +2073,10 @@ object Text {
     // per-language window counts into the same rounded avg ln, then
     // ntile(3) over the identical (avg_logp DESC, doc_id) total order
     "q_ccnet_buckets" ->
-      """WITH t AS (SELECT doc_id, lang,
-                    unnest(string_split(text, ' ')) AS word FROM documents),
+      """WITH t AS (SELECT doc_id, lang, word FROM (
+                    SELECT doc_id, lang,
+                      unnest(string_split(text, ' ')) AS word FROM documents)
+                    WHERE word != ''),
          c AS (SELECT doc_id, lang,
                  count(*) OVER (PARTITION BY lang, word) AS cnt FROM t),
          lt AS (SELECT lang, count(*) AS n_lang FROM t GROUP BY 1),
@@ -2086,9 +2094,11 @@ object Text {
     "q_blocklist" ->
       s"""WITH ws AS (SELECT doc_id, source,
                      string_split(text, ' ') AS ws FROM documents),
-         bi AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur FROM (
-                  SELECT doc_id, ws,
-                         unnest(generate_series(1, len(ws) - 1)) AS i FROM ws)),
+         bi AS (SELECT doc_id, prev, cur FROM (
+                  SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur FROM (
+                    SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i FROM ws))
+                WHERE prev != '' AND cur != ''),
          bl AS (SELECT prev, cur FROM (
                   SELECT prev, cur,
                          row_number() OVER (ORDER BY count(*) DESC, prev, cur) AS rn

@@ -488,4 +488,30 @@ class CorpusSpec extends SparkSpec {
     assert(rows(3) == (("quality", 3L, 2L, 666L)))
     assert(rows(4) == (("dedup", 2L, 1L, 500L)))
   }
+
+  test("release pipeline: a planted k<5 class is suppressed end-to-end, funnel losses excluded from release") {
+    import spark.implicits._
+    // distinct funnel-passing texts: 30 distinct 5-char words each
+    def okText(seed: Int) = (1 to 30).map(i => f"w$seed%02dx$i%02d").mkString(" ")
+    val rows =
+      // source "big": 6 funnel-passing docs in one quasi-id class
+      // (len_bucket 1) → class_size 6 >= k=5 → released
+      (1 to 6).map(i => (i.toLong, "en", "big", okText(i), 100L)) ++
+        // a 7th "big" doc that FAILS the funnel (too short) — counts in
+        // n_raw but never reaches the k-gate or the release
+        Seq((7L, "en", "big", "too short", 100L)) ++
+        // source "tiny": 2 funnel-passing docs, class_size 2 < 5 →
+        // suppressed; its lang is unique so suppression is visible
+        Seq((8L, "xx", "tiny", okText(8), 100L),
+          (9L, "xx", "tiny", okText(9), 100L))
+    val docs = rows.toDF("doc_id", "lang", "source", "text", "n_chars")
+    val got = Corpus.releasePipeline(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 2)
+    assert(got(("en", "big")) == ((7L, 6L, 857L)),
+      s"big class must release its 6 funnel survivors of 7 raw docs: ${got(("en", "big"))}")
+    assert(got(("xx", "tiny")) == ((2L, 0L, 0L)),
+      s"k<5 class must be suppressed to zero but still emit its row: ${got(("xx", "tiny"))}")
+  }
 }

@@ -120,4 +120,50 @@ class MultimodalSpec extends SparkSpec {
       s"$nonAscii video docs contain multi-byte chars — the frames " +
         "oracle's VARCHAR slicing no longer matches byte slicing")
   }
+
+  test("image dedup: a 1-bit perturbation clusters, a distinct image doesn't") {
+    // 16×16 images, so the 8×8 aHash grid samples even coordinates.
+    // A = left half bright: 32 samples at 255 (bits 1), 32 at 0.
+    // B = A with ONE sampled dark pixel (x=8, y=0) flipped bright:
+    // the new sum (33·255) still sits strictly between 0·64 and
+    // 255·64, so exactly that one bit flips → Hamming 1, and by the
+    // pigeonhole band argument the pair MUST be found via some
+    // identical band. C = the mirror image (right half bright): its
+    // bit vector is A's complement → Hamming 64/63, no shared band.
+    def half(bright: Int => Boolean)(x: Int, y: Int): Int =
+      if (bright(x)) 255 else 0
+    def perturbed(x: Int, y: Int): Int =
+      if (x == 8 && y == 0) 255 else half(_ < 8)(x, y)
+    val media = Seq(
+      Media(1L, "image", Multimodal.bmpEncode(16, 16, half(_ < 8)), 16, 16, 1),
+      Media(2L, "image", Multimodal.bmpEncode(16, 16, perturbed), 16, 16, 1),
+      Media(3L, "image", Multimodal.bmpEncode(16, 16, half(_ >= 8)), 16, 16, 1))
+    val pairs = Multimodal.dedupImageCore(spark.createDataset(media))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)),
+      s"expected exactly the planted near-dup pair at Hamming 1, got ${pairs.toSeq}")
+  }
+
+  test("image dedup on the harness corpus: pairs are exact-Hamming-verified and band-complete") {
+    val hashes = Multimodal.imageHashes(
+      Multimodal.mediaTable(spark, sf0001).filter(_.kind == "image"))
+      .collect().map(h => h.media_id -> Seq(h.b0, h.b1, h.b2, h.b3)).toMap
+    def ham(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val got = Multimodal.dedupImage(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // every emitted pair's Hamming distance is exact and <= 3
+    got.foreach { case (a, b, d) =>
+      assert(d == ham(hashes(a), hashes(b)) && d <= Multimodal.ImageHamMax)
+    }
+    // completeness: brute-force over the small corpus finds no pair
+    // within the radius that the banded join missed
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      d = ham(hashes(ids(i)), hashes(ids(j))) if d <= Multimodal.ImageHamMax
+    } yield (ids(i), ids(j), d)).toSet
+    assert(got == brute,
+      s"banded pairs diverge from brute force: missing=${brute -- got} extra=${got -- brute}")
+  }
 }

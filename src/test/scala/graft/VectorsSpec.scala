@@ -154,6 +154,44 @@ class VectorsSpec extends SparkSpec {
     }
   }
 
+  test("two-stage topKPerQid is row-identical to the single-window rendering") {
+    import org.apache.spark.sql.expressions.Window
+    // (1) synthetic relation with DELIBERATE score ties across shards,
+    // so the vec_id tiebreak path is what decides the cut — the case
+    // where a buggy shard split would diverge from the single window
+    val scored = spark.range(0, 2000).select(
+      (col("id") % 4).as("qid"), col("id").as("vec_id"),
+      ((col("id") * 37) % 11).cast("double").as("cos"))
+    val order = Seq(col("cos").desc, col("vec_id").asc)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val two = canon(ops.Vectors.topKPerQid(scored, order, 10, "rn"))
+    val one = canon(scored.withColumn("rn",
+      row_number().over(Window.partitionBy(col("qid")).orderBy(order: _*)))
+      .filter(col("rn") <= 10))
+    assert(two == one, s"two-stage diverged from single window:\n  two-one=${two -- one}\n  one-two=${one -- two}")
+    // (2) the real V5 serving query vs its single-window rendering on
+    // the corpus — end-to-end pin that the r8 rewrite changed no rows
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cos = expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0D, (a, x) -> a + x)") /
+      (sqrt(expr("aggregate(transform(v, x -> x * x), 0.0D, (a, x) -> a + x)")) *
+        sqrt(expr("aggregate(transform(qv, x -> x * x), 0.0D, (a, x) -> a + x)")))
+    val naive = e.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rn") <= 10).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = ops.Vectors.vectorTopkBatch(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == naive, "V5 two-stage output diverged from the single-window rendering")
+  }
+
   test("ann recall harness: invariants hold and the batch mean clears the single-probe floor") {
     val rows = ops.Vectors.annRecall(spark, sf0001).collect()
     assert(rows.nonEmpty, "the query batch must be non-empty")

@@ -350,17 +350,23 @@ object PageRank {
            (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
          nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
          r0 AS (SELECT node, 1.0e0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    // every per-iteration CTE is MATERIALIZED: r_{i-1} is referenced
+    // TWICE per level (contribution + dangling mass), so DuckDB's
+    // default inlining expands the chain ~2^10-fold — at sf1 the
+    // un-materialized form deterministically exhausted 67 GB of spill
+    // (r8 full-surface gate finding); materialization makes the
+    // unroll linear, values unchanged
     val iters = (1 to 10).map { i =>
-      s""", c$i AS (
+      s""", c$i AS MATERIALIZED (
            SELECT e.dst AS node, sum(r.pr / d.deg) AS c
            FROM edges e JOIN degrees d ON e.src = d.src
            JOIN r${i - 1} r ON e.src = r.node
            GROUP BY e.dst),
-         dm$i AS (
+         dm$i AS MATERIALIZED (
            SELECT coalesce(sum(r.pr), 0.0e0) AS dm
            FROM r${i - 1} r LEFT JOIN degrees d ON r.node = d.src
            WHERE d.src IS NULL),
-         r$i AS (
+         r$i AS MATERIALIZED (
            SELECT nd.node, 0.15e0 / nn.n + 0.85e0 * (coalesce(c.c, 0.0e0) + dm.dm / nn.n) AS pr
            FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node
            CROSS JOIN dm$i dm CROSS JOIN nn)"""
@@ -381,17 +387,19 @@ object PageRank {
          nodes AS MATERIALIZED (SELECT DISTINCT node FROM
            (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
          r0 AS (SELECT node, CASE WHEN node = 1 THEN 1.0e0 ELSE 0.0e0 END AS pr FROM nodes)"""
+    // MATERIALIZED per-iteration CTEs — same double-reference
+    // inlining blowup as textbookOracle (see there)
     val iters = (1 to 10).map { i =>
-      s""", c$i AS (
+      s""", c$i AS MATERIALIZED (
            SELECT e.dst AS node, sum(r.pr / d.deg) AS c
            FROM edges e JOIN degrees d ON e.src = d.src
            JOIN r${i - 1} r ON e.src = r.node
            GROUP BY e.dst),
-         dm$i AS (
+         dm$i AS MATERIALIZED (
            SELECT coalesce(sum(r.pr), 0.0e0) AS dm
            FROM r${i - 1} r LEFT JOIN degrees d ON r.node = d.src
            WHERE d.src IS NULL),
-         r$i AS (
+         r$i AS MATERIALIZED (
            SELECT nd.node, 0.15e0 * ($ind) + 0.85e0 * (coalesce(c.c, 0.0e0) + dm.dm * ($ind)) AS pr
            FROM nodes nd LEFT JOIN c$i c ON nd.node = c.node
            CROSS JOIN dm$i dm)"""

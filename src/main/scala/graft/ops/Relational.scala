@@ -58,18 +58,39 @@ object Relational {
     * with partial (map-side) aggregation — the DataFrame rendering of
     * the reference's `reduceByKey` combiner semantics
     * (`assignment1/part3/task1/task1.py:52`). Two-column group key of
-    * tiny cardinality → the shuffle moves only partial aggregates. */
+    * tiny cardinality → the shuffle moves only partial aggregates.
+    *
+    * Exact-money quantization (r8, the q_tpch_promo class audited at
+    * mass): a Q1 group at sf1 sums to ~5×10¹⁰ where double ULP is
+    * ~8×10⁻⁶ — accumulation-order noise of a few ULPs against a 10⁻⁴
+    * rounding grid makes the d4 round a latent coin flip at every new
+    * SF (the r7 promo break was one such flip landing). All money
+    * columns therefore quantize per LINE to exact integer grid units
+    * (prices/discounts are 2-decimal → the per-row round is
+    * deterministic on both engines) and sum LONGS exactly; quantities
+    * are integral so their double sums were already exact. */
   def aggBasic(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_e2"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev_e4"),
+        round(col("l_discount") * 100).cast("long").as("disc_e2"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_rows"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        (round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
+        sum(col("price_e2")).as("price_e2"),
+        sum(col("rev_e4")).as("rev_e4"),
+        sum(col("disc_e2")).as("disc_e2"),
         round(min(col("l_quantity")), 2).as("min_qty"),
         round(max(col("l_quantity")), 2).as("max_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sum_qty"),
+        round(col("price_e2") / 100.0, 2).as("sum_price"),
+        round(col("rev_e4") / 10000.0, 4).as("sum_disc_price"),
+        (round(col("disc_e2") / 100.0, 2) / col("n_rows")).as("avg_disc"),
+        col("min_qty"), col("max_qty"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Exact multi-column COUNT DISTINCT (SURVEY A5). Spark expands
@@ -178,10 +199,16 @@ object Relational {
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      // exact-money: per-line 10⁻⁴-unit longs, summed exactly (the r8
+      // promo-class audit — per-nation revenue mass reaches the coin-
+      // flip regime by sf10; see aggBasic)
+      .select(col("n_name"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long").as("rev_e4"))
       .groupBy(col("n_name"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("rev_e4")).as("rev_e4"), count(lit(1)).as("n_items"))
+      .select(col("n_name"), round(col("rev_e4") / 10000.0, 4).as("revenue"),
+        col("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -299,12 +326,17 @@ object Relational {
       .filter(b1 || b2 || b3)
       .withColumn("branch",
         when(b1, "promo_small").when(b2, "economy_mid").otherwise("brand12_bulk"))
+      // exact-money longs per line (r8 promo-class audit; see aggBasic)
+      .withColumn("rev_e4",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long"))
       .groupBy(col("branch"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-          .as("revenue"),
+        sum(col("rev_e4")).as("rev_e4"),
         count(lit(1)).as("n_items"),
         countDistinct(col("p_partkey")).as("n_parts"))
+      .select(col("branch"), round(col("rev_e4") / 10000.0, 4).as("revenue"),
+        col("n_items"), col("n_parts"))
       .orderBy(col("branch"))
   }
 
@@ -323,9 +355,12 @@ object Relational {
       .filter(year(col("l_shipdate")) === 1997 &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24.0)
-      .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
-        count(lit(1)).as("n_items"))
+      // exact-money longs: a GLOBAL revenue sum grows linearly with
+      // the corpus (7×10⁹ at sf1) — the promo-class shape (r8 audit)
+      .select(round(col("l_extendedprice") * col("l_discount") * 10000)
+        .cast("long").as("rev_e4"))
+      .agg(sum(col("rev_e4")).as("rev_e4"), count(lit(1)).as("n_items"))
+      .select(round(col("rev_e4") / 10000.0, 4).as("revenue"), col("n_items"))
 
   /** TPC-H Q13-shaped customer order-count distribution: how many
     * customers placed exactly k qualifying orders, INCLUDING k = 0 —
@@ -1246,11 +1281,18 @@ object Relational {
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"))
       .withColumn("decile", ntile(10).over(w))
+      // exact-money cents: a decile's price mass reaches 3.3×10¹⁰ at
+      // sf10 where the d2 round of a double sum flipped a cent between
+      // engines — caught by the r8 two-decade gate, fixed with the
+      // promo-class exact-integer contract (see aggBasic)
+      .withColumn("price_e2", round(col("l_extendedprice") * 100).cast("long"))
       .groupBy(col("l_returnflag"), col("decile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("l_extendedprice")), 2).as("lo"),
         round(max(col("l_extendedprice")), 2).as("hi"),
-        round(sum(col("l_extendedprice")), 2).as("total"))
+        sum(col("price_e2")).as("price_e2"))
+      .select(col("l_returnflag"), col("decile"), col("n"), col("lo"), col("hi"),
+        round(col("price_e2") / 100.0, 2).as("total"))
       .orderBy(col("l_returnflag"), col("decile"))
   }
 
@@ -1762,12 +1804,15 @@ object Relational {
           .join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
+      // exact-money longs (r8 promo-class audit; see aggBasic)
+      .withColumn("rev_e4",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)
+          .cast("long"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("int").as("l_year"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-          .as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("rev_e4")).as("rev_e4"), count(lit(1)).as("n_items"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        round(col("rev_e4") / 10000.0, 4).as("revenue"), col("n_items"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
@@ -1778,8 +1823,9 @@ object Relational {
     * (the share split) must NOT prune — every supplier's revenue is
     * the denominator — so the supplier-nation tag rides a broadcast
     * dim join and the share is a conditional aggregate. Numerator and
-    * denominator round at 4 before the one division (identical double
-    * operands cross-engine); the share re-rounds at 6. */
+    * denominator are exact 10⁻⁴-unit long sums (r8 promo-class
+    * audit); the share is one division of the exact longs, rounded
+    * at 6. */
   def tpchMarketShare(s: SparkSession, d: String): DataFrame = {
     val americaCust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
       .join(broadcast(Tables.nation(s, d)
@@ -1803,14 +1849,20 @@ object Relational {
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
           .join(americaCust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
+      // exact-money longs: numerator and denominator sum exactly, the
+      // share divides the exact longs (r8 promo-class audit)
+      .withColumn("rev_e4", round(rev * 10000).cast("long"))
       .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
       .agg(
-        round(sum(when(col("supp_nation") === "NATION_5", rev)
-          .otherwise(0.0)), 4).as("nation_rev"),
-        round(sum(rev), 4).as("total_rev"),
+        sum(when(col("supp_nation") === "NATION_5", col("rev_e4"))
+          .otherwise(0L)).as("nation_e4"),
+        sum(col("rev_e4")).as("total_e4"),
         count(lit(1)).as("n_items"))
-      .withColumn("mkt_share",
-        round(col("nation_rev") / col("total_rev"), 6))
+      .select(col("o_year"),
+        round(col("nation_e4") / 10000.0, 4).as("nation_rev"),
+        round(col("total_e4") / 10000.0, 4).as("total_rev"),
+        col("n_items"),
+        round(col("nation_e4").cast("double") / col("total_e4"), 6).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -1820,8 +1872,8 @@ object Relational {
     * the Q9 SHAPE (name-LIKE part prune, profit = revenue − cost·qty,
     * nation×year rollup) is what's exercised, not the TPC-H numbers.
     * The LIKE prune broadcasts into lineitem ahead of the orders
-    * shuffle; l_quantity is integral so cost·qty keeps cent
-    * precision; the one agg rounds at 4. */
+    * shuffle; l_quantity is integral so cost·qty keeps milli
+    * precision, and profit sums as exact 10⁻⁴-unit longs (r8). */
   def tpchProfit(s: SparkSession, d: String): DataFrame = {
     val widget = Tables.part(s, d)
       .filter(col("p_name").like("%widget%"))
@@ -1837,12 +1889,18 @@ object Relational {
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
+      // exact-money longs: per-line profit sits on the 10⁻⁴ grid
+      // (rev is 4-decimal; 0.6·price·qty is 3-decimal), so the
+      // per-row round is deterministic and the longs sum exactly
+      // (r8 promo-class audit; see aggBasic)
+      .withColumn("profit_e4",
+        round((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")) * 10000)
+          .cast("long"))
       .groupBy(col("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
-      .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-          lit(0.6) * col("p_retailprice") * col("l_quantity")), 4)
-          .as("profit"),
-        count(lit(1)).as("n_items"))
+      .agg(sum(col("profit_e4")).as("profit_e4"), count(lit(1)).as("n_items"))
+      .select(col("nation"), col("o_year"),
+        round(col("profit_e4") / 10000.0, 4).as("profit"), col("n_items"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
@@ -1894,10 +1952,15 @@ object Relational {
       .withColumn("sum_qty", sum(col("l_quantity").cast("long")).over(perPart))
       .withColumn("n_li", count(lit(1)).over(perPart))
       .filter(col("l_quantity").cast("long") * 5 * col("n_li") < col("sum_qty"))
+      // exact-money: 2-decimal prices sum as exact cent longs; the /7
+      // and display round act once on the exact total (r8 audit)
+      .withColumn("price_e2", round(col("l_extendedprice") * 100).cast("long"))
       .agg(
-        round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"),
+        sum(col("price_e2")).as("price_e2"),
         count(lit(1)).as("n_small"),
         countDistinct(col("l_partkey")).as("n_parts"))
+      .select(round(col("price_e2") / 100.0 / 7.0, 4).as("avg_yearly"),
+        col("n_small"), col("n_parts"))
   }
 
   /** TPC-H Q11-shaped important part value (SURVEY J27): parts whose
@@ -2017,7 +2080,9 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_suppkey", "s_name")
-      .orderBy(col("s_name"))
+      // s_suppkey closes the total order over ScaleUp shard clones,
+      // which share s_name (r8 sf1 gate finding; see tpchWaiting)
+      .orderBy(col("s_name"), col("s_suppkey"))
   }
 
   /** TPC-H Q21-shaped waiting-on-supplier count (SURVEY J31): for one
@@ -2060,7 +2125,10 @@ object Relational {
         col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(sum(col("order_late_lines")).as("numwait"))
-      .orderBy(col("numwait").desc, col("s_name"))
+      // s_suppkey closes the total order: the r8 sf1 gate caught the
+      // (numwait, s_name) sort flapping between ScaleUp shard clones,
+      // which share s_name by construction (crawl-style duplication)
+      .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
   }
 
   /** Pure SQL-text face (§2.6): the same engine driven through
@@ -2074,8 +2142,12 @@ object Relational {
   def sqlFace(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
     Tables.part(s, d).createOrReplaceTempView("part_v")
+    // exact-money longs in the SQL text too (r8 promo-class audit);
+    // the sum casts to DOUBLE before the division — Spark's SQL
+    // parser types a bare 10000.0 literal DECIMAL(5,1) and would
+    // otherwise return DECIMAL(26,4) where the oracle returns DOUBLE
     s.sql("""SELECT p_brand, count(*) AS n_items,
-        round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
         FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
         WHERE p_size <= 10
         GROUP BY p_brand ORDER BY p_brand""")
@@ -2497,7 +2569,7 @@ object Relational {
          SELECT l_returnflag, decile, count(*) AS n,
                 round(min(l_extendedprice), 2) AS lo,
                 round(max(l_extendedprice), 2) AS hi,
-                round(sum(l_extendedprice), 2) AS total
+                round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
          FROM t GROUP BY 1, 2 ORDER BY l_returnflag, decile""",
     // same discrete rank-and-filter medians, same 3·1.4826 threshold
     "q_mad_outliers" ->
@@ -2648,16 +2720,23 @@ object Relational {
            AND NOT (o_orderstatus = 'X')
            AND (o_orderpriority LIKE '%URGENT%' OR o_totalprice < 150000.0)
          ORDER BY o_orderkey""",
+    // money columns sum as exact grid-unit BIGINTs (the promo-class
+    // exact-integer contract, r8); quantities are integral already
     "q_agg_basic" ->
-      """SELECT l_returnflag, l_linestatus,
+      """WITH q AS (SELECT l_returnflag, l_linestatus, l_quantity,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2,
+             CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS rev_e4,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_e2
+           FROM lineitem)
+         SELECT l_returnflag, l_linestatus,
          count(*) AS n_rows,
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-         round(sum(l_discount), 2) / count(*) AS avg_disc,
+         round(CAST(sum(price_e2) AS BIGINT) / 100.0, 2) AS sum_price,
+         round(CAST(sum(rev_e4) AS BIGINT) / 10000.0, 4) AS sum_disc_price,
+         round(CAST(sum(disc_e2) AS BIGINT) / 100.0, 2) / count(*) AS avg_disc,
          round(min(l_quantity), 2) AS min_qty,
          round(max(l_quantity), 2) AS max_qty
-         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         FROM q GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q_agg_distinct" ->
       """SELECT l_returnflag,
@@ -2689,7 +2768,7 @@ object Relational {
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "q_tpch_regional" ->
       """SELECT n_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS revenue,
          count(*) AS n_items
          FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -2699,7 +2778,7 @@ object Relational {
          WHERE r_name = 'ASIA' AND year(o_orderdate) BETWEEN 1996 AND 1997
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q_tpch_forecast" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS revenue,
          count(*) AS n_items
          FROM lineitem
          WHERE year(l_shipdate) = 1997
@@ -2809,7 +2888,7 @@ object Relational {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_sql_face" ->
       """SELECT p_brand, count(*) AS n_items,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+         round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE p_size <= 10
          GROUP BY p_brand ORDER BY p_brand""",
@@ -2919,7 +2998,7 @@ object Relational {
     "q_tpch_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
@@ -2932,19 +3011,11 @@ object Relational {
            AND cn.n_name IN ('NATION_3', 'NATION_7')
            AND sn.n_name <> cn.n_name
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
-    // numerator/denominator each rounded at 4 BEFORE the division
+    // numerator/denominator as exact 1e-4-unit BIGINTs; the share
+    // divides the exact longs (promo-class contract, r8)
     "q_tpch_mktshare" ->
-      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-         round(sum(CASE WHEN sn.n_name = 'NATION_5'
-                        THEN l_extendedprice * (1.0 - l_discount)
-                        ELSE 0.0 END), 4) AS nation_rev,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_rev,
-         count(*) AS n_items,
-         round(round(sum(CASE WHEN sn.n_name = 'NATION_5'
-                              THEN l_extendedprice * (1.0 - l_discount)
-                              ELSE 0.0 END), 4)
-               / round(sum(l_extendedprice * (1.0 - l_discount)), 4), 6)
-           AS mkt_share
+      """WITH q AS (SELECT year(o_orderdate) AS oy, sn.n_name AS supp_nation,
+             CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT) AS rev_e4
          FROM lineitem
          JOIN part ON l_partkey = p_partkey
          JOIN supplier ON l_suppkey = s_suppkey
@@ -2953,12 +3024,20 @@ object Relational {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation cn ON c_nationkey = cn.n_nationkey
          JOIN region ON cn.n_regionkey = r_regionkey
-         WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
-         GROUP BY 1 ORDER BY 1""",
+         WHERE p_type = 'STANDARD' AND r_name = 'AMERICA')
+         SELECT CAST(oy AS INT) AS o_year,
+         round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                        THEN rev_e4 ELSE 0 END) AS BIGINT) / 10000.0, 4) AS nation_rev,
+         round(CAST(sum(rev_e4) AS BIGINT) / 10000.0, 4) AS total_rev,
+         count(*) AS n_items,
+         round(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                        THEN rev_e4 ELSE 0 END) AS DOUBLE)
+               / CAST(sum(rev_e4) AS BIGINT), 6) AS mkt_share
+         FROM q GROUP BY 1 ORDER BY 1""",
     "q_tpch_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-         round(sum(l_extendedprice * (1.0 - l_discount)
-                   - 0.6 * p_retailprice * l_quantity), 4) AS profit,
+         round(CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)
+                   - 0.6 * p_retailprice * l_quantity) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS profit,
          count(*) AS n_items
          FROM lineitem
          JOIN part ON l_partkey = p_partkey
@@ -2988,7 +3067,7 @@ object Relational {
                     count(*) OVER (PARTITION BY l_partkey) AS n_li
                     FROM lineitem JOIN part ON l_partkey = p_partkey
                     WHERE p_brand = 'Brand#12')
-         SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+         SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / 7.0, 4) AS avg_yearly,
            count(*) AS n_small,
            count(DISTINCT l_partkey) AS n_parts
          FROM b WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
@@ -3048,7 +3127,7 @@ object Relational {
                           AND l_shipdate < TIMESTAMP '1999-01-01'
                          THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 2 >
                      sum(CAST(l_quantity AS BIGINT)))
-         ORDER BY s_name""",
+         ORDER BY s_name, s_suppkey""",
     // stated in Q21's correlated EXISTS / NOT EXISTS form; the engine
     // plans the per-order aggregate rewrite — matching proves it
     "q_tpch_waiting" ->
@@ -3067,7 +3146,7 @@ object Relational {
                              AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
          GROUP BY s_suppkey, s_name
-         ORDER BY numwait DESC, s_name""",
+         ORDER BY numwait DESC, s_name, s_suppkey""",
     "q_tpch_returned" ->
       """SELECT c_custkey, c_name, n_name,
          round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
@@ -3087,7 +3166,7 @@ object Relational {
                  WHEN p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30
                       AND l_quantity BETWEEN 10.0 AND 35.0 THEN 'economy_mid'
                  ELSE 'brand12_bulk' END AS branch,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+         round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS revenue,
          count(*) AS n_items,
          count(DISTINCT p_partkey) AS n_parts
          FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Second-decade timing gate (r7 verdict task 4): every scale slope in
+  * the record through r7 spans ONE decade (sf0.1 -> sf1). A plan can
+  * look linear over one decade and still hide a superlinear term that
+  * only dominates at the next one (exactly how q_equidepth_hist's cent
+  * flip hid below sf10 mass — bench/ROUNDING_CONTRACTS.md), so this
+  * main measures the linear-family heavies across BOTH decades:
+  * sf0.1 -> scale_data/sf1 -> scale_data/sf10 (60 M lineitem, 500 k
+  * docs; `graft.ScaleUp /root/testdata/sf0.1 scale_data/sf10 100` —
+  * sf10 is synthesized from sf0.1 directly, NOT from sf1, because
+  * ScaleUp's shard stride is fixed at 1e8 and re-sharding already-
+  * offset sf1 keys would collide shard 9 of the first pass with
+  * shard 0+9 of the second).
+  *
+  * Discipline matches the Bench sf1 tier (r6 postmortem): all three
+  * tiers of one query run back-to-back in ONE load window (paired),
+  * each tier is min-of-2 after an untimed warm-up, memos/caches are
+  * cleared between timed runs, and the load-average window brackets
+  * each query in the artifact. Slope budgets are per-DECADE: the same
+  * scale_budgets.tsv rows gate sf1->sf10 that gate sf0.1->sf1 —
+  * a query linear over decade 1 but not decade 2 is a round-stopping
+  * find by the r7 verdict's definition.
+  *
+  * Query slice: the linear-tier heavies (TPC-H shapes, cluster-level
+  * dedup rollups, the iterative graph family, event flagships, PQ
+  * serving, the composed corpus flagship). Deliberately excluded from
+  * the sf10 tier, each with its reason recorded in the artifact:
+  * pair-LISTING dedups (output grows ~C(c,2) per clone group and
+  * ScaleUp@100x makes c=100 -> 4,950 identity pairs per doc — the
+  * OUTPUT is 100x by construction, a documented cost model, not a
+  * plan property this gate could falsify) and the wedge family
+  * (documented O(m^1.5): 100x edges -> 1,000x wedges — a ~40 min
+  * single query that measures the documented bound, not linearity).
+  * q_ann_pq_recall runs the FIRST decade only: its truth tier is
+  * O(corpus x batch) with a corpus-derived batch (100x per decade by
+  * design); its measured first-decade slope is what re-derives its
+  * budget row (r7 verdict task 8).
+  */
+object ScaleDecades {
+
+  /** Queries measured across both decades. */
+  val BothDecades: Seq[String] = Seq(
+    "q_agg_basic", "q_tpch_regional", "q_tpch_shipping",
+    "q_tpch_bigorders", "q_tpch_profit", "q_tpch_promo",
+    "q_dedup_exact", "q_dedup_normalized", "q_dedup_lines",
+    "q_dedup_survivors",
+    "q_pagerank", "q_communities",
+    "q_funnel", "q_pipeline_events",
+    "q_ann_pq", "q_pipeline_corpus")
+
+  /** Queries measured on the first decade only (superlinear-by-
+    * design cost models at 100x — see scaladoc). */
+  val FirstDecadeOnly: Seq[String] = Seq("q_ann_pq_recall")
+
+  def main(args: Array[String]): Unit = {
+    val dirs = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+      sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/repo/scale_data/sf1"),
+      sys.env.getOrElse("SPARK_GRAFT_SF_BIG2", "/root/repo/scale_data/sf10"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    def timedOnce(name: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      ops.Graph.clearMemos()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[decades] $name @ $dir failed: ${e.getMessage}"); false }
+      spark.catalog.clearCache()
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    def timed(name: String, dir: String): Double = {
+      timedOnce(name, dir) // untimed warm-up: JIT/codegen/scan-index
+      math.min(timedOnce(name, dir), timedOnce(name, dir))
+    }
+
+    val budgets: Map[String, Double] = {
+      val in = getClass.getResourceAsStream("/scale_budgets.tsv")
+      if (in == null) Map.empty
+      else try scala.io.Source.fromInputStream(in).getLines().drop(1)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l => val f = l.split("\t"); f(0) -> f(1).toDouble }.toMap
+      finally in.close()
+    }
+    val SlopeMax = 12.0
+    def budget(k: String) = budgets.getOrElse(k, SlopeMax)
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(qs: Seq[String]) = only.fold(qs)(names => qs.filter(names))
+
+    val rows = (selected(BothDecades).map(_ -> 3) ++
+        selected(FirstDecadeOnly).map(_ -> 2)).map { case (q, nTiers) =>
+      val l0 = loadAvg
+      val ts = dirs.take(nTiers).map(d => timed(q, d))
+      val l1 = loadAvg
+      val slopes = ts.sliding(2).map {
+        case Seq(a, b) if a > 0 && b > 0 => b / a
+        case _ => -1.0
+      }.toSeq
+      val flagged = slopes.filter(_ > 0).exists(_ > budget(q))
+      println(f"[decades] $q%-22s " +
+        ts.map(t => f"$t%8.2f").mkString(" ") + "  slopes " +
+        slopes.map(s => f"$s%6.2f").mkString(" ") +
+        f"  budget ${budget(q)}%5.1f  load [$l0%.1f,$l1%.1f]" +
+        (if (flagged) "  OVER" else ""))
+      (q, ts, slopes, flagged, l0, l1)
+    }
+
+    val over = rows.collect { case (q, _, _, true, _, _) => q }
+    val json = rows.map { case (q, ts, slopes, flagged, l0, l1) =>
+      s""""$q":{"secs":[${ts.mkString(",")}],"slopes":[${
+        slopes.map(s => math.round(s * 100) / 100.0).mkString(",")
+      }],"budget":${budget(q)},"over":$flagged,"load_avg":[$l0,$l1]}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_decades","tiers":[${
+      dirs.map("\"" + _ + "\"").mkString(",")
+    }],"queries":$json,"over":[${over.map("\"" + _ + "\"").mkString(",")}]}""")
+    spark.stop()
+  }
+}

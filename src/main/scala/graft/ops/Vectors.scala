@@ -300,6 +300,17 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** The IVF coarse quantizer shared by every inverted-file query
+    * (V3 single/multi-probe, V11's approx tier, the r8 IVFADC): 8
+    * sign cells on dims 0–2 — a deterministic, data-independent cell
+    * id both engines compute from three comparisons. One definition
+    * so the cell geometry can never drift between the index builders
+    * and the serving paths. */
+  private def ivfBucket(v: Column): Column =
+    (when(element_at(v, 1) > 0, 4).otherwise(0) +
+      when(element_at(v, 2) > 0, 2).otherwise(0) +
+      when(element_at(v, 3) > 0, 1).otherwise(0)).cast("int")
+
   /** IVF-flavored ANN (north star, scale path): coarse-quantize every
     * vector into one of 8 sign buckets on dims 0–2, then brute-force
     * only the query's bucket. On a cluster the bucket is the partition
@@ -307,10 +318,7 @@ object Vectors {
     * recall is traded per missing neighbor bucket (documented, exact
     * variant is vectorTopk). */
   def vectorIvf(s: SparkSession, d: String): DataFrame = {
-    def bucketOf(v: Column): Column =
-      (when(element_at(v, 1) > 0, 4).otherwise(0) +
-        when(element_at(v, 2) > 0, 2).otherwise(0) +
-        when(element_at(v, 3) > 0, 1).otherwise(0)).cast("int")
+    def bucketOf(v: Column): Column = ivfBucket(v)
     val qBucket = bucketOf(qvec)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), darr.as("v"))
@@ -333,10 +341,7 @@ object Vectors {
     * still prunes half the corpus. VectorsSpec pins both recall
     * floors. */
   def vectorIvfProbe(s: SparkSession, d: String): DataFrame = {
-    def bucketOf(v: Column): Column =
-      (when(element_at(v, 1) > 0, 4).otherwise(0) +
-        when(element_at(v, 2) > 0, 2).otherwise(0) +
-        when(element_at(v, 3) > 0, 1).otherwise(0)).cast("int")
+    def bucketOf(v: Column): Column = ivfBucket(v)
     val qBucket = bucketOf(qvec)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), darr.as("v"))
@@ -369,10 +374,7 @@ object Vectors {
     * fewer than 10 candidates — n_approx reports it rather than
     * hiding it. */
   def annRecall(s: SparkSession, d: String): DataFrame = {
-    def bucketOf(v: Column): Column =
-      (when(element_at(v, 1) > 0, 4).otherwise(0) +
-        when(element_at(v, 2) > 0, 2).otherwise(0) +
-        when(element_at(v, 3) > 0, 1).otherwise(0)).cast("int")
+    def bucketOf(v: Column): Column = ivfBucket(v)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), darr.as("v"))
       .withColumn("bucket", bucketOf(col("v")))
@@ -763,43 +765,59 @@ object Vectors {
     * than silently training an empty codebook (r8, ADVICE): every
     * seed id MUST resolve to a row of `emb`, and `queryPred` must
     * select a non-empty batch. */
-  private[graft] def pqAdcCore(emb: DataFrame, topK: Int,
-      seedIds: Seq[Long] = PqSeedIds,
-      queryPred: Column = col("vec_id") % 100 === 7): DataFrame = {
-    val e = emb.select(col("vec_id"), darr.as("v"))
-    val subs = e.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(PqSubs - 1)),
-        j => slice(col("v"), j * PqSubDim + 1, lit(PqSubDim))))
-        .as(Seq("sub", "sv")))
+  /** Split a `(vec_id, v, …)` relation into its PQ subvectors —
+    * `(…, sub, sv)`; every non-vector column rides along (the IVFADC
+    * variant carries `bucket` through encode this way). */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("*"),
+        posexplode(transform(sequence(lit(0), lit(PqSubs - 1)),
+          j => slice(col("v"), j * PqSubDim + 1, lit(PqSubDim))))
+          .as(Seq("sub", "sv")))
+      .drop("v")
 
-    // code = the seed's index in seedIds (the default chain folds to
-    // the original vec_id div 100 on the default seeds)
+  /** One Lloyd assignment step per subspace: argmin over the house
+    * left-fold squared distance, partitioned by (vec_id, sub), ties
+    * to the lower code. All of `subs`' columns survive (plus `code`,
+    * `dist`) so callers can thread labels through the encode. */
+  private def pqAssignStep(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    val dist = fold(zip_with(col("sv"), col("c"), (x, y) => (x - y) * (x - y)))
+    val rn = row_number().over(
+      Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dist"), col("code")))
+    subs.join(broadcast(codebook.select(col("sub"), col("code"), col("c"))), Seq("sub"))
+      .withColumn("dist", dist).drop("c")
+      .withColumn("rn", rn).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** One Lloyd update step per subspace: lockstep-rounded per-(sub,
+    * code, dim) means re-packed into codeword lists ordered by dim. */
+  private def pqUpdateStep(assigned: DataFrame): DataFrame =
+    assigned.select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+      .groupBy(col("sub"), col("code"), col("i"))
+      .agg((round(sum(col("x")), 4) / count(lit(1))).as("cd"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("cd")))),
+        t => t("cd")).as("c"))
+
+  /** The fixed 3-assign/2-update Lloyd unroll over subvectors: seeds →
+    * trained codebook. `codeOf` maps each seed id to its code (the
+    * seed's index in `seedIds`). */
+  private def pqTrainCodebook(subs: DataFrame, seedIds: Seq[Long]): DataFrame = {
     val codeOf = seedIds.zipWithIndex.tail
       .foldLeft(when(col("vec_id") === seedIds.head, 0L)) {
         case (acc, (id, c)) => acc.when(col("vec_id") === id, c.toLong)
       }
     val init = subs.filter(col("vec_id").isin(seedIds: _*))
       .select(col("sub"), codeOf.as("code"), col("sv").as("c"))
+    pqUpdateStep(pqAssignStep(subs, pqUpdateStep(pqAssignStep(subs, init))))
+  }
 
-    def assign(codebook: DataFrame): DataFrame = {
-      val dist = fold(zip_with(col("sv"), col("c"), (x, y) => (x - y) * (x - y)))
-      val rn = row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dist"), col("code")))
-      subs.join(broadcast(codebook), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("sv"), col("code"), dist.as("dist"))
-        .withColumn("rn", rn).filter(col("rn") === 1).drop("rn")
-    }
-
-    def update(assigned: DataFrame): DataFrame =
-      assigned.select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
-        .groupBy(col("sub"), col("code"), col("i"))
-        .agg((round(sum(col("x")), 4) / count(lit(1))).as("cd"))
-        .groupBy(col("sub"), col("code"))
-        .agg(transform(sort_array(collect_list(struct(col("i"), col("cd")))),
-          t => t("cd")).as("c"))
-
-    val codebook = update(assign(update(assign(init))))
-    val codes = assign(codebook).select(col("vec_id"), col("sub"), col("code"))
+  private[graft] def pqAdcCore(emb: DataFrame, topK: Int,
+      seedIds: Seq[Long] = PqSeedIds,
+      queryPred: Column = col("vec_id") % 100 === 7): DataFrame = {
+    val e = emb.select(col("vec_id"), darr.as("v"))
+    val subs = pqSubvectors(e)
+    val codebook = pqTrainCodebook(subs, seedIds)
+    val codes = pqAssignStep(subs, codebook).select(col("vec_id"), col("sub"), col("code"))
 
     val queries = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -888,6 +906,344 @@ object Vectors {
         coalesce(col("h_ref"), lit(0L)).as("n_hits_refined"),
         recall(col("h_ref")).as("recall_refined"))
       .orderBy(col("qid"))
+  }
+
+  /** Multi-probe flips shared by [[vectorIvfProbe]], [[annIvfPq]] and
+    * the rank-metrics approx tier: the query's own cell plus its three
+    * Hamming-1 neighbors (probe list = cell XOR {0,1,2,4}). */
+  private val IvfProbeFlips = Seq(0, 1, 2, 4)
+
+  /** IVFADC — the full inverted-file + product-quantization serving
+    * stack (Jégou et al., TPAMI 2011 §IV; what `IndexIVFPQ` is in
+    * FAISS, and the first index any 100 TB deployment actually ships:
+    * the flat-PQ [[annPq]] still SCANS every code, IVFADC prunes the
+    * scan to the probed cells first). Four declarative stages:
+    *
+    * 1. COARSE: every vector lands in one of 8 [[ivfBucket]] sign
+    *    cells; the cell centroid is the lockstep-rounded per-(cell,
+    *    dim) mean — 8×64 doubles total, broadcast everywhere.
+    * 2. RESIDUAL + TRAIN: PQ codebooks are trained on r = v −
+    *    centroid(cell) (the residual trick that makes one codebook
+    *    serve all cells), via the same [[pqTrainCodebook]] Lloyd
+    *    unroll flat PQ uses — seeds are the residuals of the standard
+    *    seed rows.
+    * 3. ENCODE: each vector becomes (cell, M codes) — the inverted
+    *    file. At scale the cell is the partition key; codes are 4
+    *    small ints; raw vectors never shuffle after this pass.
+    * 4. SERVE (multi-probe ADC): each query probes its own cell plus
+    *    the three Hamming-1 flips ([[IvfProbeFlips]], the
+    *    [[vectorIvfProbe]] dial). Per (query, probed cell) the query
+    *    RESIDUAL against that cell's centroid feeds a LUT of
+    *    1e-6-quantized squared distances (|Q|·probes·M·k rows,
+    *    broadcast); the ADC distance of a corpus vector is the exact
+    *    integer sum of its M entries — computed ONLY for vectors in
+    *    probed cells (the equi-join on (bucket, sub, code) IS the
+    *    inverted-file lookup; at 8 cells / 4 probes the scan halves,
+    *    at production nlist=4096 / nprobe=16 it drops 256×).
+    *
+    * Top-5 per query by (adist_micro, vec_id) through the two-stage
+    * [[topKPerQid]]. Output carries the winning vector's cell so the
+    * pruning is visible in the result, not just the plan. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    ivfPqCore(Tables.embeddings(s, d))
+      .orderBy(col("qid"), col("rank"))
+
+  /** The IVFADC pipeline over any `(vec_id, embedding)` relation —
+    * DataFrame-parameterized so VectorsSpec can pin cell pruning (a
+    * vector in an unprobed cell never scores) and the residual-train
+    * geometry on planted vectors. */
+  private[graft] def ivfPqCore(emb: DataFrame, topK: Int = PqTopK,
+      seedIds: Seq[Long] = PqSeedIds,
+      queryPred: Column = col("vec_id") % 100 === 7): DataFrame = {
+    val e = emb.select(col("vec_id"), darr.as("v"))
+    val bucketed = e.withColumn("bucket", ivfBucket(col("v")))
+    // cell centroids: the k-means update shape on the 8 fixed cells —
+    // 512 moment keys shuffle, the corpus does not
+    val cent = bucketed.select(col("bucket"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("bucket"), col("i"))
+      .agg((round(sum(col("x")), 4) / count(lit(1))).as("cd"))
+      .groupBy(col("bucket"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("cd")))),
+        t => t("cd")).as("c"))
+    // residuals: one narrow map against the broadcast centroids
+    val resid = bucketed.join(broadcast(cent), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"),
+        zip_with(col("v"), col("c"), (x, cc) => x - cc).as("v"))
+    val subs = pqSubvectors(resid) // (vec_id, bucket, sub, sv)
+    val codebook = pqTrainCodebook(subs.select(col("vec_id"), col("sub"), col("sv")), seedIds)
+    // the inverted file: (bucket, vec_id, sub, code) — bucket rides
+    // through the encode, so no corpus-sized join-back is ever needed
+    val codes = pqAssignStep(subs, codebook)
+      .select(col("bucket"), col("vec_id"), col("sub"), col("code"))
+
+    val queries = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val qb = ivfBucket(col("qv"))
+    val probes = queries.select(col("qid"), col("qv"),
+      explode(array(IvfProbeFlips.map(f => qb.bitwiseXOR(lit(f))): _*)).as("bucket"))
+    // query residual PER PROBED CELL (the IVFADC asymmetry: the query
+    // re-centers against each cell it probes)
+    val qresid = probes.join(broadcast(cent), Seq("bucket"))
+      .select(col("qid"), col("bucket"),
+        zip_with(col("qv"), col("c"), (x, cc) => x - cc).as("v"))
+    val qsubs = pqSubvectors(qresid) // (qid, bucket, sub, qsv-as-sv)
+    val pdist = fold(zip_with(col("sv"), col("c"), (x, y) => (x - y) * (x - y)))
+    val lut = qsubs.join(codebook, Seq("sub"))
+      .select(col("qid"), col("bucket"), col("sub"), col("code"),
+        round(pdist * lit(PqLutScale.toDouble)).cast("long").as("pd_micro"))
+
+    // inverted-file lookup: only codes in probed cells join a LUT row
+    topKPerQid(
+      codes.join(broadcast(lut), Seq("bucket", "sub", "code"))
+        .groupBy(col("qid"), col("vec_id"), col("bucket"))
+        .agg(sum(col("pd_micro")).as("adist_micro")),
+      Seq(col("adist_micro"), col("vec_id")), topK, "rank")
+      .select(col("qid"), col("rank"), col("vec_id"), col("bucket"), col("adist_micro"))
+  }
+
+  /** nDCG@10 position discounts as exact 1e-6-unit longs —
+    * w(i) = round(1e6 / log2(i + 1)). Computed ONCE here and
+    * interpolated as integer literals into both the plan and the
+    * oracle, so no engine ever evaluates a transcendental: the sum
+    * over hit positions is order-free integer math (the q_tpch_promo
+    * discipline applied to a metric built on logs). */
+  private[graft] val DcgWeightsMicro: Seq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val IdcgMicro: Long = DcgWeightsMicro.sum
+
+  /** Ranking-quality metrics for the ANN index (V15, r8): recall@10,
+    * MRR and binary-relevance nDCG@10 of the multi-probe IVF tier
+    * against brute-force ground truth, per query in the serving batch
+    * — the full eval suite a retrieval deployment reports (recall
+    * alone hides WHERE in the ranking the hits sit; MRR prices the
+    * first hit, nDCG the whole ordering). Truth and approx are the
+    * [[annRecall]] serving shapes (one corpus scan each, two-stage
+    * top-k); metrics are per-query reductions of the ≤10-row
+    * intersections:
+    *  - recall_at_10 = |approx ∩ truth| / 10,
+    *  - mrr = 1 / (first approx rank that hits truth) — one exact
+    *    integer division,
+    *  - ndcg_at_10 = Σ_{hit positions} w(pos) / Σ_{1..10} w(pos)
+    *    with [[DcgWeightsMicro]] exact-integer discounts (IDCG is the
+    *    all-hits constant — truth always has 10 rows on this corpus).
+    * Every post-top-k join is broadcast (the q_ann_recall stage-race
+    * lesson); cost at 100 TB = the two corpus scans the index eval
+    * always pays, metrics are free. */
+  def rankMetrics(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), darr.as("v"))
+      .withColumn("bucket", ivfBucket(col("v")))
+    val queries = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qbucket"))
+    val order = Seq(col("cos").desc, col("vec_id").asc)
+    val truth = topKPerQid(
+      e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos")),
+      order, 10, "rn")
+      .select(col("qid"), col("vec_id"))
+    // the probe list rides as an EQUI key: each query explodes into
+    // its 4 probed cells and the corpus joins on `bucket` — at scale
+    // that is a partition-pruned read of the probed cells, never a
+    // nested-loop OR over the whole corpus
+    val probes = queries.select(col("qid"), col("qv"),
+      explode(array(IvfProbeFlips.map(f =>
+        col("qbucket").bitwiseXOR(lit(f))): _*)).as("bucket"))
+    val approx = topKPerQid(
+      e.join(broadcast(probes), Seq("bucket"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos")),
+      order, 10, "rn")
+      .select(col("qid"), col("vec_id"), col("rn").as("arank"))
+    // hit positions: approx ranks that land in truth — ≤10 rows/query
+    val hits = approx.join(broadcast(truth), Seq("qid", "vec_id"), "left_semi")
+    val wMicro = element_at(typedLit(DcgWeightsMicro), col("arank").cast("int"))
+    val perQ = hits.groupBy(col("qid")).agg(
+      count(lit(1)).as("n_hits"),
+      min(col("arank")).as("first_hit"),
+      sum(wMicro).as("dcg_micro"))
+    queries.select(col("qid"))
+      .join(broadcast(perQ), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / 10.0, 2).as("recall_at_10"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("dcg_micro"), lit(0L)) / lit(IdcgMicro.toDouble), 6)
+          .as("ndcg_at_10"))
+      .orderBy(col("qid"))
+  }
+
+  /** Easy-negative stride: corpus rows with vec_id ≡ 13 (mod 97) are
+    * the deterministic stand-in for a uniform random draw (97 is
+    * coprime to every ScaleUp stride, so the density holds in every
+    * shard); the 8 smallest stride ids form the shared easy pool. */
+  private val EasyStrideMod = 97
+  private val EasyStrideRem = 13
+  private val EasyPool = 8
+  private val EasyPerQuery = 5
+
+  /** Contrastive negative mining (r8) — the training-pair prep step
+    * every embedding/retriever fine-tune runs over its corpus: for
+    * each anchor in the serving batch, emit
+    *  - `positive`: brute-force cosine ranks 1–5 (its true neighbors;
+    *    the anchor itself is excluded by id, NOT by assuming it ranks
+    *    first — under ScaleUp an anchor's exact clones tie its
+    *    self-cosine bit-for-bit and the vec_id tiebreak can put a
+    *    clone at rank 1),
+    *  - `hard_negative`: ranks 6–15 — near the anchor but outside the
+    *    positive set, the pairs that actually move a contrastive loss
+    *    (SimCSE/DPR-style in-corpus hard negatives),
+    *  - `easy_negative`: ≤5 per anchor from the fixed [[EasyPool]]
+    *    stride sample, excluding the anchor and anything already
+    *    ranked — the uniform-negative tier.
+    * One corpus scan scores all anchors (the V5 bounded
+    * BroadcastNestedLoopJoin + two-stage top-k); the easy tier is a
+    * ≤8-row broadcast crossed with the batch, so its per-anchor
+    * windows are bounded by construction. Output: (qid, tier, rank,
+    * vec_id, cos) — rank within tier, cosine rounded at 6. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
+    val queries = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ranked = topKPerQid(
+      e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos")),
+      Seq(col("cos").desc, col("vec_id").asc), 15, "rank")
+    val pos = ranked.filter(col("rank") <= 5)
+      .select(col("qid"), lit("positive").as("tier"),
+        col("rank").cast("long").as("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    val hard = ranked.filter(col("rank") > 5)
+      .select(col("qid"), lit("hard_negative").as("tier"),
+        (col("rank") - 5).cast("long").as("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    // the shared easy pool: 8 smallest stride ids — a TakeOrdered of a
+    // pruned scan, broadcast everywhere downstream
+    val pool = e.filter(pmod(col("vec_id"), lit(EasyStrideMod)) === EasyStrideRem)
+      .orderBy(col("vec_id")).limit(EasyPool)
+    val easy = queries.crossJoin(broadcast(pool))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(ranked.select(col("qid"), col("vec_id"))),
+        Seq("qid", "vec_id"), "left_anti")
+      .select(col("qid"), col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("vec_id"))).cast("long"))
+      .filter(col("rank") <= EasyPerQuery)
+      .select(col("qid"), lit("easy_negative").as("tier"), col("rank"),
+        col("vec_id"), col("cos"))
+    pos.unionByName(hard).unionByName(easy)
+      .orderBy(col("qid"), col("tier"), col("rank"))
+  }
+
+  /** Seed predicate for [[labelSpread]]: vec_id mod 10 ∈ {0,1,2} — a
+    * deterministic 30% "labeled" slice whose density holds in every
+    * ScaleUp shard (the stride is a multiple of 10). */
+  private def labelSeedPred(id: Column): Column = id % 10 < 3
+
+  /** Semi-supervised label propagation over the similarity graph
+    * (r8) — the weak-supervision pass a curation pipeline runs when
+    * only a slice of the corpus carries labels (domain tags, quality
+    * grades): treat the 30% seed stride as labeled, build the SAME
+    * SRP-LSH cosine-confirmed neighbor edges the V4 dedup path uses
+    * ([[srpPairs]] — shared mechanics, shared oracle band SQL), and
+    * give every unlabeled vector the MAJORITY label of its labeled
+    * neighbors (ties to the smaller label; one hop — the bounded,
+    * auditable step; iterating is the graph family's LPA, already
+    * rendered at [[graft.ops.Graph]]).
+    *
+    * Scale: candidates are LSH-bounded (never all-pairs), votes are a
+    * map-side-combinable (node, label) rollup, and the winner window
+    * partitions by node over ≤|labels| rows — nothing corpus-sized
+    * ever sits in one task. Output: every vector with status
+    * `seed` / `propagated` / `unlabeled`, the assigned label, and the
+    * winning vote count. */
+  def labelSpread(s: SparkSession, d: String): DataFrame =
+    labelSpreadCore(Tables.embeddings(s, d))
+
+  /** [[labelSpread]] over any `(vec_id, embedding, label)` relation —
+    * DataFrame-parameterized so VectorsSpec can plant an unlabeled
+    * exact clone of a seed and pin that the label crosses. */
+  private[graft] def labelSpreadCore(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), darr.as("v"))
+    val edges = srpPairsOf(e, MinCos).select(col("va"), col("vb"))
+    val und = edges.select(col("va").as("dst"), col("vb").as("src"))
+      .unionByName(edges.select(col("vb").as("dst"), col("va").as("src")))
+    val seedLabels = emb.filter(labelSeedPred(col("vec_id")))
+      .select(col("vec_id").as("src"), col("label").cast("long").as("vote"))
+    val votes = und.filter(!labelSeedPred(col("dst")))
+      .join(seedLabels, Seq("src"))
+      .groupBy(col("dst"), col("vote")).agg(count(lit(1)).as("n"))
+    val win = row_number().over(
+      Window.partitionBy(col("dst")).orderBy(col("n").desc, col("vote").asc))
+    val prop = votes.withColumn("rn", win).filter(col("rn") === 1)
+      .select(col("dst").as("vec_id"), col("vote"), col("n"))
+    emb.select(col("vec_id"), col("label"))
+      .join(prop, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(labelSeedPred(col("vec_id")), "seed")
+          .when(col("vote").isNotNull, "propagated")
+          .otherwise("unlabeled").as("status"),
+        when(labelSeedPred(col("vec_id")), col("label").cast("long"))
+          .otherwise(col("vote")).as("label"),
+        when(labelSeedPred(col("vec_id")), 0L)
+          .otherwise(coalesce(col("n"), lit(0L))).as("n_votes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** RRF position weights as exact 1e-9-unit longs —
+    * w(r) = round(1e9 / (60 + r)), r ∈ [1, 10] (Cormack et al.,
+    * SIGIR 2009's k = 60). The [[DcgWeightsMicro]] trick again:
+    * integer literals in both engines, order-free fusion sums. */
+  private[graft] val RrfWeightsNano: Seq[Long] =
+    (1 to 10).map(r => math.round(1e9 / (60.0 + r)))
+
+  /** Reciprocal-rank fusion of two retrieval tiers (r8; Cormack,
+    * Clarke & Buettcher, SIGIR 2009 — the hybrid-search staple): for
+    * every query in the serving batch, fuse the EXACT cosine top-10
+    * (the expensive tier) with the IVFADC top-10 (the compressed
+    * inverted-file tier, [[ivfPqCore]] — reused verbatim, same
+    * codebooks, same oracle CTEs) by RRF score
+    * Σ_tiers w(rank-in-tier), then serve the fused top-5. RRF needs
+    * no score calibration between tiers — exactly why it's the
+    * production default for fusing rankers whose scores live on
+    * different scales (cosine vs ADC integer distance here).
+    *
+    * The fusion itself is free at any scale: both tiers are already
+    * ≤10 rows per query, the union is ≤20, and the fused window is
+    * bounded by construction. Output carries each tier's rank (null =
+    * the tier missed the vector) so the fusion is auditable. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), darr.as("v"))
+    val queries = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cosTop = topKPerQid(
+      e.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos")),
+      Seq(col("cos").desc, col("vec_id").asc), 10, "rn")
+      .select(col("qid"), col("vec_id"), col("rn").as("rank_cos"))
+    val ivfTop = ivfPqCore(Tables.embeddings(s, d), topK = 10)
+      .select(col("qid"), col("vec_id"), col("rank").as("rank_ivfpq"))
+    // fusion as a tagged UNION + rollup rather than a full-outer join:
+    // the weight lookup then only ever sees a PRESENT rank (a
+    // row_number column carries a non-nullable flag that an outer
+    // join must downgrade — this rendering never depends on that),
+    // and the shape generalizes to N tiers for free
+    val w = (r: Column) => element_at(typedLit(RrfWeightsNano), r.cast("int"))
+    val tagged = cosTop
+      .select(col("qid"), col("vec_id"), col("rank_cos").as("r"), lit("cos").as("tier"))
+      .unionByName(ivfTop
+        .select(col("qid"), col("vec_id"), col("rank_ivfpq").as("r"), lit("ivf").as("tier")))
+    val fused = tagged.groupBy(col("qid"), col("vec_id")).agg(
+      sum(w(col("r"))).as("rrf_nano"),
+      max(when(col("tier") === "cos", col("r"))).as("rank_cos"),
+      max(when(col("tier") === "ivf", col("r"))).as("rank_ivfpq"))
+    // ≤20 candidate rows per query by construction — the single
+    // window is the right shape here, like the PQ re-rank stage
+    val rn = row_number().over(
+      Window.partitionBy(col("qid")).orderBy(col("rrf_nano").desc, col("vec_id")))
+    fused.withColumn("rank", rn).filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("rrf_nano"),
+        col("rank_cos").cast("int").as("rank_cos"),
+        col("rank_ivfpq").cast("int").as("rank_ivfpq"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   // ----- PCA: the data-dependent dimensionality-reduction path -----
@@ -994,6 +1350,11 @@ object Vectors {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivfpq" -> annIvfPq,
+    "q_rank_metrics" -> rankMetrics,
+    "q_hard_negatives" -> hardNegatives,
+    "q_label_spread" -> labelSpread,
+    "q_rrf_fusion" -> rrfFusion,
     "q_ann_pq" -> annPq,
     "q_pca_power" -> pcaPower,
     "q_ann_pq_recall" -> annPqRecall,
@@ -1079,34 +1440,47 @@ object Vectors {
   /** The per-subspace Lloyd recurrence unrolled — [[kmeansCtes]] with
     * `sub` in every key and 16-dim folds; kept structurally parallel
     * so the two recurrences can be reviewed side by side. */
+  /** The 16-dim subvector squared distance, SQL rendering. */
+  private def sqlPqDist(a: String, c: String) =
+    s"list_reduce(list_transform(range(1, ${PqSubDim + 1}), i -> ($a[i] - $c[i]) * ($a[i] - $c[i])), (x, y) -> x + y)"
+
+  /** One Lloyd assignment CTE over the subvector relation `e` —
+    * shared verbatim by the flat-PQ and IVFADC oracles (the residual
+    * variant only swaps what feeds `e`). */
+  private def sqlPqAssign(a: String, cPrev: String) =
+    s"""$a AS MATERIALIZED (
+         SELECT vec_id, sub, code, dist FROM (
+           SELECT dd.*, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+           FROM (SELECT e.vec_id, e.sub, c.code, ${sqlPqDist("e.sv", "c.c")} AS dist
+                 FROM e JOIN $cPrev c USING (sub)) dd) WHERE rn = 1)"""
+
+  /** One Lloyd update CTE over `e` — lockstep-rounded means. */
+  private def sqlPqUpdate(c: String, aPrev: String) =
+    s"""$c AS MATERIALIZED (
+         SELECT sub, code, list(cd ORDER BY i) AS c FROM (
+           SELECT a.sub, a.code, t.i, round(sum(e.sv[t.i]), 4) / count(*) AS cd
+           FROM e JOIN $aPrev a USING (vec_id, sub), range(1, ${PqSubDim + 1}) t(i)
+           GROUP BY a.sub, a.code, t.i) m GROUP BY sub, code)"""
+
+  /** The seed-to-trained-codebook chain (`c0` … `a3`) over whatever
+    * subvector relation the caller bound to `e`. */
+  private val sqlPqTrainChain: String =
+    s"""c0 AS (SELECT sub, vec_id // 100 AS code, sv AS c FROM e
+              WHERE vec_id IN (0, 100, 200, 300)),
+       ${sqlPqAssign("a1", "c0")},
+       ${sqlPqUpdate("c1", "a1")},
+       ${sqlPqAssign("a2", "c1")},
+       ${sqlPqUpdate("c2", "a2")},
+       ${sqlPqAssign("a3", "c2")}"""
+
   private val pqCtes: String = {
-    def distTo(a: String, c: String) =
-      s"list_reduce(list_transform(range(1, 17), i -> ($a[i] - $c[i]) * ($a[i] - $c[i])), (x, y) -> x + y)"
-    def assign(a: String, cPrev: String) =
-      s"""$a AS MATERIALIZED (
-           SELECT vec_id, sub, code, dist FROM (
-             SELECT dd.*, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
-             FROM (SELECT e.vec_id, e.sub, c.code, ${distTo("e.sv", "c.c")} AS dist
-                   FROM e JOIN $cPrev c USING (sub)) dd) WHERE rn = 1)"""
-    def update(c: String, aPrev: String) =
-      s"""$c AS MATERIALIZED (
-           SELECT sub, code, list(cd ORDER BY i) AS c FROM (
-             SELECT a.sub, a.code, t.i, round(sum(e.sv[t.i]), 4) / count(*) AS cd
-             FROM e JOIN $aPrev a USING (vec_id, sub), range(1, ${PqSubDim + 1}) t(i)
-             GROUP BY a.sub, a.code, t.i) m GROUP BY sub, code)"""
     s"""raw AS MATERIALIZED (
          SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
        e AS MATERIALIZED (
          SELECT vec_id, t.sub,
                 list_slice(v, t.sub * $PqSubDim + 1, t.sub * $PqSubDim + $PqSubDim) AS sv
          FROM raw, range(0, $PqSubs) t(sub)),
-       c0 AS (SELECT sub, vec_id // 100 AS code, sv AS c FROM e
-              WHERE vec_id IN (0, 100, 200, 300)),
-       ${assign("a1", "c0")},
-       ${update("c1", "a1")},
-       ${assign("a2", "c1")},
-       ${update("c2", "a2")},
-       ${assign("a3", "c2")}"""
+       $sqlPqTrainChain"""
   }
 
   /** The ADC serving chain on top of [[pqCtes]] (`q` → `lut` → `ad` →
@@ -1173,9 +1547,190 @@ object Vectors {
        ORDER BY dim"""
   }
 
+  /** [[ivfBucket]]'s SQL rendering: the same three sign comparisons. */
+  private def sqlIvfBucket(v: String) =
+    s"""CAST((CASE WHEN $v[1] > 0 THEN 4 ELSE 0 END) +
+            (CASE WHEN $v[2] > 0 THEN 2 ELSE 0 END) +
+            (CASE WHEN $v[3] > 0 THEN 1 ELSE 0 END) AS INT)"""
+
+  /** The IVFADC recurrence unrolled: sign cells → lockstep-rounded
+    * cell centroids → residuals → the SHARED [[sqlPqTrainChain]] Lloyd
+    * unroll bound to residual subvectors → per-(query, probed-cell)
+    * residual LUTs quantized to exact 1e-6-unit longs → ADC sums over
+    * codes in probed cells only. CTE chain (`raw` … `top`), shared
+    * between the q_ann_ivfpq oracle and the q_rrf_fusion oracle so
+    * the two can never disagree on an ADC ranking. */
+  private val ivfPqCtes: String = {
+    s"""raw AS MATERIALIZED (
+         SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
+       bkt AS MATERIALIZED (
+         SELECT vec_id, v, ${sqlIvfBucket("v")} AS bucket FROM raw),
+       cent AS MATERIALIZED (
+         SELECT bucket, list(cd ORDER BY i) AS c FROM (
+           SELECT bucket, t.i, round(sum(v[t.i]), 4) / count(*) AS cd
+           FROM bkt, range(1, 65) t(i) GROUP BY bucket, t.i) m GROUP BY bucket),
+       rsd AS MATERIALIZED (
+         SELECT vec_id, bkt.bucket,
+                list_transform(range(1, 65), i -> v[i] - c[i]) AS rv
+         FROM bkt JOIN cent USING (bucket)),
+       e AS MATERIALIZED (
+         SELECT vec_id, t.sub,
+                list_slice(rv, t.sub * $PqSubDim + 1, t.sub * $PqSubDim + $PqSubDim) AS sv
+         FROM rsd, range(0, $PqSubs) t(sub)),
+       $sqlPqTrainChain,
+       q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM bkt WHERE vec_id % 100 = 7),
+       pr AS (SELECT qid, qv, CAST(xor(qb, f.flip) AS INT) AS bucket
+              FROM q, (SELECT unnest([${IvfProbeFlips.mkString(", ")}]) AS flip) f),
+       qr AS (SELECT qid, pr.bucket,
+                list_transform(range(1, 65), i -> qv[i] - c[i]) AS rv
+              FROM pr JOIN cent USING (bucket)),
+       qs AS (SELECT qid, bucket, t.sub,
+                list_slice(rv, t.sub * $PqSubDim + 1, t.sub * $PqSubDim + $PqSubDim) AS qsv
+              FROM qr, range(0, $PqSubs) t(sub)),
+       lut AS (SELECT qid, bucket, qs.sub, c2.code,
+                 CAST(round(${sqlPqDist("qs.qsv", "c2.c")} * $PqLutScale.0) AS BIGINT) AS pd_micro
+               FROM qs JOIN c2 USING (sub)),
+       cd AS (SELECT a3.vec_id, rsd.bucket, a3.sub, a3.code
+              FROM a3 JOIN rsd USING (vec_id)),
+       ad AS (SELECT qid, vec_id, bucket, CAST(sum(pd_micro) AS BIGINT) AS adist_micro
+              FROM cd JOIN lut USING (bucket, sub, code) GROUP BY 1, 2, 3),
+       top AS (SELECT *, CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY adist_micro, vec_id) AS INT) AS rank FROM ad)"""
+  }
+
+  private val ivfPqOracle: String =
+    s"""WITH $ivfPqCtes
+       SELECT qid, rank, vec_id, bucket, adist_micro FROM top
+       WHERE rank <= $PqTopK ORDER BY qid, rank"""
+
   val oracles: Map[String, String] = Map(
     // the power-iteration trajectory replayed step for step
     "q_pca_power" -> pcaOracle,
+    // sign cells, lockstep centroids, residual Lloyd (the SHARED
+    // train chain), per-(query, cell) LUTs as exact 1e-6-unit longs
+    "q_ann_ivfpq" -> ivfPqOracle,
+    // the same two serving shapes as q_ann_recall, metrics reduced
+    // from the ≤10-row intersections with integer DCG discounts
+    "q_rank_metrics" ->
+      s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, ${sqlDarr("embedding")} AS v,
+                  ${sqlIvfBucket(sqlDarr("embedding"))} AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM e WHERE vec_id % 100 = 7),
+         tr AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             FROM (SELECT q.qid, e.vec_id, ${sqlCos("e.v", "q.qv")} AS cos
+                   FROM e CROSS JOIN q) s) WHERE rn <= 10),
+         pr AS (SELECT qid, qv, CAST(xor(qb, f.flip) AS INT) AS bucket
+                FROM q, (SELECT unnest([${IvfProbeFlips.mkString(", ")}]) AS flip) f),
+         ap AS (SELECT qid, vec_id, rn AS arank FROM (
+             SELECT qid, vec_id, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             FROM (SELECT pr.qid, e.vec_id, ${sqlCos("e.v", "pr.qv")} AS cos
+                   FROM e JOIN pr USING (bucket)) s) WHERE rn <= 10),
+         h AS (SELECT ap.qid, ap.arank FROM ap
+               JOIN tr ON ap.qid = tr.qid AND ap.vec_id = tr.vec_id),
+         m AS (SELECT qid, count(*) AS n_hits, min(arank) AS first_hit,
+                 sum(([${DcgWeightsMicro.mkString(", ")}])[arank]) AS dcg_micro
+               FROM h GROUP BY qid)
+         SELECT q.qid,
+           CAST(coalesce(m.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(m.n_hits, 0) / 10.0, 2) AS recall_at_10,
+           round(coalesce(1.0 / m.first_hit, 0.0), 6) AS mrr,
+           round(coalesce(m.dcg_micro, 0) / $IdcgMicro.0, 6) AS ndcg_at_10
+         FROM q LEFT JOIN m USING (qid) ORDER BY qid""",
+    // the same 32 hyperplane dots / bands / pairs as q_dedup_embed
+    // (shared band SQL), one majority-vote hop replayed relationally
+    "q_label_spread" -> {
+      val bandSelects = sqlSrpBandSelects("e", "vec_id")
+      s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
+         bands AS MATERIALIZED (
+           $bandSelects),
+         pairs AS MATERIALIZED (
+           SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         edges AS MATERIALIZED (
+           SELECT va, vb
+           FROM pairs
+           JOIN (SELECT vec_id, v FROM e) ea ON va = ea.vec_id
+           JOIN (SELECT vec_id, v AS w FROM e) eb ON vb = eb.vec_id
+           WHERE ${sqlCos("ea.v", "eb.w")} >= $MinCos),
+         und AS (SELECT va AS dst, vb AS src FROM edges
+                 UNION ALL SELECT vb AS dst, va AS src FROM edges),
+         votes AS (SELECT u.dst, CAST(l.label AS BIGINT) AS vote, count(*) AS n
+                   FROM und u JOIN embeddings l ON u.src = l.vec_id
+                   WHERE l.vec_id % 10 < 3 AND u.dst % 10 >= 3
+                   GROUP BY 1, 2),
+         win AS (SELECT dst, vote, n FROM (
+             SELECT dst, vote, n, row_number() OVER (
+               PARTITION BY dst ORDER BY n DESC, vote) AS rn FROM votes)
+           WHERE rn = 1)
+         SELECT m.vec_id,
+           CASE WHEN m.vec_id % 10 < 3 THEN 'seed'
+                WHEN w.dst IS NOT NULL THEN 'propagated'
+                ELSE 'unlabeled' END AS status,
+           CASE WHEN m.vec_id % 10 < 3 THEN CAST(m.label AS BIGINT)
+                ELSE w.vote END AS label,
+           CAST(CASE WHEN m.vec_id % 10 < 3 THEN 0
+                ELSE coalesce(w.n, 0) END AS BIGINT) AS n_votes
+         FROM embeddings m LEFT JOIN win w ON m.vec_id = w.dst
+         ORDER BY m.vec_id"""
+    },
+    // the SHARED IVFADC chain fused with an exact cosine top-10 by
+    // exact 1e-9-unit RRF weights — list-literal lookups, NULL-safe
+    "q_rrf_fusion" ->
+      s"""WITH $ivfPqCtes,
+         ct AS (SELECT qid, vec_id, rn AS rank_cos FROM (
+             SELECT qid, vec_id, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             FROM (SELECT q.qid, raw.vec_id, ${sqlCos("raw.v", "q.qv")} AS cos
+                   FROM raw CROSS JOIN q) s) WHERE rn <= 10),
+         it AS (SELECT qid, vec_id, rank AS rank_ivfpq FROM top WHERE rank <= 10),
+         fz AS (SELECT qid, vec_id, rank_cos, rank_ivfpq,
+                  coalesce(([${RrfWeightsNano.mkString(", ")}])[rank_cos], 0)
+                    + coalesce(([${RrfWeightsNano.mkString(", ")}])[rank_ivfpq], 0) AS rrf_nano
+                FROM ct FULL OUTER JOIN it USING (qid, vec_id)),
+         fr AS (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY qid ORDER BY rrf_nano DESC, vec_id) AS INT) AS rank FROM fz)
+         SELECT qid, rank, vec_id, CAST(rrf_nano AS BIGINT) AS rrf_nano,
+                CAST(rank_cos AS INT) AS rank_cos,
+                CAST(rank_ivfpq AS INT) AS rank_ivfpq
+         FROM fr WHERE rank <= $PqTopK ORDER BY qid, rank""",
+    // one brute-force ranking per anchor (self excluded by id), the
+    // tier split replayed on the rank bands, the same 8-row stride
+    // pool for the easy tier
+    "q_hard_negatives" ->
+      s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, ${sqlDarr("embedding")} AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 7),
+         rk AS MATERIALIZED (SELECT qid, vec_id, cos, rn FROM (
+             SELECT qid, vec_id, cos, row_number() OVER (
+               PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+             FROM (SELECT q.qid, e.vec_id, ${sqlCos("e.v", "q.qv")} AS cos
+                   FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) s) WHERE rn <= 15),
+         pool AS (SELECT vec_id, v FROM e
+                  WHERE vec_id % $EasyStrideMod = $EasyStrideRem
+                  ORDER BY vec_id LIMIT $EasyPool),
+         easy AS (SELECT qid, vec_id, cos, row_number() OVER (
+                    PARTITION BY qid ORDER BY vec_id) AS rn
+                  FROM (SELECT q.qid, p.vec_id, ${sqlCos("p.v", "q.qv")} AS cos
+                        FROM q CROSS JOIN pool p
+                        WHERE p.vec_id <> q.qid
+                          AND NOT EXISTS (SELECT 1 FROM rk
+                                WHERE rk.qid = q.qid AND rk.vec_id = p.vec_id)) s)
+         SELECT qid, tier, rank, vec_id, cos FROM (
+           SELECT qid, 'positive' AS tier, CAST(rn AS BIGINT) AS rank,
+                  vec_id, round(cos, 6) AS cos FROM rk WHERE rn <= 5
+           UNION ALL
+           SELECT qid, 'hard_negative', CAST(rn - 5 AS BIGINT),
+                  vec_id, round(cos, 6) FROM rk WHERE rn > 5
+           UNION ALL
+           SELECT qid, 'easy_negative', CAST(rn AS BIGINT),
+                  vec_id, round(cos, 6) FROM easy WHERE rn <= $EasyPerQuery) u
+         ORDER BY qid, tier, rank""",
     // the same per-subspace Lloyd unroll (sub joined into every key),
     // the same 1e-6-quantized LUT entries summed as exact longs
     "q_ann_pq" ->

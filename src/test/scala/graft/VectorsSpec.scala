@@ -418,4 +418,172 @@ class VectorsSpec extends SparkSpec {
     assert(v8.values.count(x => math.abs(x) > 0.05) > 8,
       "PC1 should spread across dimensions on this corpus")
   }
+
+  test("IVFADC: ranked rows per query, every hit in a probed cell, distances ascend") {
+    val rows = SparkEntry.queries("q_ann_ivfpq")(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(7L, 107L, 207L, 307L, 407L))
+    // the query's own cell, recomputed with the engine's sign rule
+    val cells = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        (when(element_at(col("embedding"), 1) > 0, 4).otherwise(0) +
+          when(element_at(col("embedding"), 2) > 0, 2).otherwise(0) +
+          when(element_at(col("embedding"), 3) > 0, 1).otherwise(0)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length), s"ranks for $q")
+      val d = rs.sortBy(_.getInt(1)).map(_.getLong(4))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b },
+        s"adist must be non-decreasing in rank for $q: ${d.toSeq}")
+      val probed = Set(0, 1, 2, 4).map(cells(q) ^ _)
+      rs.foreach { r =>
+        assert(probed(r.getInt(3)),
+          s"hit ${r.getLong(2)} sits in cell ${r.getInt(3)}, outside $q's probes $probed")
+        assert(cells(r.getLong(2)) == r.getInt(3),
+          s"reported cell must be the hit's own cell: $r")
+      }
+    }
+  }
+
+  test("IVFADC pruning: a closer vector in an unprobed cell is never served") {
+    import spark.implicits._
+    // query 9 = (+,+,+,...) → cell 7, probes {7,6,5,3}. `near` flips
+    // dims 1-3 negative → cell 0 (Hamming-3, unprobed) though it is
+    // the cosine-nearest non-self vector; `far` shares cell 7 but sits
+    // further. IVFADC must serve `far` and never `near` — the recall
+    // trade the inverted file makes, pinned as a semantic, not a bug.
+    def vec(s1: Double, s2: Double, s3: Double, seed: Int) =
+      (Seq(s1, s2, s3) ++ (3 until 64).map(i => math.sin(seed * 64 + i * 1.3)))
+        .map(_.toFloat)
+    val base = vec(1, 1, 1, 0)
+    val near = (vec(-0.01, -0.01, -0.01, 0), 20L)  // base with dims 1-3 barely negative
+    val corpus = Seq(
+      (9L, base), (near._2, near._1),
+      (30L, vec(2, 1, 1, 0)),           // same cell, same tail → near in cell 7
+      (1L, vec(1, 1, 1, 1)), (2L, vec(1, 1, -1, 2)),
+      (3L, vec(1, -1, 1, 3)), (4L, vec(-1, 1, 1, 4)),
+    ).toDF("vec_id", "embedding")
+    val got = ops.Vectors.ivfPqCore(corpus, topK = 3,
+      seedIds = Seq(1L, 2L, 3L, 4L),
+      queryPred = col("vec_id") === 9L).collect()
+    assert(got.nonEmpty, "IVFADC returned nothing for the planted query")
+    val served = got.map(_.getLong(2)).toSet
+    assert(!served.contains(20L),
+      s"vector 20 lives in unprobed cell 0 and must be pruned, got $served")
+    assert(served.contains(30L), s"same-cell neighbor must be served, got $served")
+  }
+
+  test("rank metrics: integer DCG discounts, multi-probe dominates single-probe recall") {
+    val w = ops.Vectors.DcgWeightsMicro
+    assert(w.head == 1000000L && w.size == 10)
+    assert(w.zip(w.tail).forall { case (a, b) => a > b }, s"discounts must strictly decrease: $w")
+    val rows = SparkEntry.queries("q_rank_metrics")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(7L, 107L, 207L, 307L, 407L))
+    rows.values.foreach { r =>
+      val (nh, rec, mrr, ndcg) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(nh >= 0 && nh <= 10, r.toString)
+      assert(math.abs(rec - nh / 10.0) < 1e-9, r.toString)
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0, r.toString)
+      assert((nh == 0) == (mrr == 0.0), s"mrr is 0 iff no hits: $r")
+      if (nh == 10) assert(ndcg == 1.0,
+        s"all-10 intersection fills every DCG position regardless of order: $r")
+      if (mrr == 1.0) assert(ndcg >= w(0).toDouble / w.sum - 1e-9, r.toString)
+    }
+    // the multi-probe tier scans a superset of the single-probe cell,
+    // so per-query recall@10 can only rise vs q_ann_recall
+    val single = SparkEntry.queries("q_ann_recall")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    rows.foreach { case (q, r) =>
+      assert(r.getDouble(2) >= single(q) - 1e-9,
+        s"multi-probe recall must dominate single-probe for $q: ${r.getDouble(2)} vs ${single(q)}")
+    }
+  }
+
+  test("label spread: seeds keep labels, a planted clone of a seed inherits its label") {
+    import spark.implicits._
+    // seed 10 (label 5) and its exact clone 13 (unlabeled stride);
+    // 23 is unlabeled and orthogonal-ish to everything — no votes
+    def unit(axis: Int) = (0 until 64).map(i => if (i == axis) 1.0f else 0.0f)
+    val emb = Seq(
+      (10L, unit(0), 5), (13L, unit(0), 99),
+      (20L, unit(7), 1), (23L, unit(19), 99),
+    ).toDF("vec_id", "embedding", "label")
+    val got = ops.Vectors.labelSpreadCore(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toMap
+    assert(got(10L) == (("seed", 5L, 0L)), got(10L).toString)
+    assert(got(20L) == (("seed", 1L, 0L)), got(20L).toString)
+    // clones share every SRP band and cos = 1 ≥ threshold: the label crosses
+    assert(got(13L) == (("propagated", 5L, 1L)), got(13L).toString)
+    // the planted label 99 on unlabeled rows must never leak through
+    assert(got(13L)._2 != 99L && got(23L)._2 != 99L)
+    assert(got(23L)._1 == "unlabeled" && got(23L)._2 == -1L, got(23L).toString)
+  }
+
+  test("label spread on the harness corpus: statuses partition, votes positive, labels real") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val validLabels = emb.select("label").distinct().collect().map(_.getInt(0).toLong).toSet
+    val rows = SparkEntry.queries("q_label_spread")(spark, sf0001).collect()
+    assert(rows.length == emb.count(), "one row per vector")
+    rows.foreach { r =>
+      val (id, st, nv) = (r.getLong(0), r.getString(1), r.getLong(3))
+      if (id % 10 < 3) assert(st == "seed" && nv == 0L, r.toString)
+      else if (st == "propagated") {
+        assert(nv >= 1L, r.toString)
+        assert(validLabels(r.getLong(2)), s"propagated label must come from a seed: $r")
+      } else { assert(st == "unlabeled" && r.isNullAt(2) && nv == 0L, r.toString) }
+    }
+    assert(rows.count(_.getString(1) == "propagated") > 0,
+      "the LSH graph must reach at least one unlabeled vector on this corpus")
+  }
+
+  test("RRF fusion: weights exact, scores recompute from tier ranks, order honest") {
+    val w = ops.Vectors.RrfWeightsNano
+    assert(w.head == math.round(1e9 / 61.0) && w.size == 10)
+    assert(w.zip(w.tail).forall { case (a, b) => a > b })
+    val rows = SparkEntry.queries("q_rrf_fusion")(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(7L, 107L, 207L, 307L, 407L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5), s"fused ranks for $q")
+      rs.foreach { r =>
+        val wc = if (r.isNullAt(4)) 0L else w(r.getInt(4) - 1)
+        val wi = if (r.isNullAt(5)) 0L else w(r.getInt(5) - 1)
+        assert(r.getLong(3) == wc + wi, s"rrf_nano must recompute from tier ranks: $r")
+        assert(!(r.isNullAt(4) && r.isNullAt(5)), s"a fused row must come from some tier: $r")
+      }
+      val sorted = rs.sortBy(_.getInt(1))
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"fused score must be non-increasing in rank for $q: ${scores.toSeq}")
+      // a double rank-1 hit is unbeatable; when present it must lead
+      sorted.find(r => !r.isNullAt(4) && r.getInt(4) == 1 && !r.isNullAt(5) && r.getInt(5) == 1)
+        .foreach(r => assert(r.getInt(1) == 1, s"double rank-1 must fuse first: $r"))
+    }
+  }
+
+  test("hard negatives: tiers disjoint, rank bands honest, anchors never sampled") {
+    val rows = SparkEntry.queries("q_hard_negatives")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == Set(7L, 107L, 207L, 307L, 407L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.forall(_._4 != q), s"anchor $q sampled as its own pair")
+      val byTier = rs.groupBy(_._2).view.mapValues(_.map(_._4).toSet).toMap
+      assert(byTier.keySet == Set("positive", "hard_negative", "easy_negative"), s"$q: ${byTier.keySet}")
+      assert(byTier("positive").size == 5 && byTier("hard_negative").size == 10, s"$q rank bands")
+      assert(byTier("easy_negative").size <= 5 && byTier("easy_negative").nonEmpty, s"$q easy tier")
+      val all = byTier.values.toSeq
+      assert(all.map(_.size).sum == all.reduce(_ ++ _).size, s"$q: tiers must be disjoint")
+      // rank bands track the cosine ordering: every positive ≥ every hard
+      val minPos = rs.filter(_._2 == "positive").map(_._5).min
+      val maxHard = rs.filter(_._2 == "hard_negative").map(_._5).max
+      assert(minPos >= maxHard, s"$q: positives must dominate hard negatives ($minPos < $maxHard)")
+      rs.filter(_._2 == "easy_negative").foreach { e =>
+        assert(e._4 % 97 == 13, s"easy negative off the stride: $e")
+      }
+    }
+  }
 }

@@ -955,6 +955,57 @@ object Corpus {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Masking rate for [[spanCorrupt]]: hash(doc, pos) mod 20 < 3 —
+    * 15%, the T5 default corruption rate. */
+  private val SpanMaskMod = 20L
+  private val SpanMaskKeep = 3L
+
+  /** T5-style span corruption (r8; Raffel et al., JMLR 2020 §3.1.4 —
+    * the denoising objective every encoder-decoder pretrain uses):
+    * mask ~15% of word positions, MERGE adjacent masked words into
+    * spans, emit per document the input (spans replaced by one
+    * `<X{k}>` sentinel each) and the target (each sentinel followed by
+    * the words it hid) — training-example SYNTHESIS as a declared
+    * query, the step between curation and tokenization that pipelines
+    * usually hide in loader code.
+    *
+    * Masking is the portable hash of (doc_id, position) — position-
+    * stable, so the draw is reproducible across engines, runs, AND
+    * shards (a ScaleUp clone of a doc gets a different doc_id and
+    * therefore its own independent mask, like independent epochs).
+    * Span starts come from one lag window per document (bounded by
+    * document length), span numbering from a running count over the
+    * same window; assembly is the house ordered-struct collect. Per
+    * document: two bounded windows + one rollup — nothing
+    * corpus-sized in any task, output mass = input mass. */
+  def spanCorrupt(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), w => w =!= "")).as(Seq("pos", "w")))
+    val masked = words.withColumn("m",
+      graft.functions.PortableStringHash.portableHash(
+        concat(lit("span#"), col("doc_id").cast("string"), lit("#"), col("pos").cast("string")),
+        Text.HashMod) % SpanMaskMod < SpanMaskKeep)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withSpans = masked
+      .withColumn("start", col("m") &&
+        !coalesce(lag(col("m"), 1).over(byPos), lit(false)))
+      .withColumn("span", sum(when(col("start"), 1L).otherwise(0L)).over(byPos))
+    val sentinel = concat(lit("<X"), (col("span") - 1).cast("string"), lit(">"))
+    val inputTok = when(!col("m"), col("w")).when(col("start"), sentinel)
+    val targetTok = when(col("m") && col("start"), concat(sentinel, lit(" "), col("w")))
+      .when(col("m"), col("w"))
+    withSpans.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_words"),
+        max(col("span")).as("n_spans"),
+        array_join(transform(sort_array(collect_list(
+          when(inputTok.isNotNull, struct(col("pos"), inputTok.as("t"))))),
+          t => t("t")), " ").as("input_text"),
+        array_join(transform(sort_array(collect_list(
+          when(targetTok.isNotNull, struct(col("pos"), targetTok.as("t"))))),
+          t => t("t")), " ").as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared oracle CTE chain for the BPE family: the word-frequency
     * training table (wc/w0) and `BpeRounds` induction steps, each
     * producing the round's pair counts (pK), the argmax rule (rK) and
@@ -1023,6 +1074,8 @@ object Corpus {
       datasetCard(Tables.documents(s, d))),
     "q_pipeline_release" -> ((s: SparkSession, d: String) =>
       releasePipeline(Tables.documents(s, d))),
+    "q_span_corrupt" -> ((s: SparkSession, d: String) =>
+      spanCorrupt(Tables.documents(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1195,6 +1248,37 @@ object Corpus {
                                         ELSE -ln(2.0 * (1.0 - u)) END, 4)
                   AS noisy_released_sim
          FROM u ORDER BY lang, source""",
+    // the span#-prefixed portable-hash mask, the lag-window span
+    // starts, the running span count, and string_agg ORDER BY pos
+    // replaying the ordered-struct assembly
+    "q_span_corrupt" ->
+      s"""WITH w AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (
+             SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM (
+               SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents) s0) s1),
+         m AS (SELECT doc_id, pos, w,
+             list_reduce(list_transform(
+                 string_split('span#' || CAST(doc_id AS VARCHAR) || '#' || CAST(pos AS VARCHAR), ''),
+                 ch -> CAST(ascii(ch) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % ${Text.HashMod}) % $SpanMaskMod < $SpanMaskKeep AS m
+             FROM w),
+         sp AS (SELECT *, m AND NOT coalesce(
+               lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS start
+             FROM m),
+         sn AS (SELECT *, sum(CASE WHEN start THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS span
+             FROM sp),
+         tok AS (SELECT doc_id, pos, span,
+             CASE WHEN NOT m THEN w
+                  WHEN start THEN '<X' || CAST(span - 1 AS VARCHAR) || '>' END AS itok,
+             CASE WHEN m AND start THEN '<X' || CAST(span - 1 AS VARCHAR) || '> ' || w
+                  WHEN m THEN w END AS ttok
+             FROM sn)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(max(span) AS BIGINT) AS n_spans,
+                coalesce(string_agg(itok, ' ' ORDER BY pos), '') AS input_text,
+                coalesce(string_agg(ttok, ' ' ORDER BY pos), '') AS target_text
+         FROM tok GROUP BY doc_id ORDER BY doc_id""",
     // pure integer counting over the same quasi-identifier rollup
     "q_k_anonymity" ->
       s"""SELECT source, n_chars // 100 AS len_bucket,

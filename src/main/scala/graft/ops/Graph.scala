@@ -522,6 +522,62 @@ object Graph {
       .orderBy(col("u"), col("v"))
   }
 
+  /** Walks per focal node and steps per walk for [[graphWalks]]. */
+  private[graft] val WalksPerNode = 2
+  private[graft] val WalkSteps = 4
+
+  /** Deterministic random-walk corpus (r8; DeepWalk — Perozzi et al.
+    * KDD 2014; node2vec's p = q = 1 case): the walk-sentence
+    * generation step of every graph-embedding pipeline, rendered as a
+    * declared query instead of loader code. Each focal node (the
+    * link-predict 1% id stride) starts [[WalksPerNode]] walks of
+    * [[WalkSteps]] steps; step k of walk w from node n moves to the
+    * neighbor at rank hash("walk#n#w#k") mod degree(cur) — the
+    * portable-hash stand-in for the uniform draw, so every engine,
+    * run, and cluster size walks the SAME paths (the q_sample
+    * principle applied to graph traversal).
+    *
+    * Shape at scale: the ranked adjacency is one bounded window per
+    * node (rank + degree over neighbor lists); each step is an
+    * equi-join of the |focal|·W frontier against it, filtered to
+    * exactly ONE neighbor — the frontier never grows, the adjacency
+    * exchange is reused across all [[WalkSteps]] steps, and nothing
+    * corpus-sized sits in any task. Output: one walk sentence per
+    * (start, walk) — exactly what a skip-gram trainer consumes. */
+  def graphWalks(s: SparkSession, d: String): DataFrame =
+    graphWalksCore(coEdges(s, d))
+
+  /** [[graphWalks]] over any `(u, v)` undirected edge relation —
+    * DataFrame-parameterized so GraphSpec can replay the hash picks
+    * on a hand-built graph and pin the exact paths. */
+  private[graft] def graphWalksCore(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    val adj = sym
+      .withColumn("rk", row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("a"))))
+    val focal = sym.select(col("a")).distinct().filter(col("a") % 100 === 7)
+    val walks0 = focal.select(col("a").as("start"),
+        explode(sequence(lit(0), lit(WalksPerNode - 1))).as("walk"))
+      .select(col("start"), col("walk"), col("start").as("cur"),
+        col("start").cast("string").as("path"))
+    val stepped = (1 to WalkSteps).foldLeft(walks0) { (fr, step) =>
+      val pick = pmod(
+        graft.functions.PortableStringHash.portableHash(
+          concat(lit("walk#"), col("start").cast("string"),
+            lit("#"), col("walk").cast("string"), lit(s"#$step")),
+          Text.HashMod),
+        col("deg")) + 1
+      fr.join(adj, fr("cur") === adj("a"))
+        .filter(col("rk") === pick)
+        .select(col("start"), col("walk"), col("b").as("cur"),
+          concat(col("path"), lit(" "), col("b").cast("string")).as("path"))
+    }
+    stepped.select(col("start"), col("walk").cast("int").as("walk"),
+        col("path"), col("cur").as("end_node"))
+      .orderBy(col("start"), col("walk"))
+  }
+
   /** Adamic-Adar link prediction, serving shape (G-family, r5 wave
     * 12; Adamic & Adar 2003, Liben-Nowell & Kleinberg 2007): top-5
     * suggested new edges for each FOCAL node (a 1% id-sample standing
@@ -832,6 +888,7 @@ object Graph {
     "q_modularity" -> modularity,
     "q_hits" -> hits,
     "q_link_predict" -> linkPrediction,
+    "q_graph_walks" -> graphWalks,
     "q_triangles" -> triangles,
     "q_clustering" -> clusteringCoeff,
     "q_kcore"     -> kcore,
@@ -1001,10 +1058,37 @@ object Graph {
                - CAST(sum_deg_sq AS DOUBLE) / (4.0 * m * m), 6) AS modularity
        FROM s ORDER BY m"""
 
+  /** The walk recurrence unrolled: the same ranked adjacency, the same
+    * walk#-prefixed portable-hash picks, [[WalkSteps]] chained joins. */
+  private val graphWalksOracle: String = {
+    def hash(expr: String) =
+      s"list_reduce(list_transform(string_split($expr, ''), ch -> CAST(ascii(ch) AS BIGINT)), (x, y) -> (x * 31 + y) % ${Text.HashMod})"
+    val steps = (1 to WalkSteps).map { k =>
+      s""",
+         w$k AS (SELECT start, walk, b AS cur, path || ' ' || CAST(b AS VARCHAR) AS path
+                 FROM w${k - 1} w JOIN adj ON adj.a = w.cur
+                 WHERE rk = ${hash(s"'walk#' || CAST(start AS VARCHAR) || '#' || CAST(walk AS VARCHAR) || '#$k'")} % deg + 1)"""
+    }.mkString
+    s"""WITH e AS MATERIALIZED ($coEdgesSql),
+       sym AS MATERIALIZED (
+         SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+       adj AS MATERIALIZED (
+         SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rk,
+                count(*) OVER (PARTITION BY a) AS deg
+         FROM sym),
+       f AS (SELECT DISTINCT a AS start FROM sym WHERE a % 100 = 7),
+       w0 AS (SELECT start, t.walk, start AS cur, CAST(start AS VARCHAR) AS path
+              FROM f, (SELECT unnest([${(0 until WalksPerNode).mkString(", ")}]) AS walk) t)$steps
+       SELECT start, CAST(walk AS INT) AS walk, path, cur AS end_node
+       FROM w$WalkSteps ORDER BY start, walk"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_communities" -> communitiesOracle,
     "q_modularity" -> modularityOracle,
     "q_hits" -> hitsOracle,
+    // the same ranked adjacency + walk#-hash picks, steps unrolled
+    "q_graph_walks" -> graphWalksOracle,
     // same quantized integer weights (floor(1e6/ln deg) — identical
     // double division then floor), same exact-long score sums, same
     // canonical-pair exclusion and per-focal total-order rank

@@ -974,6 +974,49 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Approximate GROUP BY with CLT error bars (r8; the BlinkDB /
+    * online-aggregation posture, Agarwal et al. EuroSys 2013): per
+    * language, estimate the mean document length from a deterministic
+    * 1/16 key-hash sample and report the ±1.96·s/√n 95% confidence
+    * half-width NEXT TO the exact answer — approximate query
+    * processing as a declared, oracle-checked operator instead of a
+    * promise. At 100 TB this is the interactive tier: the sample
+    * predicate is a pushable scan filter (same key-hash Bernoulli as
+    * q_sample — reproducible across engines, runs, and cluster
+    * sizes, unlike df.sample's RNG), so the approximate pass reads
+    * 1/16 of the data and the error bar quantifies the trade.
+    *
+    * Determinism (the exact-integer discipline): n_chars is integral,
+    * so Σx and Σx² are EXACT longs at any corpus mass (Σx² ≤ 1.6e7 ×
+    * rows — decades from overflow); every double after the two sums
+    * is the same fixed IEEE expression on both engines, sqrt is
+    * correctly-rounded, and `covered` compares the ROUNDED grid
+    * values so even the boolean can't straddle engines. */
+  def aqpGroupby(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val samp = docs
+      .filter(pmod(pmod(col("doc_id") * 31L + 11L, lit(1000003L)), lit(16L)) === 0L)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_sample"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+    val exact = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_true"),
+      sum(col("n_chars")).as("t1"))
+    val n = col("n_sample").cast("double")
+    val meanEst = round(col("s1") / n, 4)
+    val sd = sqrt((col("s2") - col("s1").cast("double") * col("s1") / n) / (n - 1))
+    val half = round(lit(1.96) * sd / sqrt(n), 4)
+    val meanTrue = round(col("t1") / col("n_true").cast("double"), 4)
+    samp.join(exact, Seq("lang"))
+      .filter(col("n_sample") > 1)
+      .select(col("lang"), col("n_sample"),
+        (col("n_sample") * 16).as("n_est"), col("n_true"),
+        meanEst.as("mean_est"), half.as("half_width"), meanTrue.as("mean_true"),
+        (abs(meanEst - meanTrue) <= half).as("covered"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-source keep rates in permille — the data-mixing weights of
     * [[sampleStratified]], generated so the Spark weights relation and
     * the DuckDB VALUES list stay in lockstep (rates sweep 0–950‰;
@@ -2184,6 +2227,7 @@ object Relational {
     "q_pivot"             -> pivot,
     "q_join_cross"        -> joinCross,
     "q_sample"            -> sample,
+    "q_aqp_groupby"       -> aqpGroupby,
     "q_sample_stratified" -> sampleStratified,
     "q_sort_export"       -> sortExport,
     "q_filter_predicates" -> filterPredicates,
@@ -2630,6 +2674,31 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE (l_orderkey * 31 + l_linenumber) % 1000003 % 1000 < 100
          ORDER BY l_orderkey, l_linenumber""",
+    // the same key-hash 1/16 draw, the same exact integer Σx/Σx²,
+    // the same fixed IEEE tail; covered compares rounded grid values
+    "q_aqp_groupby" ->
+      """WITH s AS (SELECT lang, count(*) AS n_sample,
+               CAST(sum(n_chars) AS BIGINT) AS s1,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+             FROM documents
+             WHERE (doc_id * 31 + 11) % 1000003 % 16 = 0
+             GROUP BY lang),
+         x AS (SELECT lang, count(*) AS n_true,
+               CAST(sum(n_chars) AS BIGINT) AS t1
+             FROM documents GROUP BY lang),
+         j AS (SELECT lang, n_sample, n_sample * 16 AS n_est, n_true,
+               round(s1 / CAST(n_sample AS DOUBLE), 4) AS mean_est,
+               round(1.96 * sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / CAST(n_sample AS DOUBLE))
+                     / (CAST(n_sample AS DOUBLE) - 1))
+                 / sqrt(CAST(n_sample AS DOUBLE)), 4) AS half_width,
+               round(t1 / CAST(n_true AS DOUBLE), 4) AS mean_true
+             FROM s JOIN x USING (lang) WHERE n_sample > 1)
+         SELECT lang, CAST(n_sample AS BIGINT) AS n_sample,
+                CAST(n_est AS BIGINT) AS n_est,
+                CAST(n_true AS BIGINT) AS n_true,
+                mean_est, half_width, mean_true,
+                abs(mean_est - mean_true) <= half_width AS covered
+         FROM j ORDER BY lang""",
     "q_sample_stratified" -> {
       val values = StratifiedRates
         .map { case (src, r) => s"('$src', $r)" }.mkString(", ")

@@ -514,4 +514,44 @@ class CorpusSpec extends SparkSpec {
     assert(got(("xx", "tiny")) == ((2L, 0L, 0L)),
       s"k<5 class must be suppressed to zero but still emit its row: ${got(("xx", "tiny"))}")
   }
+
+  test("span corruption: splicing targets back into inputs reconstructs every document") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "one"),
+      (3L, (1 to 40).map(i => s"w$i").mkString(" ")))
+    val got = Corpus.spanCorrupt(texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == texts.map(_._1).toSet)
+    val sentinel = "<X(\\d+)>".r
+    texts.foreach { case (id, text) =>
+      val r = got(id)
+      val (nWords, nSpans) = (r.getLong(1), r.getLong(2))
+      assert(nWords == text.split(" ").length.toLong, s"doc $id n_words")
+      val input = r.getString(3).split(" ").filter(_.nonEmpty)
+      val target = r.getString(4)
+      // sentinels appear in order <X0>, <X1>, … in BOTH renditions
+      val inSent = sentinel.findAllMatchIn(r.getString(3)).map(_.group(1).toInt).toSeq
+      val tgSent = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(inSent == (0 until nSpans.toInt) && tgSent == inSent,
+        s"doc $id sentinels: input $inSent target $tgSent spans $nSpans")
+      // splice each sentinel's target words back → the original text
+      val spans: Map[Int, Seq[String]] =
+        if (nSpans == 0) Map.empty
+        else {
+          val parts = sentinel.split(target).toSeq // "" head, then span bodies in order
+          tgSent.zip(parts.drop(1).map(_.trim.split(" ").filter(_.nonEmpty).toSeq)).toMap
+        }
+      val rebuilt = input.flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case w => Seq(w)
+      }.mkString(" ")
+      assert(rebuilt == text, s"doc $id round-trip: '$rebuilt' != '$text'")
+    }
+    // determinism: a second run is bit-identical
+    val again = Corpus.spanCorrupt(texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    got.foreach { case (id, r) => assert(again(id) == r.getString(3)) }
+  }
 }

@@ -368,4 +368,38 @@ class GraphSpec extends SparkSpec {
       sp.collectFirst { case (n, d) if d < hops(n) || d > 5L * hops(n) =>
         s"$n: sssp=$d hops=${hops(n)}" }.toString)
   }
+
+  test("graph walks: hash picks replay exactly on a hand-built graph, every hop is an edge") {
+    import spark.implicits._
+    val edgeList = Seq((7L, 10L), (7L, 20L), (10L, 20L), (20L, 30L), (30L, 40L))
+    val got = Graph.graphWalksCore(edgeList.toDF("u", "v")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set((7L, 0), (7L, 1)), got.keySet.toString)
+    // replay the picks driver-side through the SAME hash expression
+    val adj = Map(7L -> Seq(10L, 20L), 10L -> Seq(7L, 20L),
+      20L -> Seq(7L, 10L, 30L), 30L -> Seq(20L, 40L), 40L -> Seq(30L))
+    def h(sx: String): Long = graft.functions.PortableStringHash(
+        org.apache.spark.sql.catalyst.expressions.Literal(sx), 1000003L)
+      .hash(org.apache.spark.unsafe.types.UTF8String.fromString(sx))
+    for (w <- 0 until Graph.WalksPerNode) {
+      var cur = 7L
+      val sb = new StringBuilder("7")
+      for (k <- 1 to Graph.WalkSteps) {
+        val ns = adj(cur)
+        cur = ns((h(s"walk#7#$w#$k") % ns.size).toInt)
+        sb.append(" ").append(cur)
+      }
+      assert(got((7L, w)) == ((sb.toString, cur)),
+        s"walk $w diverged from the replay: ${got((7L, w))} vs $sb")
+    }
+    // structural: every consecutive pair in every path is a real edge
+    val es = edgeList.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    got.values.foreach { case (p, end) =>
+      val nodes = p.split(" ").map(_.toLong)
+      assert(nodes.length == Graph.WalkSteps + 1 && nodes.last == end)
+      nodes.sliding(2).foreach { case Array(a, b) =>
+        assert(es((a, b)), s"$a->$b is not an edge in walk '$p'")
+      }
+    }
+  }
 }

@@ -382,4 +382,27 @@ class RelationalSpec extends SparkSpec {
       ("X", 1L) -> "A", ("X", 2L) -> "B", ("X", 3L) -> "C",
       ("Y", 1L) -> "A", ("Y", 2L) -> "C"), got.toString)
   }
+
+  test("AQP group-by: estimate self-consistent, error bar real, covered recomputes") {
+    val rows = SparkEntry.queries("q_aqp_groupby")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty, "the 1/16 sample must hit every language at sf0.01")
+    rows.foreach { r =>
+      val (ns, nEst, nTrue) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (est, half, tru, cov) =
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+      assert(nEst == ns * 16, r.toString)
+      // the 1/16 Bernoulli count concentrates around n_true within
+      // ~4σ of the scaled binomial (σ_est ≈ √(16·n_true)); small
+      // groups are legitimately noisy (sf0.01's 70-doc 'de' group
+      // drew +1.7σ on the fixed hash), so the bound scales with size —
+      // a broken hash stride, not sampling noise, is what this catches
+      assert(math.abs(nEst - nTrue) <= 4 * math.sqrt(16.0 * nTrue) + 16,
+        s"sampled count estimate implausible: $r")
+      assert(half > 0, r.toString)
+      assert(cov == (math.abs(est - tru) <= half),
+        s"covered must recompute from the rounded grid values: $r")
+      // the estimate can miss (5% per group by design) but not by miles
+      assert(math.abs(est - tru) <= 5 * half, s"estimate off by >5 half-widths: $r")
+    }
+  }
 }

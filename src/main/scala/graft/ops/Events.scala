@@ -59,6 +59,25 @@ object Events {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** ST10 as a declared query: the batch face of the CDC retraction
+    * stream ([[Streaming.retractions]]) — for every event version
+    * that a later version of the same user supersedes, one row naming
+    * the stale version and its successor (the complement of E4's
+    * compaction: q_compact_latest keeps the survivors, this emits the
+    * retractions with provenance). Batch execution delivers each
+    * user's versions in one sorted group, so the output is exactly
+    * the per-user LEAD pairing the oracle replays; the streaming
+    * run's late-arrival semantic (stale on arrival → retracted by the
+    * then-current state) is pinned in StreamingSpec. */
+  def streamRetract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[Streaming.Ev]
+    Streaming.retractions(ev).toDF()
+      .orderBy(col("user_id"), col("retracted_ts"), col("retracted_event"))
+  }
+
   /** ST7 as a declared query: the batch face of the stream-stream
     * band join ([[Streaming.clickToPurchase]]) — click→purchase
     * attribution within 10 minutes, both sides carved from the one
@@ -1081,6 +1100,7 @@ object Events {
     "q_stream_sliding"  -> streamSliding,
     "q_stream_session"  -> streamSession,
     "q_stream_dedup"    -> streamDedup,
+    "q_stream_retract"  -> streamRetract,
     "q_stream_watermark" -> streamWatermark,
     "q_stream_stateful" -> streamStateful,
     "q_stream_join"     -> streamJoin,
@@ -1548,6 +1568,17 @@ object Events {
          FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
          ORDER BY user_id""",
+    // the retraction stream's batch face: every non-latest version
+    // paired with its LEAD successor in the house event-time order
+    "q_stream_retract" ->
+      """SELECT user_id, ts AS retracted_ts, event_id AS retracted_event,
+                value AS retracted_value,
+                lead(ts) OVER w AS superseded_ts,
+                lead(event_id) OVER w AS superseded_event
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         QUALIFY superseded_ts IS NOT NULL
+         ORDER BY user_id, retracted_ts, retracted_event""",
     "q_densify" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
          counts AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),

@@ -172,6 +172,59 @@ object Streaming {
     * user's final (still-open) session is not emitted — the streaming
     * semantics, applied literally (q_stream_stateful's oracle excludes
     * exactly those trailing sessions). */
+  case class RetractOut(user_id: Long, retracted_ts: java.sql.Timestamp,
+      retracted_event: Long, retracted_value: Double,
+      superseded_ts: java.sql.Timestamp, superseded_event: Long)
+
+  /** CDC retraction stream (ST10, r8 — the Flink "retract stream" /
+    * materialized-view invalidation shape): treat the keyed event log
+    * as an UPDATE stream (each event is a new version of its user's
+    * state) and emit, for every version that gets superseded, ONE
+    * retraction row naming both the stale version and its successor —
+    * exactly what a downstream cache or incremental view consumes to
+    * invalidate. The complement of the batch compaction (E4
+    * q_compact_latest emits what SURVIVES; this emits what was
+    * retracted, with provenance).
+    *
+    * State per key is the single latest version — bounded by |keys|,
+    * never by stream length (a production deployment adds a TTL
+    * timeout; none is needed for the parity contract). Within a
+    * micro-batch versions sort by (ts, event_id), the house
+    * event-time order. A version arriving AFTER a newer one was seen
+    * (cross-batch lateness) is stale ON ARRIVAL and is retracted
+    * immediately by the then-current state (StreamingSpec pins it);
+    * when per-key arrival order respects event order — the standard
+    * CDC transport guarantee — the output is exactly the batch face's
+    * LEAD pairs, which is what the oracle replays. */
+  def retractions(events: Dataset[Ev]): Dataset[RetractOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Ev, RetractOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[Ev]) =>
+          def key(e: Ev): (Long, Long) = (tsMicros(e.ts), e.event_id)
+          def before(a: Ev, b: Ev): Boolean = {
+            val (ka, kb) = (key(a), key(b))
+            ka._1 < kb._1 || (ka._1 == kb._1 && ka._2 < kb._2)
+          }
+          val out = scala.collection.mutable.ListBuffer.empty[RetractOut]
+          var cur = state.getOption
+          it.toSeq.sortBy(key).foreach { e =>
+            cur match {
+              case Some(c) if before(e, c) => // stale on arrival
+                out += RetractOut(user, e.ts, e.event_id, e.value, c.ts, c.event_id)
+              case Some(c) =>
+                out += RetractOut(user, c.ts, c.event_id, c.value, e.ts, e.event_id)
+                cur = Some(e)
+              case None =>
+                cur = Some(e)
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def statefulSessions(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60000000L

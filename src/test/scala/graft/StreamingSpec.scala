@@ -610,4 +610,37 @@ class StreamingSpec extends SparkSpec {
       assert(sessions(1).getAs[Long]("n_events") == 1L)
     } finally q.stop()
   }
+
+  test("retraction stream: superseded versions emit with provenance, late versions retract on arrival") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Long)]
+    val events = mem.toDF.toDF("user_id", "ts", "value", "event_id")
+      .as[Streaming.Ev]
+    val q = Streaming.retractions(events).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("retr").start()
+    try {
+      mem.addData(
+        (1L, t("2024-01-01 00:05:00"), 1.0, 10L),
+        (1L, t("2024-01-01 00:10:00"), 2.0, 11L),
+        (2L, t("2024-01-01 00:07:00"), 5.0, 20L))
+      q.processAllAvailable()
+      val b1 = spark.table("retr").collect()
+      // user 1's first version superseded in-batch; user 2 holds state
+      assert(b1.length == 1, b1.mkString(";"))
+      assert(b1.head.getAs[Long]("user_id") == 1L &&
+        b1.head.getAs[Long]("retracted_event") == 10L &&
+        b1.head.getAs[Long]("superseded_event") == 11L, b1.head.toString)
+      // batch 2: a LATE version for user 1 (older than its state) is
+      // stale on arrival → retracted by the CURRENT state, not by its
+      // in-order successor; user 2's held version is now superseded
+      mem.addData(
+        (1L, t("2024-01-01 00:01:00"), 0.5, 9L),
+        (2L, t("2024-01-01 00:30:00"), 6.0, 21L))
+      q.processAllAvailable()
+      val rows = spark.table("retr").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("retracted_event"),
+          r.getAs[Long]("superseded_event"))).toSet
+      assert(rows == Set((1L, 10L, 11L), (1L, 9L, 11L), (2L, 20L, 21L)), rows.toString)
+    } finally q.stop()
+  }
 }

@@ -327,8 +327,25 @@ object Bench {
       // min-of-2 samples of the first grid point paid PageRank's JIT
       // warm-up — the sweep query must be hot before any timed point
       sweepOnce(ns.head)
-      val times = ns.map(n => n -> math.min(sweepOnce(n), sweepOnce(n)))
-      times.map { case (n, t) => "\"" + n + "\":" + t }
+      // TWO INTERLEAVED full grid passes, min per point ACROSS passes
+      // (r8 postmortem: back-to-back min-of-2 let ONE co-tenant window
+      // poison both samples of n=200 — 24.9 s vs 8.1 s everywhere
+      // else, the second round shipping a wart in the banner
+      // artifact). A noise window now has to span the whole grid
+      // twice to corrupt a point. Belt-and-braces: any point whose
+      // min still exceeds BOTH neighbors by >2x gets one targeted
+      // re-sample (a real knee is monotone-ish; a spike isn't).
+      val pass1 = ns.map(n => n -> sweepOnce(n)).toMap
+      val pass2 = ns.map(n => n -> sweepOnce(n)).toMap
+      val mins = scala.collection.mutable.Map(
+        ns.map(n => n -> math.min(pass1(n), pass2(n))): _*)
+      for (i <- ns.indices) {
+        val n = ns(i)
+        val nbrs = Seq(i - 1, i + 1).filter(j => j >= 0 && j < ns.size).map(j => mins(ns(j)))
+        if (nbrs.nonEmpty && nbrs.forall(v => mins(n) > 2 * v))
+          mins(n) = math.min(mins(n), sweepOnce(n))
+      }
+      ns.map { n => "\"" + n + "\":" + mins(n) }
         .mkString(""","partition_sweep":{""", ",", "}")
     }
 

@@ -49,7 +49,7 @@ object ScaleDecades {
     "q_dedup_survivors",
     "q_pagerank", "q_communities",
     "q_funnel", "q_pipeline_events",
-    "q_ann_pq", "q_pipeline_corpus")
+    "q_ann_pq", "q_ann_pq_fixed", "q_pipeline_corpus")
 
   /** Queries measured on the first decade only (superlinear-by-
     * design cost models at 100x — see scaladoc). */
@@ -90,19 +90,36 @@ object ScaleDecades {
     }
     def timed(name: String, dir: String): Double = {
       timedOnce(name, dir) // untimed warm-up: JIT/codegen/scan-index
-      math.min(timedOnce(name, dir), timedOnce(name, dir))
+      // A -1 (crash/OOM) sample must not poison a successful twin
+      // (r8 ADVICE): min over the SUCCESSFUL samples; -1 only when
+      // BOTH runs failed.
+      val samples = Seq(timedOnce(name, dir), timedOnce(name, dir)).filter(_ > 0)
+      if (samples.isEmpty) -1.0 else samples.min
     }
 
-    val budgets: Map[String, Double] = {
+    // Per-DECADE budgets (r8 ADVICE): column 2 gates sf0.1->sf1,
+    // column 3 gates sf1->sf10 — a family whose quadratic term only
+    // dominates at the second decade (q_ann_pq) keeps a tight
+    // regression-catching decade-1 gate instead of inheriting the
+    // loose decade-2 number.
+    val budgets: Map[String, (Double, Double)] = {
       val in = getClass.getResourceAsStream("/scale_budgets.tsv")
       if (in == null) Map.empty
       else try scala.io.Source.fromInputStream(in).getLines().drop(1)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map { l => val f = l.split("\t"); f(0) -> f(1).toDouble }.toMap
+        .map { l =>
+          val f = l.split("\t")
+          val d1 = f(1).toDouble
+          val d2 = scala.util.Try(f(2).toDouble).getOrElse(d1)
+          f(0) -> (d1, d2)
+        }.toMap
       finally in.close()
     }
     val SlopeMax = 12.0
-    def budget(k: String) = budgets.getOrElse(k, SlopeMax)
+    def budget(k: String, decade: Int): Double = {
+      val (d1, d2) = budgets.getOrElse(k, (SlopeMax, SlopeMax))
+      if (decade <= 0) d1 else d2
+    }
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -117,24 +134,35 @@ object ScaleDecades {
         case Seq(a, b) if a > 0 && b > 0 => b / a
         case _ => -1.0
       }.toSeq
-      val flagged = slopes.filter(_ > 0).exists(_ > budget(q))
+      val bgts = slopes.indices.map(i => budget(q, i))
+      val flagged = slopes.zip(bgts).exists { case (s, b) => s > 0 && s > b }
+      // A crash/OOM at any tier is a first-class failure, not a
+      // silently-dropped slope pair (r8 ADVICE).
+      val failedTiers = ts.zipWithIndex.collect { case (t, i) if t < 0 => i }
       println(f"[decades] $q%-22s " +
         ts.map(t => f"$t%8.2f").mkString(" ") + "  slopes " +
         slopes.map(s => f"$s%6.2f").mkString(" ") +
-        f"  budget ${budget(q)}%5.1f  load [$l0%.1f,$l1%.1f]" +
-        (if (flagged) "  OVER" else ""))
-      (q, ts, slopes, flagged, l0, l1)
+        "  budgets " + bgts.map(b => f"$b%5.1f").mkString(" ") +
+        f"  load [$l0%.1f,$l1%.1f]" +
+        (if (flagged) "  OVER" else "") +
+        (if (failedTiers.nonEmpty) s"  FAILED tiers ${failedTiers.mkString(",")}" else ""))
+      (q, ts, slopes, bgts, flagged, failedTiers, l0, l1)
     }
 
-    val over = rows.collect { case (q, _, _, true, _, _) => q }
-    val json = rows.map { case (q, ts, slopes, flagged, l0, l1) =>
+    val over = rows.collect { case (q, _, _, _, true, _, _, _) => q }
+    val failed = rows.collect {
+      case (q, _, _, _, _, ft, _, _) if ft.nonEmpty =>
+        s""""$q":[${ft.mkString(",")}]""" }
+    val json = rows.map { case (q, ts, slopes, bgts, flagged, ft, l0, l1) =>
       s""""$q":{"secs":[${ts.mkString(",")}],"slopes":[${
         slopes.map(s => math.round(s * 100) / 100.0).mkString(",")
-      }],"budget":${budget(q)},"over":$flagged,"load_avg":[$l0,$l1]}"""
+      }],"budgets":[${bgts.mkString(",")}],"over":$flagged,"failed_tiers":[${
+        ft.mkString(",")}],"load_avg":[$l0,$l1]}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_decades","tiers":[${
       dirs.map("\"" + _ + "\"").mkString(",")
-    }],"queries":$json,"over":[${over.map("\"" + _ + "\"").mkString(",")}]}""")
+    }],"queries":$json,"over":[${over.map("\"" + _ + "\"").mkString(",")}],"failed":{${
+      failed.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -78,6 +78,26 @@ object Events {
       .orderBy(col("user_id"), col("retracted_ts"), col("retracted_event"))
   }
 
+  /** ST11 as a declared query: the batch face of incremental view
+    * maintenance ([[Streaming.maintainView]]) — the per-user
+    * materialized view (version count, exact cent sum, latest
+    * version) after the whole update stream has been applied. The
+    * maintenance fold is confluent (commutative +deltas, max-by-key
+    * latest slot), so batch execution — one group per user — lands on
+    * the SAME fixed point the micro-batched streaming run converges
+    * to; StreamingSpec asserts the parity after every micro-batch
+    * against the E4 compaction. The oracle replays the view as a
+    * plain recompute: COUNT/SUM over exact cents plus the
+    * row_number-1 latest row — recompute ≡ incremental is the IVM
+    * correctness statement itself. */
+  def streamIvm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .as[Streaming.Ev]
+    Streaming.maintainView(ev).toDF().orderBy(col("user_id"))
+  }
+
   /** ST7 as a declared query: the batch face of the stream-stream
     * band join ([[Streaming.clickToPurchase]]) — click→purchase
     * attribution within 10 minutes, both sides carved from the one
@@ -1101,6 +1121,7 @@ object Events {
     "q_stream_session"  -> streamSession,
     "q_stream_dedup"    -> streamDedup,
     "q_stream_retract"  -> streamRetract,
+    "q_stream_ivm"      -> streamIvm,
     "q_stream_watermark" -> streamWatermark,
     "q_stream_stateful" -> streamStateful,
     "q_stream_join"     -> streamJoin,
@@ -1567,6 +1588,22 @@ object Events {
                 event_type AS last_type, value AS last_value
          FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+    // the maintained view recomputed from scratch: exact-cent sums
+    // (the snapshot-diff money convention) + row_number-1 latest row —
+    // recompute ≡ the engine's incremental fold is the IVM contract
+    "q_stream_ivm" ->
+      """WITH v AS (SELECT user_id, ts, event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events),
+         a AS (SELECT user_id, count(*) AS n_versions,
+               CAST(sum(cents) AS BIGINT) AS sum_cents FROM v GROUP BY user_id)
+         SELECT a.user_id, a.n_versions, a.sum_cents,
+                v.ts AS last_ts, v.event_id AS last_event_id,
+                v.cents AS last_value_cents
+         FROM a JOIN v USING (user_id) WHERE v.rn = 1
          ORDER BY user_id""",
     // the retraction stream's batch face: every non-latest version
     // paired with its LEAD successor in the house event-time order

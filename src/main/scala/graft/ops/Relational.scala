@@ -1005,7 +1005,11 @@ object Relational {
       sum(col("n_chars")).as("t1"))
     val n = col("n_sample").cast("double")
     val meanEst = round(col("s1") / n, 4)
-    val sd = sqrt((col("s2") - col("s1").cast("double") * col("s1") / n) / (n - 1))
+    // Clamp the radicand: for a zero-variance group with s1² beyond
+    // 2^53, s2 - s1²/n can round to a tiny NEGATIVE double — Spark
+    // sqrt would yield NaN while DuckDB ABORTS, so both engines clamp
+    // to 0 in lockstep (greatest here, greatest(...,0) in the oracle).
+    val sd = sqrt(greatest(col("s2") - col("s1").cast("double") * col("s1") / n, lit(0.0)) / (n - 1))
     val half = round(lit(1.96) * sd / sqrt(n), 4)
     val meanTrue = round(col("t1") / col("n_true").cast("double"), 4)
     samp.join(exact, Seq("lang"))
@@ -2688,7 +2692,7 @@ object Relational {
              FROM documents GROUP BY lang),
          j AS (SELECT lang, n_sample, n_sample * 16 AS n_est, n_true,
                round(s1 / CAST(n_sample AS DOUBLE), 4) AS mean_est,
-               round(1.96 * sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / CAST(n_sample AS DOUBLE))
+               round(1.96 * sqrt(greatest(s2 - CAST(s1 AS DOUBLE) * s1 / CAST(n_sample AS DOUBLE), 0)
                      / (CAST(n_sample AS DOUBLE) - 1))
                  / sqrt(CAST(n_sample AS DOUBLE)), 4) AS half_width,
                round(t1 / CAST(n_true AS DOUBLE), 4) AS mean_true

@@ -225,6 +225,64 @@ object Streaming {
       }
   }
 
+  /** The maintained view row of [[maintainView]]: one user's current
+    * materialized state — aggregate counters (exact integer cents, the
+    * house money discipline) plus the latest version's identity. */
+  case class ViewOut(user_id: Long, n_versions: Long, sum_cents: Long,
+      last_ts: java.sql.Timestamp, last_event_id: Long, last_value_cents: Long)
+
+  case class ViewState(n: Long, cents: Long,
+      lastTs: Long, lastEvent: Long, lastCents: Long)
+
+  /** Incremental view maintenance (ST11, r9 — the consumer of
+    * [[retractions]]' update stream): maintain a per-user materialized
+    * view — version count, exact money sum, and the latest version —
+    * by applying each arriving version as a +delta against held
+    * state, and emit the UPDATED view row once per key per
+    * micro-batch (the classic IVM "upsert stream" a downstream cache
+    * ingests). State per key is one fixed-size record, bounded by
+    * |keys| like [[retractions]].
+    *
+    * The maintenance fold is deliberately CONFLUENT (order-
+    * independent): count and sum are commutative +deltas, and the
+    * latest-version slot is a max by the house event-time key
+    * (ts_micros, event_id) — a LATE version (older than held state)
+    * still lands its +delta but cannot regress the latest slot. So
+    * the converged view is identical whatever the arrival order, and
+    * the batch face (one group per user = the final view) IS the
+    * streaming fixed point — StreamingSpec asserts view ≡ the E4
+    * batch compaction after EVERY micro-batch, not just at the end.
+    *
+    * Money stays exact: each version's value quantizes to integer
+    * cents via the same HALF_UP 2-decimal contract as the oracle's
+    * `CAST(value AS DECIMAL(18,2)) * 100` (BigDecimal.valueOf =
+    * Double.toString semantics, matching Spark's own double→decimal
+    * cast), so the running sum is long arithmetic at any mass. */
+  def maintainView(events: Dataset[Ev]): Dataset[ViewOut] = {
+    import events.sparkSession.implicits._
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewState, ViewOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[ViewState]) =>
+          var st = state.getOption
+            .getOrElse(ViewState(0L, 0L, Long.MinValue, Long.MinValue, 0L))
+          it.foreach { e =>
+            val (t, c) = (tsMicros(e.ts), cents(e.value))
+            val newer = t > st.lastTs || (t == st.lastTs && e.event_id > st.lastEvent)
+            st = ViewState(st.n + 1, st.cents + c,
+              if (newer) t else st.lastTs,
+              if (newer) e.event_id else st.lastEvent,
+              if (newer) c else st.lastCents)
+          }
+          state.update(st)
+          Iterator.single(ViewOut(user, st.n, st.cents,
+            microsTs(st.lastTs), st.lastEvent, st.lastCents))
+      }
+  }
+
   def statefulSessions(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60000000L

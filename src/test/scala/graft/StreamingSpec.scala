@@ -611,6 +611,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IVM view: after every micro-batch the maintained view equals a batch recompute on the prefix") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Long)]
+    val events = mem.toDF.toDF("user_id", "ts", "value", "event_id")
+      .as[Streaming.Ev]
+    val q = Streaming.maintainView(events).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("ivm").start()
+    // current view = the max-n_versions emission per user (n is
+    // strictly monotone per key across micro-batches)
+    def view(): Map[Long, (Long, Long, Long, Long)] =
+      spark.table("ivm").collect()
+        .map(r => (r.getAs[Long]("user_id"), (r.getAs[Long]("n_versions"),
+          r.getAs[Long]("sum_cents"), r.getAs[Long]("last_event_id"),
+          r.getAs[Long]("last_value_cents"))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+    // batch recompute of the same view over a prefix of the feed —
+    // the E4-compaction face extended with the aggregate counters
+    def recompute(fed: Seq[(Long, java.sql.Timestamp, Double, Long)]) =
+      fed.groupBy(_._1).map { case (u, es) =>
+        val cents = es.map(e => math.round(e._3 * 100))
+        val last = es.maxBy(e => (e._2.getTime, e._4))
+        u -> (es.size.toLong, cents.sum, last._4, math.round(last._3 * 100))
+      }
+    try {
+      val b1 = Seq(
+        (1L, t("2024-01-01 00:05:00"), 1.25, 10L),
+        (1L, t("2024-01-01 00:10:00"), 2.50, 11L),
+        (2L, t("2024-01-01 00:07:00"), 5.00, 20L))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(view() == recompute(b1), s"${view()} vs ${recompute(b1)}")
+      // batch 2: a LATE version for user 1 (older than held state)
+      // must land its +delta WITHOUT regressing the latest slot; a
+      // fresh user appears; user 2 advances normally
+      val b2 = Seq(
+        (1L, t("2024-01-01 00:01:00"), 0.75, 9L),
+        (2L, t("2024-01-01 00:30:00"), 6.00, 21L),
+        (3L, t("2024-01-01 00:02:00"), 4.00, 30L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(view() == recompute(b1 ++ b2), s"${view()} vs ${recompute(b1 ++ b2)}")
+      val u1 = view()(1L)
+      assert(u1 == (3L, 450L, 11L, 250L),
+        s"late delta must count, latest must stay event 11: $u1")
+    } finally q.stop()
+  }
+
   test("retraction stream: superseded versions emit with provenance, late versions retract on arrival") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, Double, Long)]

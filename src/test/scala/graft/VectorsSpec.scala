@@ -358,6 +358,31 @@ class VectorsSpec extends SparkSpec {
     assert(selfHits == 5, s"PQ self-recall degraded: $selfHits/5")
   }
 
+  test("PQ fixed batch: 20 pinned queries, and the overlap with the corpus-derived batch agrees row for row") {
+    val fixed = SparkEntry.queries("q_ann_pq_fixed")(spark, sf0001).collect()
+    assert(fixed.length == 20 * 5, s"20 queries x top-5, got ${fixed.length}")
+    val byQ = fixed.groupBy(_.getLong(0))
+    assert(byQ.keySet == ops.Vectors.PqFixedBatch.toSet,
+      s"batch must be exactly PqFixedBatch, got ${byQ.keySet}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 5), s"ranks for $q")
+      val d = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, s"adist order for $q")
+    }
+    // Same pipeline, same codebook: for the five qids both batches
+    // contain (7, 107, …, 407), the two faces must serve IDENTICAL
+    // rankings — batch membership must not leak into per-query scores.
+    val derived = SparkEntry.queries("q_ann_pq")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val overlap = fixed.filter(r => derived.contains((r.getLong(0), r.getInt(1))))
+    assert(overlap.length == 25, s"expected 5 shared qids x 5 ranks, got ${overlap.length}")
+    overlap.foreach { r =>
+      val exp = derived((r.getLong(0), r.getInt(1)))
+      assert((r.getLong(2), r.getLong(3)) == exp,
+        s"fixed-batch row diverged from corpus-batch row: $r vs $exp")
+    }
+  }
+
   test("PQ recall harness: refine dominates raw ADC per query and recovers real recall") {
     val rows = SparkEntry.queries("q_ann_pq_recall")(spark, sf0001).collect()
     assert(rows.map(_.getLong(0)).toSet == Set(7L, 107L, 207L, 307L, 407L))

@@ -145,12 +145,19 @@ object Pipeline {
       .select(col("cid"))
     // T20: greedy contiguous packing of the survivors, per source in
     // (doc_id, chunk_idx) order — same bin recurrence (exclusive
-    // running token total div capacity) as q_pack_sequences
+    // running token total div capacity) as q_pack_sequences.
+    // n_tokens is computed BEFORE the survivor join (r8 verdict task
+    // 6): the output never carries chunk text, so projecting to
+    // (cid, doc_id, chunk_idx, source, n_tokens) here keeps the
+    // ×100-cloned text out of the join shuffle and the packing window
+    // — Catalyst prunes unused COLUMNS below a join but never hoists
+    // expression evaluation, so the narrowing is explicit.
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("chunk_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    chunks.join(kept, Seq("cid"))
-      .select(col("doc_id"), col("chunk_idx"), col("source"),
+    chunks
+      .select(col("cid"), col("doc_id"), col("chunk_idx"), col("source"),
         size(split(col("chunk"), " ")).as("n_tokens"))
+      .join(kept, Seq("cid"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("chunk_idx"), col("source"), col("n_tokens"),
         floor(col("cum_before") / (PackCapacity * 1.0)).cast("int").as("bin"))

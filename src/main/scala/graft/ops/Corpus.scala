@@ -353,7 +353,7 @@ object Corpus {
     * values so the oracle compare pins the assignment itself, not
     * just the counts. */
   def splitAssign(docs: DataFrame): DataFrame = {
-    val bucket = ((col("doc_id") * SplitA + SplitC) % SplitP) % 100
+    val bucket = (((col("doc_id") % SplitP) * SplitA + SplitC) % SplitP) % 100
     val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise(lit("test"))
     docs.select(col("doc_id"), col("source"), col("n_chars"), bucket.as("bucket"),
         split.as("split"))
@@ -388,7 +388,7 @@ object Corpus {
     * doc scattered over an 80/10/10 split leak nearly every val/test
     * doc — exactly what it exists to catch. */
   def splitLeakage(docs: DataFrame): DataFrame = {
-    val bucket = ((col("doc_id") * SplitA + SplitC) % SplitP) % 100
+    val bucket = (((col("doc_id") % SplitP) * SplitA + SplitC) % SplitP) % 100
     val split = when(bucket < 80, "train").when(bucket < 90, "val")
       .otherwise(lit("test"))
     val rank = when(col("split") === "train", 0)
@@ -443,7 +443,7 @@ object Corpus {
     * window is the only wide op; at 100 TB that is the per-shard
     * parallel window discipline, never a global sort. */
   def samplePerGroup(docs: DataFrame, k: Int = 10): DataFrame = {
-    val hkey = ((col("doc_id") * SplitA + 54321L) % SplitP).as("hkey")
+    val hkey = (((col("doc_id") % SplitP) * SplitA + 54321L) % SplitP).as("hkey")
     val w = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
     docs.select(col("doc_id"), col("source"), col("n_chars"), hkey)
       .withColumn("draw_rank", row_number().over(w))
@@ -469,7 +469,7 @@ object Corpus {
     * (source)-partitioned rank window, per-shard parallel at any
     * scale. */
   def sampleWeighted(docs: DataFrame, k: Int = 10): DataFrame = {
-    val u = (((col("doc_id") * SplitA + 99991L) % SplitP) + 1L)
+    val u = ((((col("doc_id") % SplitP) * SplitA + 99991L) % SplitP) + 1L)
       .cast("double") / (SplitP + 1L).toDouble
     val key = log(u) / col("n_chars")
     val w = Window.partitionBy(col("source")).orderBy(key.desc, col("doc_id"))
@@ -1119,7 +1119,7 @@ object Corpus {
                       ELSE 'test' END AS split,
                  CASE WHEN b < 80 THEN 0 WHEN b < 90 THEN 1 ELSE 2 END AS rk
                FROM (SELECT doc_id,
-                       ((doc_id * $SplitA + $SplitC) % $SplitP) % 100 AS b
+                       (((doc_id % $SplitP) * $SplitA + $SplitC) % $SplitP) % 100 AS b
                      FROM documents)),
          sz AS (SELECT split, rk, count(*) AS n_docs FROM s GROUP BY 1, 2),
          pr AS (SELECT DISTINCT la.split AS split_a, lb.split AS split_b,
@@ -1364,7 +1364,7 @@ object Corpus {
     // doc_id tiebreak; the key never appears in the output
     "q_sample_weighted" ->
       """WITH h AS (SELECT doc_id, source, n_chars,
-           (((doc_id * 2654435761 + 99991) % 1000003) + 1)
+           ((((doc_id % 1000003) * 2654435761 + 99991) % 1000003) + 1)
              / CAST(1000004 AS DOUBLE) AS u
            FROM documents WHERE n_chars > 0),
          r AS (SELECT doc_id, source, n_chars,
@@ -1376,7 +1376,7 @@ object Corpus {
     // same mixed-hash rank, same doc_id tiebreak
     "q_sample_per_group" ->
       """WITH h AS (SELECT doc_id, source, n_chars,
-           (doc_id * 2654435761 + 54321) % 1000003 AS hkey FROM documents),
+           ((doc_id % 1000003) * 2654435761 + 54321) % 1000003 AS hkey FROM documents),
          r AS (SELECT *, CAST(row_number() OVER (
              PARTITION BY source ORDER BY hkey, doc_id) AS INT) AS draw_rank
            FROM h)
@@ -1384,7 +1384,7 @@ object Corpus {
          FROM r WHERE draw_rank <= 10 ORDER BY source, draw_rank""",
     "q_split" ->
       """WITH a AS (SELECT doc_id, source, n_chars,
-           ((doc_id * 2654435761 + 12345) % 1000003) % 100 AS bucket FROM documents),
+           (((doc_id % 1000003) * 2654435761 + 12345) % 1000003) % 100 AS bucket FROM documents),
          s AS (SELECT doc_id, source, n_chars, bucket,
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
            FROM a),

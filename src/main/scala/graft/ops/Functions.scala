@@ -87,7 +87,12 @@ object Functions {
         floor(col("l_discount") * 100).cast("long").as("disc_pct_floor"),
         ceil(col("l_tax") * 100).cast("long").as("tax_pct_ceil"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
-      .orderBy(col("l_orderkey"))
+      // (l_orderkey, l_linenumber) is NOT unique in the harness data
+      // (118k dup pairs at sf0.1; sf10's shuffle order exposed the
+      // tie — the q_tpch_excess class), so the sort carries value
+      // tiebreakers; rows still tied are full-row duplicates, which
+      // hash identically in any order
+      .orderBy(col("l_orderkey"), col("price_r1"), col("qty_dev"))
 
   private def asDouble(arr: Column): Column =
     transform(arr, x => x.cast("double"))
@@ -193,7 +198,9 @@ object Functions {
         expr("shiftleft(l_linenumber, 3)").as("ln_shl"),
         expr("shiftright(l_orderkey, 2)").as("k_shr"),
         bit_count(col("l_orderkey")).as("k_bits"))
-      .orderBy(col("l_orderkey"))
+      // same non-unique (l_orderkey, l_linenumber) tie as fnMath:
+      // k_xor pins the partkey among same-orderkey rows
+      .orderBy(col("l_orderkey"), col("k_xor"))
 
   /** Null-handling family over the nullable side of an outer join:
     * coalesce/nvl/nvl2-style branches, null predicates, na.fill. */
@@ -300,7 +307,7 @@ object Functions {
          CAST(l_linenumber << 3 AS INT) AS ln_shl,
          l_orderkey >> 2 AS k_shr,
          CAST(bit_count(l_orderkey) AS INT) AS k_bits
-         FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""",
+         FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey, k_xor""",
     "q_fn_string" ->
       """SELECT p_partkey,
          lower(p_name) AS name_lower,
@@ -336,7 +343,8 @@ object Functions {
          CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
          CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
          l_orderkey % 7 AS key_mod7
-         FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""",
+         FROM lineitem WHERE l_linenumber = 1
+         ORDER BY l_orderkey, price_r1, qty_dev""",
     "q_fn_array" ->
       """WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS darr,

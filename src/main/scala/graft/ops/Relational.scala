@@ -972,7 +972,10 @@ object Relational {
       .filter(pmod(pmod(col("l_orderkey") * 31L + col("l_linenumber"), lit(1000003L)),
         lit(1000L)) < 100L)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the harness data
+      // (the sf10 gate's find): l_quantity totalizes the sort; rows
+      // still tied are full-row duplicates, hash-identical either way
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
   /** Approximate GROUP BY with CLT error bars (r8; the BlinkDB /
     * online-aggregation posture, Agarwal et al. EuroSys 2013): per
@@ -2677,7 +2680,7 @@ object Relational {
     "q_sample" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE (l_orderkey * 31 + l_linenumber) % 1000003 % 1000 < 100
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     // the same key-hash 1/16 draw, the same exact integer Σx/Σx²,
     // the same fixed IEEE tail; covered compares rounded grid values
     "q_aqp_groupby" ->

@@ -332,17 +332,22 @@ object Bench {
       // poison both samples of n=200 — 24.9 s vs 8.1 s everywhere
       // else, the second round shipping a wart in the banner
       // artifact). A noise window now has to span the whole grid
-      // twice to corrupt a point. Belt-and-braces: any point whose
-      // min still exceeds BOTH neighbors by >2x gets one targeted
-      // re-sample (a real knee is monotone-ish; a spike isn't).
+      // twice to corrupt a point. Belt-and-braces: any INTERIOR point
+      // whose min still exceeds BOTH neighbors by >2x gets one
+      // targeted re-sample (a real knee is monotone-ish; a spike
+      // isn't). Edge points are excluded (r9 ADVICE): with only one
+      // neighbor the test degenerates to a single-neighbor check, so a
+      // genuine monotone >2x knee at the grid edge would burn the
+      // extra sweep every run — a spike needs two neighbors to be a
+      // spike.
       val pass1 = ns.map(n => n -> sweepOnce(n)).toMap
       val pass2 = ns.map(n => n -> sweepOnce(n)).toMap
       val mins = scala.collection.mutable.Map(
         ns.map(n => n -> math.min(pass1(n), pass2(n))): _*)
-      for (i <- ns.indices) {
+      for (i <- 1 until ns.size - 1) {
         val n = ns(i)
-        val nbrs = Seq(i - 1, i + 1).filter(j => j >= 0 && j < ns.size).map(j => mins(ns(j)))
-        if (nbrs.nonEmpty && nbrs.forall(v => mins(n) > 2 * v))
+        val nbrs = Seq(mins(ns(i - 1)), mins(ns(i + 1)))
+        if (nbrs.forall(v => mins(n) > 2 * v))
           mins(n) = math.min(mins(n), sweepOnce(n))
       }
       ns.map { n => "\"" + n + "\":" + mins(n) }

@@ -1,26 +1,49 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming smoke under a real `readStream` (r3 verdict gap #4: all
   * seven ST operators were green via batch faces and stream==batch
   * was spec-pinned, but the driver surface never executed a streaming
-  * plan outside ScalaTest). Runs the watermarked tumbling aggregation
-  * as an actual file-source stream in APPEND mode and asserts row
-  * parity with `Streaming.tumblingClosed` — the batch face that
-  * defines exactly the rows an append-mode sink must emit.
+  * plan outside ScalaTest). Three sections, each a real file-source
+  * stream over parquet written to a temp dir:
   *
-  * The flush trick: append mode only emits windows closed by the
-  * watermark as of the PREVIOUS batch, so a single-batch stream emits
-  * nothing. The nudge file replays the max-ts event as a second batch
-  * — it lands in the final window, which the terminal watermark
-  * withholds by construction (its end is past max(ts) - delay), so
-  * the duplicate can never change an emitted row; its only effect is
-  * advancing the watermark so batch 2 flushes every closed window.
+  * 1. ST1/ST4 — the watermarked tumbling aggregation in APPEND mode,
+  *    row parity with `Streaming.tumblingClosed` (the batch face that
+  *    defines exactly the rows an append-mode sink must emit).
+  *    The flush trick: append mode only emits windows closed by the
+  *    watermark as of the PREVIOUS batch, so a single-batch stream
+  *    emits nothing. The nudge file replays the max-ts event as a
+  *    second batch — it lands in the final window, which the terminal
+  *    watermark withholds by construction, so the duplicate can never
+  *    change an emitted row; its only effect is advancing the
+  *    watermark so batch 2 flushes every closed window.
   *
-  * Prints STREAM_ROWS / BATCH_ROWS / PARITY=OK; exits nonzero on any
-  * mismatch. */
+  * 2. ST11 (r10, verdict task 5) — `Streaming.maintainView` driven by
+  *    the file source with a deliberately OUT-OF-ORDER split (the
+  *    middle third of event time arrives first, then the earliest,
+  *    then the latest — every key sees cross-batch lateness), one
+  *    file per micro-batch. After EVERY micro-batch the current view
+  *    (per user, the emitted row with the highest n_versions — n
+  *    strictly grows per emission) must equal a from-scratch batch
+  *    recompute over the prefix delivered so far: the confluence
+  *    claim (StreamingSpec pins it on MemoryStream) exercised through
+  *    the production source.
+  *
+  * 3. ST10 — `Streaming.retractions` over an ORDERED split (per-key
+  *    arrival respects the (ts, event_id) event order — the standard
+  *    CDC transport guarantee under which the stream's output is the
+  *    batch face's LEAD pairs), per-batch set parity against the
+  *    batch recompute of each prefix; PLUS the out-of-order split
+  *    replayed through the retraction stream, where exact pairing is
+  *    order-dependent by design (stale-on-arrival) but the SET of
+  *    retracted versions must still be every version except each
+  *    user's final latest — the bounded-state invariant itself.
+  *
+  * Prints PARITY/IVM_PARITY/RETRACT_PARITY/RETRACT_OOO lines; exits
+  * nonzero on any mismatch. */
 object StreamSmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -32,7 +55,9 @@ object StreamSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    var failed = false
 
+    // ---- section 1: watermarked tumbling aggregation (ST1/ST4) ----
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_smoke")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
@@ -66,15 +91,127 @@ object StreamSmoke {
       val streamed = spark.table("smoke").collect().map(_.toSeq).toSet
       println(s"STREAM_ROWS=${streamed.size}")
       println(s"BATCH_ROWS=${expected.size}")
-      val parity = streamed == expected
+      val parity = streamed == expected && streamed.nonEmpty
       println(s"PARITY=${if (parity) "OK" else "MISMATCH"}")
       if (!parity) {
         (streamed -- expected).take(3).foreach(r => println(s"stream-only: $r"))
         (expected -- streamed).take(3).foreach(r => println(s"batch-only:  $r"))
+        failed = true
       }
-      if (!parity || streamed.isEmpty) sys.exit(1)
+    } finally q.stop()
+
+    // ---- sections 2 & 3: the flatMapGroupsWithState pair (ST11/ST10)
+    // under the real file source (r9 verdict task 5) ----
+    import spark.implicits._
+    import streaming.Streaming
+    val evDf = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    // deterministic thirds in global (ts, event_id) order — a prefix
+    // split of the house event-time order, so delivering them in
+    // order respects per-key order and any permutation is genuinely
+    // out of order for every key that spans a boundary
+    val parted = evDf.withColumn("third",
+      ntile(3).over(Window.orderBy(col("ts"), col("event_id")))).cache()
+    val thirds = (1 to 3).map(i => parted.filter(col("third") === i).drop("third"))
+
+    // the watched dir must hold BARE parquet files: FileStreamSource's
+    // top-level listing does not descend into a write's output
+    // directory (observed live: a dir-only watched path reads 0 rows),
+    // so each batch writes to scratch and the single part-file moves in
+    def writeThird(d: java.nio.file.Path, t: DataFrame, seq: Int): Unit = {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_smoke_w")
+      t.coalesce(1).write.mode("overwrite") // one part-file = one micro-batch
+        .parquet(scratch.resolve("w").toString)
+      val part = java.nio.file.Files.list(scratch.resolve("w"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst.orElseThrow()
+      java.nio.file.Files.move(part, d.resolve(s"b$seq.parquet"))
+    }
+    def rows(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+
+    // section 2: ST11 maintainView, OUT-OF-ORDER arrival (middle,
+    // earliest, latest), view ≡ batch recompute after EVERY micro-batch
+    val ivmDir = java.nio.file.Files.createTempDirectory("graft_stream_ivm")
+    val oooOrder = Seq(1, 0, 2)
+    writeThird(ivmDir, thirds(oooOrder.head), 0)
+    val evSchema = spark.read.parquet(ivmDir.resolve("b0.parquet").toString).schema
+    def fileEvents(d: java.nio.file.Path) = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString).as[Streaming.Ev]
+    val ivmQ = Streaming.maintainView(fileEvents(ivmDir)).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("ivm").start()
+    try {
+      var prefix: DataFrame = null
+      for ((t, i) <- oooOrder.zipWithIndex) {
+        if (i > 0) writeThird(ivmDir, thirds(t), i)
+        prefix = if (prefix == null) thirds(t) else prefix.union(thirds(t))
+        ivmQ.processAllAvailable()
+        // current view = per user, the latest emitted upsert (max
+        // n_versions: each emission applied >=1 new version)
+        val view = rows(spark.table("ivm")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("n_versions").desc)))
+          .filter(col("rn") === 1).drop("rn"))
+        val recompute = rows(Streaming.maintainView(prefix.as[Streaming.Ev]).toDF())
+        val ok = view == recompute && view.nonEmpty
+        println(s"IVM_BATCH${i}_PARITY=${if (ok) "OK" else "MISMATCH"}")
+        if (!ok) {
+          (view -- recompute).take(3).foreach(r => println(s"ivm stream-only: $r"))
+          (recompute -- view).take(3).foreach(r => println(s"ivm batch-only:  $r"))
+          failed = true
+        }
+      }
+    } finally ivmQ.stop()
+
+    // section 3a: ST10 retractions, ORDERED arrival — per-batch set
+    // parity with the batch face over each prefix
+    val retDir = java.nio.file.Files.createTempDirectory("graft_stream_retract")
+    writeThird(retDir, thirds(0), 0)
+    val retQ = Streaming.retractions(fileEvents(retDir)).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("retract").start()
+    try {
+      var prefix: DataFrame = null
+      for (i <- 0 until 3) {
+        if (i > 0) writeThird(retDir, thirds(i), i)
+        prefix = if (prefix == null) thirds(0) else prefix.union(thirds(i))
+        retQ.processAllAvailable()
+        val got = rows(spark.table("retract"))
+        val want = rows(Streaming.retractions(prefix.as[Streaming.Ev]).toDF())
+        val ok = got == want
+        println(s"RETRACT_BATCH${i}_PARITY=${if (ok) "OK" else "MISMATCH"}")
+        if (!ok) {
+          (got -- want).take(3).foreach(r => println(s"retract stream-only: $r"))
+          (want -- got).take(3).foreach(r => println(s"retract batch-only:  $r"))
+          failed = true
+        }
+      }
+    } finally retQ.stop()
+
+    // section 3b: the OUT-OF-ORDER split through the retraction
+    // stream — pairing is arrival-dependent by design, but the SET of
+    // retracted versions must be every version minus each user's
+    // final latest, whatever the order (bounded single-version state)
+    val retOooQ = Streaming.retractions(fileEvents(ivmDir)).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("retract_ooo").start()
+    try {
+      retOooQ.processAllAvailable()
+      val got = rows(spark.table("retract_ooo")
+        .select("user_id", "retracted_ts", "retracted_event", "retracted_value"))
+      val want = rows(evDf
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") > 1)
+        .select(col("user_id"), col("ts").as("retracted_ts"),
+          col("event_id").as("retracted_event"), col("value").as("retracted_value")))
+      val ok = got == want && got.nonEmpty
+      println(s"RETRACT_OOO=${if (ok) "OK" else "MISMATCH"}")
+      if (!ok) {
+        (got -- want).take(3).foreach(r => println(s"ooo stream-only: $r"))
+        (want -- got).take(3).foreach(r => println(s"ooo batch-only:  $r"))
+        failed = true
+      }
     } finally {
-      q.stop()
+      retOooQ.stop()
+      if (failed) { spark.stop(); sys.exit(1) }
       spark.stop()
     }
   }

@@ -89,10 +89,14 @@ object Functions {
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
       // (l_orderkey, l_linenumber) is NOT unique in the harness data
       // (118k dup pairs at sf0.1; sf10's shuffle order exposed the
-      // tie — the q_tpch_excess class), so the sort carries value
-      // tiebreakers; rows still tied are full-row duplicates, which
-      // hash identically in any order
-      .orderBy(col("l_orderkey"), col("price_r1"), col("qty_dev"))
+      // tie — the q_tpch_excess class), so the sort key is EVERY
+      // output column (r9 ADVICE: the old (key, price_r1, qty_dev)
+      // triple conflated l_quantity = 25±d and left disc/tax/price_ln
+      // outside the key) — rows still tied are now identical in every
+      // hashed column by construction, like q_fn_bitwise and q_sample
+      .orderBy(col("l_orderkey"), col("price_r1"), col("qty_dev"),
+        col("qty_sqrt"), col("qty_sq"), col("price_ln"),
+        col("disc_pct_floor"), col("tax_pct_ceil"), col("key_mod7"))
 
   private def asDouble(arr: Column): Column =
     transform(arr, x => x.cast("double"))
@@ -344,7 +348,8 @@ object Functions {
          CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
          l_orderkey % 7 AS key_mod7
          FROM lineitem WHERE l_linenumber = 1
-         ORDER BY l_orderkey, price_r1, qty_dev""",
+         ORDER BY l_orderkey, price_r1, qty_dev, qty_sqrt, qty_sq,
+                  price_ln, disc_pct_floor, tax_pct_ceil, key_mod7""",
     "q_fn_array" ->
       """WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS darr,

@@ -260,6 +260,16 @@ object Streaming {
     * cast), so the running sum is long arithmetic at any mass. */
   def maintainView(events: Dataset[Ev]): Dataset[ViewOut] = {
     import events.sparkSession.implicits._
+    // ASSUMES the house 2-decimal generator contract (TESTDATA.md:
+    // events.value is emitted at exactly 2 decimals, so the binary
+    // double is the shortest repr of a 2-decimal literal and HALF_UP
+    // never actually fires). BigDecimal.valueOf (Double.toString
+    // shortest-repr) + HALF_UP matches Spark's own double→decimal
+    // cast; DuckDB's CAST(v AS DECIMAL(18,2)) instead rounds the
+    // EXACT binary value, so a value like 1.005 (binary ≈1.00499…)
+    // would yield 101 here but 100 in DuckDB — a divergence the
+    // generator contract keeps unreachable, same as every other cents
+    // site in the house (see bench/ROUNDING_CONTRACTS.md).
     def cents(v: Double): Long = java.math.BigDecimal.valueOf(v)
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .movePointRight(2).longValueExact()

@@ -28,11 +28,17 @@ class ContractSpec extends AnyFunSuite {
     assert(dupes.isEmpty, s"query keys declared in more than one module: $dupes")
   }
 
-  test("scale_budgets.tsv rows name declared queries with sane slope budgets and a rationale") {
-    // the sf1 tier's per-family slope budgets (Bench scale_up): a row
-    // naming an undeclared query would silently budget nothing, and a
-    // budget below the default gate (12) or absurdly high would defeat
-    // the gate's purpose either way
+  test("scale_budgets.tsv rows name declared queries with sane per-decade slope budgets and a rationale") {
+    // the scale tier's per-family slope budgets (Bench scale_up /
+    // ScaleDecades): 4 columns since the r9 per-decade split —
+    // query, max_slope (decade 1), max_slope_d2 (decade 2), rationale.
+    // A row naming an undeclared query would silently budget nothing.
+    // d1 MAY be <= 12 (tighter than the default gate — that is the
+    // point of a per-decade budget, e.g. q_ann_pq d1=8 prices the
+    // fixed-cost-dominated first decade), but must stay positive and
+    // falsifiable; d2 >= d1 (cost models only get worse with scale) and
+    // d2 > 12 (a d2 at-or-below the default gate would mean the row
+    // shouldn't exist), both capped at 120 (~c^2 is unfalsifiable).
     val in = getClass.getResourceAsStream("/scale_budgets.tsv")
     assert(in != null, "scale_budgets.tsv missing from main resources")
     val rows = try scala.io.Source.fromInputStream(in).getLines().drop(1)
@@ -41,12 +47,16 @@ class ContractSpec extends AnyFunSuite {
     finally in.close()
     assert(rows.nonEmpty)
     rows.foreach { f =>
-      assert(f.length == 3, s"row needs query/max_slope/rationale: ${f.mkString("|")}")
+      assert(f.length == 4, s"row needs query/max_slope/max_slope_d2/rationale: ${f.mkString("|")}")
       assert(SparkEntry.queries.contains(f(0)), s"budget for undeclared query ${f(0)}")
-      val slope = f(1).toDouble
-      assert(slope > 12.0 && slope <= 120.0,
-        s"${f(0)}: budget $slope outside (12, 120] — below the default gate it's dead, past ~c^2 it's unfalsifiable")
-      assert(f(2).trim.length > 20, s"${f(0)}: rationale must name the cost model")
+      val d1 = f(1).toDouble
+      val d2 = f(2).toDouble
+      assert(d1 > 0.0 && d1 <= 120.0,
+        s"${f(0)}: d1 budget $d1 outside (0, 120] — nonpositive is dead, past ~c^2 it's unfalsifiable")
+      assert(d2 >= d1, s"${f(0)}: d2 budget $d2 below d1 $d1 — decade budgets must be monotone")
+      assert(d2 > 12.0 && d2 <= 120.0,
+        s"${f(0)}: d2 budget $d2 outside (12, 120] — at/below the default gate the row is redundant, past ~c^2 it's unfalsifiable")
+      assert(f(3).trim.length > 20, s"${f(0)}: rationale must name the cost model")
     }
     val dupes = rows.groupBy(_.head).collect { case (k, vs) if vs.size > 1 => k }
     assert(dupes.isEmpty, s"duplicate budget rows: $dupes")

@@ -38,6 +38,15 @@ def norm(v):
 def main(sf_dir, out_dir, only_dumped=False, query=None):
     import os
     con = duckdb.connect()
+    # an in-memory DuckDB connection cannot spill, so a window/join-heavy
+    # oracle over the sf10 corpus (60 M lineitem) dies rc=137 instead of
+    # offloading; opt-in knobs for the big-SF gate loops
+    tmp = os.environ.get("CHECK_ORACLE_TMP")
+    if tmp:
+        con.execute(f"SET temp_directory='{tmp}'")
+    mem = os.environ.get("CHECK_ORACLE_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         # harness SFs are single files; Spark-written siblings (the
         # ScaleUp sf1 dir) are part-file directories

@@ -44,6 +44,12 @@ def main(sf_dir, out_dir, only_dumped=False, query=None):
     tmp = os.environ.get("CHECK_ORACLE_TMP")
     if tmp:
         con.execute(f"SET temp_directory='{tmp}'")
+        # bound the spill so a pathological oracle can't fill the disk
+        # out from under every other process (r10: three concurrent
+        # spills ENOSPC'd /tmp and poisoned an unrelated test run)
+        cap = os.environ.get("CHECK_ORACLE_TMP_MAX")
+        if cap:
+            con.execute(f"SET max_temp_directory_size='{cap}'")
     mem = os.environ.get("CHECK_ORACLE_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")

@@ -42,8 +42,26 @@ import org.apache.spark.sql.functions._
   *    retracted versions must still be every version except each
   *    user's final latest — the bounded-state invariant itself.
   *
-  * Prints PARITY/IVM_PARITY/RETRACT_PARITY/RETRACT_OOO lines; exits
-  * nonzero on any mismatch. */
+  * 4. (r11, r10 verdict task 3) CHECKPOINT RECOVERY for the
+  *    flatMapGroupsWithState pair: each query processes split 1 under
+  *    a real checkpointLocation, is STOPPED, restarts over the same
+  *    checkpoint, and receives splits 2–3. After every post-restart
+  *    micro-batch the union of rows emitted before and after the
+  *    restart must satisfy the same parity contract as the unbroken
+  *    run (view ≡ batch recompute for ST11; retraction-set ≡ the
+  *    batch face's LEAD pairs for ST10), and the total emission count
+  *    must equal the unbroken run's — a replayed batch would inflate
+  *    it, a lost state store would deflate or diverge it.
+  *
+  * 5. (r11, r10 verdict task 4) BOUNDED STATE measured, not asserted
+  *    in prose: after every micro-batch of the stateful sections the
+  *    state store's numRowsTotal (from lastProgress.stateOperators)
+  *    must equal the distinct keys delivered so far — the "one
+  *    fixed-size record per key" claim both ST10 and ST11 ride at
+  *    100 TB, read off the running query.
+  *
+  * Prints PARITY/IVM_PARITY/RETRACT_PARITY/RETRACT_OOO/RECOVERY/
+  * STATE_BOUND lines; exits nonzero on any mismatch. */
 object StreamSmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -129,6 +147,29 @@ object StreamSmoke {
     }
     def rows(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
 
+    // State-store row count of the most recent micro-batch that HAS a
+    // state operator (processAllAvailable can tail with a no-data
+    // batch whose progress still reports the store totals; scan back
+    // for robustness). numRowsTotal is the TOTAL rows held, not the
+    // batch delta — exactly the bounded-state number.
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty => p.stateOperators.map(_.numRowsTotal).sum
+      }.getOrElse(-1L)
+
+    // The r10-verdict task-4 gate: state rows == distinct keys
+    // delivered so far (both ST10 and ST11 hold exactly ONE record
+    // per user_id ever seen — the 100 TB story measured off the
+    // running query, not asserted in prose).
+    def checkStateBound(tag: String, q: org.apache.spark.sql.streaming.StreamingQuery,
+        prefix: DataFrame): Boolean = {
+      val got = stateRows(q)
+      val want = prefix.select(col("user_id")).distinct().count()
+      val ok = got == want && want > 0
+      println(s"STATE_BOUND_$tag=${if (ok) "OK" else s"MISMATCH(state=$got,keys=$want)"}")
+      ok
+    }
+
     // section 2: ST11 maintainView, OUT-OF-ORDER arrival (middle,
     // earliest, latest), view ≡ batch recompute after EVERY micro-batch
     val ivmDir = java.nio.file.Files.createTempDirectory("graft_stream_ivm")
@@ -159,6 +200,7 @@ object StreamSmoke {
           (recompute -- view).take(3).foreach(r => println(s"ivm batch-only:  $r"))
           failed = true
         }
+        if (!checkStateBound(s"IVM_BATCH$i", ivmQ, prefix)) failed = true
       }
     } finally ivmQ.stop()
 
@@ -176,13 +218,18 @@ object StreamSmoke {
         retQ.processAllAvailable()
         val got = rows(spark.table("retract"))
         val want = rows(Streaming.retractions(prefix.as[Streaming.Ev]).toDF())
-        val ok = got == want
+        // nonEmpty on the FINAL batch (r10 ADVICE): the full prefix is
+        // guaranteed to contain per-user supersessions, so empty==empty
+        // passing vacuously at i==2 would mean the stream emitted
+        // nothing at all; earlier prefixes may legitimately be sparse.
+        val ok = got == want && (i < 2 || got.nonEmpty)
         println(s"RETRACT_BATCH${i}_PARITY=${if (ok) "OK" else "MISMATCH"}")
         if (!ok) {
           (got -- want).take(3).foreach(r => println(s"retract stream-only: $r"))
           (want -- got).take(3).foreach(r => println(s"retract batch-only:  $r"))
           failed = true
         }
+        if (!checkStateBound(s"RETRACT_BATCH$i", retQ, prefix)) failed = true
       }
     } finally retQ.stop()
 
@@ -209,10 +256,94 @@ object StreamSmoke {
         (want -- got).take(3).foreach(r => println(s"ooo batch-only:  $r"))
         failed = true
       }
-    } finally {
-      retOooQ.stop()
-      if (failed) { spark.stop(); sys.exit(1) }
-      spark.stop()
+    } finally retOooQ.stop()
+
+    // ---- section 4: checkpoint recovery for the stateful pair (r10
+    // verdict task 3) — the in-sandbox rendering of the reference's
+    // worker-kill fault-tolerance concern, applied to streaming state:
+    // kill the query between micro-batches, restart from the
+    // checkpoint, and prove nothing was lost and nothing replays.
+    // The memory sink refuses checkpoint recovery by design, so these
+    // sections run the PARQUET file sink — the production-shaped
+    // combination (exactly-once via the sink's _spark_metadata commit
+    // log, which the batch read back below respects), accumulating
+    // emissions across the stop/restart in one output log exactly as
+    // a downstream consumer of the upsert/retraction stream would.
+    def recoverySection(tag: String,
+        mk: org.apache.spark.sql.Dataset[Streaming.Ev] => DataFrame,
+        batchFace: DataFrame => DataFrame,
+        // derive the "current materialized result" from ALL rows
+        // emitted so far (identity for retractions; latest-upsert-per-
+        // key for the IVM view)
+        currentOf: DataFrame => DataFrame,
+        expectedEmissions: Seq[DataFrame] => Long): Unit = {
+      val recDir = java.nio.file.Files.createTempDirectory(s"graft_rec_$tag")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_rec_ckpt_$tag")
+      val outDir = java.nio.file.Files.createTempDirectory(s"graft_rec_out_$tag")
+      writeThird(recDir, thirds(0), 0)
+      def start() = mk(fileEvents(recDir))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .format("parquet").option("path", outDir.toString).start()
+      def emitted(): DataFrame = spark.read.parquet(outDir.toString)
+      val q1 = start()
+      try {
+        q1.processAllAvailable()
+        if (!checkStateBound(s"${tag}_RECOVERY_PRE", q1, thirds(0))) failed = true
+      } finally q1.stop() // the kill: state survives only via the checkpoint
+      val q2 = start()
+      try {
+        var prefix: DataFrame = thirds(0)
+        for (i <- 1 to 2) {
+          writeThird(recDir, thirds(i), i)
+          prefix = prefix.union(thirds(i))
+          q2.processAllAvailable()
+          val got = rows(currentOf(emitted()))
+          val want = rows(currentOf(batchFace(prefix)))
+          val ok = got == want && got.nonEmpty
+          println(s"${tag}_RECOVERY_BATCH${i}_PARITY=${if (ok) "OK" else "MISMATCH"}")
+          if (!ok) {
+            (got -- want).take(3).foreach(r => println(s"$tag rec stream-only: $r"))
+            (want -- got).take(3).foreach(r => println(s"$tag rec batch-only:  $r"))
+            failed = true
+          }
+          if (!checkStateBound(s"${tag}_RECOVERY_BATCH$i", q2, prefix)) failed = true
+        }
+        // exactly-once across the restart: total emissions must equal
+        // the unbroken run's count — a replayed micro-batch inflates
+        // it, a lost state store deflates or diverges it
+        val total = emitted().count()
+        val wantTotal = expectedEmissions(thirds)
+        val okTotal = total == wantTotal
+        println(s"${tag}_RECOVERY_EMISSIONS=${if (okTotal) "OK" else s"MISMATCH(got=$total,want=$wantTotal)"}")
+        if (!okTotal) failed = true
+      } finally q2.stop()
     }
+
+    // ST11 maintainView: view = latest upsert per key; each micro-batch
+    // emits exactly one row per key present in it
+    recoverySection("IVM",
+      ds => Streaming.maintainView(ds).toDF(),
+      pre => Streaming.maintainView(pre.as[Streaming.Ev]).toDF(),
+      emitted => emitted
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("n_versions").desc)))
+        .filter(col("rn") === 1).drop("rn"),
+      ts => ts.map(_.select(col("user_id")).distinct().count()).sum)
+
+    // ST10 retractions under ordered delivery: the emitted set itself
+    // is the contract; every version except each user's latest is
+    // retracted exactly once, so the unbroken count is |events|-|users|
+    recoverySection("RETRACT",
+      ds => Streaming.retractions(ds).toDF(),
+      pre => Streaming.retractions(pre.as[Streaming.Ev]).toDF(),
+      identity,
+      ts => {
+        val all = ts.reduce(_ union _)
+        all.count() - all.select(col("user_id")).distinct().count()
+      })
+
+    if (failed) { spark.stop(); sys.exit(1) }
+    spark.stop()
   }
 }

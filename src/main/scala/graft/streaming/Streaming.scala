@@ -188,7 +188,12 @@ object Streaming {
     *
     * State per key is the single latest version — bounded by |keys|,
     * never by stream length (a production deployment adds a TTL
-    * timeout; none is needed for the parity contract). Within a
+    * timeout; none is needed for the parity contract). This is
+    * MEASURED, not asserted: StreamSmoke reads
+    * lastProgress.stateOperators.numRowsTotal after every micro-batch
+    * (including across a checkpoint stop/restart) and requires it to
+    * equal the distinct keys delivered so far (STATE_BOUND lines).
+    * Within a
     * micro-batch versions sort by (ts, event_id), the house
     * event-time order. A version arriving AFTER a newer one was seen
     * (cross-batch lateness) is stale ON ARRIVAL and is retracted
@@ -241,7 +246,9 @@ object Streaming {
     * state, and emit the UPDATED view row once per key per
     * micro-batch (the classic IVM "upsert stream" a downstream cache
     * ingests). State per key is one fixed-size record, bounded by
-    * |keys| like [[retractions]].
+    * |keys| like [[retractions]] — and measured the same way:
+    * StreamSmoke's STATE_BOUND lines pin numRowsTotal == distinct
+    * keys after every micro-batch, through a checkpoint stop/restart.
     *
     * The maintenance fold is deliberately CONFLUENT (order-
     * independent): count and sum are commutative +deltas, and the

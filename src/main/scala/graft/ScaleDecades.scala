@@ -49,7 +49,15 @@ object ScaleDecades {
     "q_dedup_survivors",
     "q_pagerank", "q_communities",
     "q_funnel", "q_pipeline_events",
-    "q_ann_pq", "q_ann_pq_fixed", "q_pipeline_corpus")
+    "q_ann_pq", "q_ann_pq_fixed", "q_pipeline_corpus",
+    // the wedge family's measurable representative (r10 verdict task
+    // 5): the DOULION sampled estimator is what a 100 TB deployment
+    // runs for the triangle census, and unlike the exact tier its
+    // thinned wedge stream (p^1.5 of the exact mass) stays
+    // overhead-dominated through the second decade — so ITS slope is
+    // gate-able where q_triangles/q_clustering's d2 is priced, not
+    // measured
+    "q_triangles_est")
 
   /** Queries measured on the first decade only (superlinear-by-
     * design cost models at 100x — see scaladoc). */

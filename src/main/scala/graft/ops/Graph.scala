@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,14 +89,12 @@ object Graph {
     * wedges must move. Same gate class as PageRank.BroadcastMaxNodes. */
   val BroadcastMaxEdges = 4000000L
 
-  /** Per-node triangle counts (node, n_tri), nodes in ≥1 triangle.
-    * `maxBroadcastEdges` is a parameter so the above-gate degraded
-    * path (shuffled closing join) is executable in spec, not just
-    * asserted — GraphSpec pins both regimes produce identical
-    * counts. */
-  def triangleCounts(edges: DataFrame,
-      maxBroadcastEdges: Long = BroadcastMaxEdges): DataFrame = {
-    val e = checkpointLeaf(edges) // stats reset — see checkpointLeaf; the closing join's broadcast stays EXPLICIT (size-gated below)
+  /** The (x, y, z) triangle relation over a MATERIALIZED edge
+    * relation — the degree-oriented wedge stream both the exact
+    * per-node counts and the sampled estimator enumerate through.
+    * Every triangle appears exactly once, keyed at its
+    * (deg, id)-minimum vertex. */
+  private def triRelation(e: DataFrame, maxBroadcastEdges: Long): DataFrame = {
     // one job on materialized blocks (the PageRank one-count-per-query
     // precedent): localCheckpoint hides e's size from Catalyst, so the
     // broadcast decision needs an explicit measurement
@@ -119,11 +117,118 @@ object Graph {
       .join(oriented.select(col("src").as("x"), col("dst").as("z")), Seq("x"))
       .where(col("y") < col("z"))
     val closing = if (edgeCount <= maxBroadcastEdges) broadcast(e) else e
-    val tri = wedges.join(closing, col("y") === col("u") && col("z") === col("v"))
+    wedges.join(closing, col("y") === col("u") && col("z") === col("v"))
       .select(col("x"), col("y"), col("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+  }
+
+  /** Per-node triangle counts (node, n_tri), nodes in ≥1 triangle.
+    * `maxBroadcastEdges` is a parameter so the above-gate degraded
+    * path (shuffled closing join) is executable in spec, not just
+    * asserted — GraphSpec pins both regimes produce identical
+    * counts. */
+  def triangleCounts(edges: DataFrame,
+      maxBroadcastEdges: Long = BroadcastMaxEdges): DataFrame = {
+    val e = checkpointLeaf(edges) // stats reset — see checkpointLeaf; the closing join's broadcast stays EXPLICIT (size-gated in triRelation)
+    triRelation(e, maxBroadcastEdges)
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
       .orderBy(col("node"))
+  }
+
+  // ----- sampled triangle counting (r10 verdict task 5) -----
+
+  /** DOULION edge-sampling parameters (Tsourakakis et al., KDD 2009:
+    * keep each edge with probability p, count triangles on the thinned
+    * graph, scale by 1/p³ — unbiased, variance-bounded). Sampling is
+    * a PORTABLE integer hash, not randomness: an edge survives iff
+    * h(u, v) mod [[TriSampleMod]] equals [[TriSampleResidue]], both
+    * engines pick the identical edge subset, and 1/p³ is the exact
+    * integer [[TriSampleMod]]³ — the estimate is integer arithmetic
+    * end to end (the A32 sketch-tier discipline).
+    *
+    * The hash is TWO affine rounds with a mod-[[TriHashP]] reduction
+    * between them — deliberately, not decoratively: a single affine
+    * map read mod 10 is TRIANGLE-BLIND (A ≡ 1, B ≡ −1 mod 10 made
+    * keep ⟺ u − v ≡ 3 (mod 10), and the three constraints around any
+    * triangle sum to an impossibility — the first cut of this
+    * estimator measured exactly ZERO sampled triangles at every SF).
+    * Any pairwise-affine h shares the defect up to the choice of
+    * residues: h(a,b) − h(a,c) + h(b,c) is a function of b alone, so
+    * edge survivals around a triangle are never 3-wise independent.
+    * The inner mod-P wrap breaks integer affinity before the mod-10
+    * extraction; measured survival is ~p³ as DOULION assumes (342
+    * sampled / 413,718 exact at sf0.01). p = 1/TriSampleMod up to the
+    * O(1/P) floor bias of extracting mod 10 from a mod-P residue —
+    * ~3·10⁻⁶ here, noise next to the sampling variance itself.
+    * Operands pre-mod to P before every multiply so products stay far
+    * below 2⁶³ at any key scale (the r9 split-hash overflow lesson). */
+  private[graft] val TriSampleMod = 10L
+  private[graft] val TriSampleResidue = 3L
+  private[graft] val TriHashP = 1000003L
+  private[graft] val TriHashA = 2654435761L
+  private[graft] val TriHashB = 2246822519L
+  private[graft] val TriHashA2 = 48271L
+  private[graft] val TriHashC = 12345L
+
+  /** The sampling predicate, shared by the estimator plan and
+    * (interpolated) its oracle SQL. */
+  private def triSampleKeep(u: Column, v: Column, mod: Long, residue: Long): Column =
+    pmod(pmod(pmod(u, lit(TriHashP)) * lit(TriHashA)
+        + pmod(v, lit(TriHashP)) * lit(TriHashB), lit(TriHashP))
+      * lit(TriHashA2) + lit(TriHashC), lit(TriHashP)) % lit(mod) === lit(residue)
+
+  /** Global sampled-triangle estimate over any edge relation:
+    * (n_edges, n_sampled, tri_sampled, estimate) in one row. `mod` is
+    * a parameter so GraphSpec can run the p = 1 degenerate case
+    * (mod = 1 keeps every edge), where the estimate must equal the
+    * exact count — the estimator's arithmetic pinned without any
+    * sampling luck involved.
+    *
+    * Scale shape: the wedge stream runs on the THINNED graph —
+    * expected p·m edges, so the superlinear term carries a p^1.5
+    * constant (p = 0.1 → ~3% of the exact wedge mass) while
+    * everything else (scan, degree rollup, orientation) stays linear.
+    * This is what a 100 TB deployment actually runs when it wants the
+    * triangle census: p is the accuracy/cost dial (variance ~1/p³),
+    * and unlike the exact tier the cost at the next decade is
+    * overhead-dominated, so the decade gate can measure it — see the
+    * q_triangles_est rows in bench/SCALE_DECADES. */
+  private[graft] def triangleEstimateCore(edges: DataFrame,
+      mod: Long = TriSampleMod, residue: Long = TriSampleResidue): DataFrame = {
+    val e = checkpointLeaf(edges)
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val sampled = checkpointLeaf(e.filter(triSampleKeep(col("u"), col("v"), mod, residue)))
+    val nSampled = sampled.agg(count(lit(1)).as("n_sampled"))
+    val triS = triRelation(sampled, BroadcastMaxEdges)
+      .agg(count(lit(1)).as("tri_sampled"))
+    nEdges.crossJoin(broadcast(nSampled)).crossJoin(broadcast(triS))
+      .select(col("n_edges"), col("n_sampled"), col("tri_sampled"),
+        (col("tri_sampled") * lit(mod * mod * mod)).as("estimate"))
+  }
+
+  /** Estimator-only face (the deployment serving shape, measured both
+    * decades in the scale record — the q_ann_pq_fixed twin pattern:
+    * the envelope query below carries the accuracy contract, this one
+    * carries the scale contract). */
+  def trianglesEst(s: SparkSession, d: String): DataFrame =
+    triangleEstimateCore(coEdges(s, d)).orderBy(col("n_edges"))
+
+  /** Sampled-vs-exact envelope (the A32 sketch-tier pattern: estimate,
+    * exact, and the error in one oracle-checked row). The exact tier
+    * rides the session-shared wedge memo — a user composing this with
+    * q_triangles/q_clustering pays for ONE exact enumeration. */
+  def trianglesApprox(s: SparkSession, d: String): DataFrame = {
+    val est = triangleEstimateCore(coEdges(s, d))
+    // Σ n_tri = 3T exactly (each triangle names 3 nodes); the double
+    // division is exact for any T this side of 2^51
+    val exact = triCountsShared(s, d)
+      .agg((sum(col("n_tri")) / 3).cast("long").as("n_exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_edges"), col("n_sampled"), col("tri_sampled"),
+        col("estimate"), col("n_exact"),
+        round((col("estimate") - col("n_exact")) * 100.0 / col("n_exact"), 2)
+          .as("err_pct"))
+      .orderBy(col("n_edges"))
   }
 
   /** Session-scoped memo of the per-node triangle counts over the
@@ -890,6 +995,8 @@ object Graph {
     "q_link_predict" -> linkPrediction,
     "q_graph_walks" -> graphWalks,
     "q_triangles" -> triangles,
+    "q_triangles_approx" -> trianglesApprox,
+    "q_triangles_est" -> trianglesEst,
     "q_clustering" -> clusteringCoeff,
     "q_kcore"     -> kcore,
     "q_bfs"       -> bfsQuery,
@@ -1172,6 +1279,47 @@ object Graph {
                  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
          nodes AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
          SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY node ORDER BY node""",
+    // same portable hash-sampled edge subset (constants interpolated
+    // from the TriSample* vals — lockstep-constant rule), same
+    // triangle enumeration on the thinned graph, same exact-integer
+    // 1/p³ scale-up; id-ordered chain enumeration counts each
+    // triangle once exactly like the engine's degree-oriented wedges
+    "q_triangles_est" ->
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         s AS MATERIALIZED (SELECT u, v FROM e
+             WHERE ((((u % $TriHashP) * $TriHashA + (v % $TriHashP) * $TriHashB) % $TriHashP) * $TriHashA2 + $TriHashC) % $TriHashP % $TriSampleMod = $TriSampleResidue)
+         ,est AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sampled,
+             (SELECT CAST(count(*) AS BIGINT) FROM s e1
+                JOIN s e2 ON e1.v = e2.u
+                JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v) AS tri_sampled)
+         SELECT n_edges, n_sampled, tri_sampled,
+                CAST(tri_sampled * ${TriSampleMod * TriSampleMod * TriSampleMod} AS BIGINT) AS estimate
+         FROM est ORDER BY n_edges""",
+    // the estimator columns above plus the exact enumeration and the
+    // single-division error readout (the A32 estimate/exact/envelope
+    // pattern)
+    "q_triangles_approx" ->
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         s AS MATERIALIZED (SELECT u, v FROM e
+             WHERE ((((u % $TriHashP) * $TriHashA + (v % $TriHashP) * $TriHashB) % $TriHashP) * $TriHashA2 + $TriHashC) % $TriHashP % $TriSampleMod = $TriSampleResidue),
+         est AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sampled,
+             (SELECT CAST(count(*) AS BIGINT) FROM s e1
+                JOIN s e2 ON e1.v = e2.u
+                JOIN s e3 ON e3.u = e1.u AND e3.v = e2.v) AS tri_sampled,
+             (SELECT CAST(count(*) AS BIGINT) FROM e e1
+                JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_exact)
+         SELECT n_edges, n_sampled, tri_sampled,
+                CAST(tri_sampled * ${TriSampleMod * TriSampleMod * TriSampleMod} AS BIGINT) AS estimate,
+                n_exact,
+                round((tri_sampled * ${TriSampleMod * TriSampleMod * TriSampleMod} - n_exact) * 100.0 / n_exact, 2) AS err_pct
+         FROM est ORDER BY n_edges""",
     // same triangle enumeration + the degree rollup over the same
     // edge set; the one double division is fixed-tree over integers
     "q_clustering" ->

@@ -144,6 +144,56 @@ class GraphSpec extends SparkSpec {
     assert(shuffled == got(e))
   }
 
+  test("sampled estimator: p = 1 degenerate case equals the exact count on the real graph") {
+    // mod = 1 keeps every edge — the estimator's plumbing (edge count,
+    // sample count, thinned-graph enumeration, 1/p³ scale-up) pinned
+    // with zero sampling luck involved
+    val e = Graph.coEdges(spark, sf0001)
+    val exact = naive(e).values.sum / 3
+    val r = Graph.triangleEstimateCore(e, mod = 1L, residue = 0L).collect().head
+    assert(r.getLong(0) == e.count(), r.toString)
+    assert(r.getLong(1) == r.getLong(0), s"mod-1 must keep every edge: $r")
+    assert(r.getLong(2) == exact, r.toString)
+    assert(r.getLong(3) == exact, s"estimate must be tri_sampled x 1 at p=1: $r")
+  }
+
+  test("sampled estimator: hash-selected subset reproduced by hand on K40") {
+    // mirror the two-round portable hash and brute-force the surviving
+    // triangles; the engine must agree on every column and scale the
+    // estimate by exactly mod³
+    def keep(u: Long, v: Long): Boolean = {
+      val x1 = ((u % Graph.TriHashP) * Graph.TriHashA
+        + (v % Graph.TriHashP) * Graph.TriHashB) % Graph.TriHashP
+      (x1 * Graph.TriHashA2 + Graph.TriHashC) % Graph.TriHashP %
+        Graph.TriSampleMod == Graph.TriSampleResidue
+    }
+    val vs = 1L to 40L
+    val all = for (a <- vs; b <- vs if a < b) yield (a, b)
+    val kept = all.filter { case (a, b) => keep(a, b) }.toSet
+    assert(kept.nonEmpty && kept.size < all.size, s"degenerate sample: ${kept.size}/${all.size}")
+    val triKept = (for {
+      a <- vs; b <- vs if a < b; c <- vs if b < c
+      if kept((a, b)) && kept((a, c)) && kept((b, c))
+    } yield 1).size.toLong
+    val r = Graph.triangleEstimateCore(edges(all: _*)).collect().head
+    assert(r.getLong(0) == all.size.toLong, r.toString)
+    assert(r.getLong(1) == kept.size.toLong, r.toString)
+    assert(r.getLong(2) == triKept, r.toString)
+    val mod3 = Graph.TriSampleMod * Graph.TriSampleMod * Graph.TriSampleMod
+    assert(r.getLong(3) == triKept * mod3, r.toString)
+  }
+
+  test("approx envelope query: err_pct is the single-division readout of its own columns") {
+    Graph.clearMemos()
+    val r = Graph.trianglesApprox(spark, sf0001).collect().head
+    val (est, exact, err) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(exact > 0, s"harness graph must have triangles: $r")
+    assert(err == BigDecimal((est - exact) * 100.0 / exact)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
+    // and the exact tier agrees with the naive enumeration
+    assert(exact == naive(Graph.coEdges(spark, sf0001)).values.sum / 3, r.toString)
+  }
+
   test("k-core: K5 survives k=4 peeling, pendant chain peels away") {
     // K5 (each degree 4) + a chain hanging off node 1
     val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) ++

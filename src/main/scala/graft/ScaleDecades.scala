@@ -26,14 +26,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Query slice: the linear-tier heavies (TPC-H shapes, cluster-level
   * dedup rollups, the iterative graph family, event flagships, PQ
-  * serving, the composed corpus flagship). Deliberately excluded from
-  * the sf10 tier, each with its reason recorded in the artifact:
-  * pair-LISTING dedups (output grows ~C(c,2) per clone group and
-  * ScaleUp@100x makes c=100 -> 4,950 identity pairs per doc — the
-  * OUTPUT is 100x by construction, a documented cost model, not a
-  * plan property this gate could falsify) and the wedge family
+  * serving, the composed corpus flagship). The pair-LISTING dedups
+  * run both decades too — but on the MUTATED clone corpus
+  * ([[MutatedBothDecades]]; r11): on verbatim clones their output
+  * grows ~C(c,2) per clone group (4,950 identity pairs per doc at
+  * c=100 — the generator's artifact, not the algorithm's), while the
+  * mutated corpus holds near-dup density constant so the measured
+  * slope is the algorithm's. Still excluded from the sf10 tier, with
+  * the reason recorded in the artifact: the exact wedge family
   * (documented O(m^1.5): 100x edges -> 1,000x wedges — a ~40 min
-  * single query that measures the documented bound, not linearity).
+  * single query that measures the documented bound, not linearity;
+  * its measurable representative is the sampled q_triangles_est,
+  * gated both decades above).
   * q_ann_pq_recall runs the FIRST decade only: its truth tier is
   * O(corpus x batch) with a corpus-derived batch (100x per decade by
   * design); its measured first-decade slope is what re-derives its
@@ -62,6 +66,21 @@ object ScaleDecades {
   /** Queries measured on the first decade only (superlinear-by-
     * design cost models at 100x — see scaladoc). */
   val FirstDecadeOnly: Seq[String] = Seq("q_ann_pq_recall")
+
+  /** The pair-LISTING dedup family, measured across both decades on
+    * the MUTATED clone corpus (r10 verdict task 2: `graft.ScaleUp
+    * <src> <out> <factor> --mutate-docs`). On the verbatim-clone
+    * corpus every clone pair is a true near-dup pair, so these
+    * queries' output grows ~C(factor,2) per doc and their slopes
+    * price the generator (the old 45 budgets). The mutated corpus
+    * holds near-dup density constant per doc (see
+    * ScaleUp.MutateWindows), so THESE rows measure the algorithm —
+    * candidate generation + verification — and carry the re-derived
+    * budgets. Bench's sf1 scale_up tier points the same queries at
+    * the mutated sf1 sibling for the same reason. */
+  val MutatedBothDecades: Seq[String] = Seq(
+    "q_dedup_ngram", "q_dedup_ngram_idf", "q_dedup_prefix",
+    "q_dedup_edit", "q_dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val dirs = Seq(
@@ -113,7 +132,7 @@ object ScaleDecades {
     val budgets: Map[String, (Double, Double)] = {
       val in = getClass.getResourceAsStream("/scale_budgets.tsv")
       if (in == null) Map.empty
-      else try scala.io.Source.fromInputStream(in).getLines().drop(1)
+      else try scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l =>
           val f = l.split("\t")
@@ -133,10 +152,24 @@ object ScaleDecades {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(qs: Seq[String]) = only.fold(qs)(names => qs.filter(names))
 
-    val rows = (selected(BothDecades).map(_ -> 3) ++
-        selected(FirstDecadeOnly).map(_ -> 2)).map { case (q, nTiers) =>
+    // the pair-listing dedup family runs its big tiers on the MUTATED
+    // clone corpus (see MutatedBothDecades); absent dirs are a loud
+    // exclusion, never a silent one
+    val mutDirs = Seq(dirs.head,
+      sys.env.getOrElse("SPARK_GRAFT_SF_BIG_MUT", "/root/repo/scale_data/sf1mut"),
+      sys.env.getOrElse("SPARK_GRAFT_SF_BIG2_MUT", "/root/repo/scale_data/sf10mut"))
+    val mutReady = mutDirs.tail.forall(d => new java.io.File(d).isDirectory)
+    if (!mutReady)
+      println(s"[decades] EXCLUDED ${selected(MutatedBothDecades).mkString(",")}: " +
+        s"mutated corpus dirs missing (${mutDirs.tail.mkString(", ")}) — " +
+        "generate with: runMain graft.ScaleUp /root/testdata/sf0.1 <dir> <factor> --mutate-docs")
+
+    val rows = (selected(BothDecades).map(q => (q, dirs, 3)) ++
+        selected(FirstDecadeOnly).map(q => (q, dirs, 2)) ++
+        (if (mutReady) selected(MutatedBothDecades).map(q => (q, mutDirs, 3))
+         else Seq.empty)).map { case (q, qDirs, nTiers) =>
       val l0 = loadAvg
-      val ts = dirs.take(nTiers).map(d => timed(q, d))
+      val ts = qDirs.take(nTiers).map(d => timed(q, d))
       val l1 = loadAvg
       val slopes = ts.sliding(2).map {
         case Seq(a, b) if a > 0 && b > 0 => b / a
@@ -147,28 +180,32 @@ object ScaleDecades {
       // A crash/OOM at any tier is a first-class failure, not a
       // silently-dropped slope pair (r8 ADVICE).
       val failedTiers = ts.zipWithIndex.collect { case (t, i) if t < 0 => i }
+      val mut = qDirs ne dirs
       println(f"[decades] $q%-22s " +
         ts.map(t => f"$t%8.2f").mkString(" ") + "  slopes " +
         slopes.map(s => f"$s%6.2f").mkString(" ") +
         "  budgets " + bgts.map(b => f"$b%5.1f").mkString(" ") +
         f"  load [$l0%.1f,$l1%.1f]" +
+        (if (mut) "  [mutated corpus]" else "") +
         (if (flagged) "  OVER" else "") +
         (if (failedTiers.nonEmpty) s"  FAILED tiers ${failedTiers.mkString(",")}" else ""))
-      (q, ts, slopes, bgts, flagged, failedTiers, l0, l1)
+      (q, ts, slopes, bgts, flagged, failedTiers, l0, l1, mut)
     }
 
-    val over = rows.collect { case (q, _, _, _, true, _, _, _) => q }
+    val over = rows.collect { case (q, _, _, _, true, _, _, _, _) => q }
     val failed = rows.collect {
-      case (q, _, _, _, _, ft, _, _) if ft.nonEmpty =>
+      case (q, _, _, _, _, ft, _, _, _) if ft.nonEmpty =>
         s""""$q":[${ft.mkString(",")}]""" }
-    val json = rows.map { case (q, ts, slopes, bgts, flagged, ft, l0, l1) =>
+    val json = rows.map { case (q, ts, slopes, bgts, flagged, ft, l0, l1, mut) =>
       s""""$q":{"secs":[${ts.mkString(",")}],"slopes":[${
         slopes.map(s => math.round(s * 100) / 100.0).mkString(",")
       }],"budgets":[${bgts.mkString(",")}],"over":$flagged,"failed_tiers":[${
-        ft.mkString(",")}],"load_avg":[$l0,$l1]}"""
+        ft.mkString(",")}],"load_avg":[$l0,$l1],"mutated_corpus":$mut}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_decades","tiers":[${
       dirs.map("\"" + _ + "\"").mkString(",")
+    }],"tiers_mut":[${
+      (if (mutReady) mutDirs else Seq.empty).map("\"" + _ + "\"").mkString(",")
     }],"queries":$json,"over":[${over.map("\"" + _ + "\"").mkString(",")}],"failed":{${
       failed.mkString(",")}}}""")
     spark.stop()

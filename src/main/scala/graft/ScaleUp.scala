@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic 10× scale-up of a harness SF (r5 verdict task 3):
@@ -56,10 +56,73 @@ object ScaleUp {
     }
   }
 
+  // ----- mutation-aware document scaling (r10 verdict task 2) -----
+
+  /** Rewrite-window count of the clone-mutation scheme. Token
+    * positions fall into M residue-class windows; shard r rewrites
+    * window r mod M, CUMULATIVELY: shard r's text carries, for each
+    * window i ≤ min(r, M−1)… the content last written by shard
+    * t_i(r) = r − ((r − i) mod M). Consequences, all closed-form:
+    *
+    *  - shards r < s differ in exactly min(s − r, M) of the M windows
+    *    (the windows touched in (r, s]), so textual distance grows
+    *    LINEARLY with shard distance and saturates at 100% by
+    *    distance M — each clone has O(M/d_thresh) near-dup partners
+    *    no matter the factor, which is the point: the verbatim-clone
+    *    ScaleUp gives every doc factor−1 exact duplicates, so the
+    *    pair-LISTING dedup queries emit C(factor,2) pairs per doc and
+    *    their measured decade slopes price the GENERATOR (the 45
+    *    budgets), not the algorithm. Under mutation, near-dup density
+    *    per doc is constant in factor — the growth mode a real crawl
+    *    has — and the same queries' slopes measure candidate
+    *    generation + verification.
+    *  - the mutation is position-keyed, not content-keyed: two
+    *    DIFFERENT base docs in the same shard mutate identically
+    *    placed tokens with identically tagged suffixes, so base-level
+    *    near-dup geometry is preserved within every shard, and base
+    *    EXACT-duplicate groups stay exact duplicates per shard
+    *    (cross-doc structure scales, per-doc structure mutates).
+    *  - replacement (token → token + "x" + tag) rather than drop
+    *    keeps token counts, positions and doc lengths identical, and
+    *    the suffix is alphanumeric so any tokenizer in the dedup
+    *    family sees one token.
+    *
+    * Metadata caveat: n_chars still describes the BASE text (the
+    * mutated corpus is a TIMING corpus for the dedup families' scale
+    * gates; nothing oracle'd reads n_chars against mutated text). */
+  val MutateWindows = 33
+
+  /** The per-token rewrite: shard-cumulative window tagging (see
+    * [[MutateWindows]]). Pure Spark column functions — one narrow
+    * projection, no UDF, no shuffle. */
+  private[graft] def mutateText(text: Column, shard: Column): Column =
+    concat_ws(" ", transform(split(text, " "), (w, pos) => {
+      val i = pos % MutateWindows
+      val t = shard - pmod(shard - i, lit(MutateWindows))
+      when(shard >= i && length(w) > 0,
+        concat(w, lit("x"), t.cast("string"))).otherwise(w)
+    }))
+
+  /** [[scaleTable]] for the documents table with per-clone text
+    * mutation. Shard 0 differs from the base corpus in one window
+    * (~1/M of tokens) — near-identical, deliberately: the base
+    * corpus's own near-dup pairs stay near-dup in every shard. */
+  def scaleDocsMutated(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
+    val exploded = df.withColumn("__shard",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    val keyed = keys.foldLeft(exploded) { (d, k) =>
+      d.withColumn(k, col(k) + col("__shard") * Stride)
+    }
+    keyed
+      .withColumn("text", mutateText(col("text"), col("__shard")))
+      .drop("__shard")
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/root/repo/scale_data/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val mutateDocs = args.lift(3).contains("--mutate-docs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,9 +134,12 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
     keyCols.foreach { case (t, keys) =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
-      scaleTable(src, keys, factor)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      println(s"[scaleup] $t -> $outDir/$t.parquet")
+      val scaled =
+        if (mutateDocs && t == "documents") scaleDocsMutated(src, keys, factor)
+        else scaleTable(src, keys, factor)
+      scaled.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleup] $t -> $outDir/$t.parquet" +
+        (if (mutateDocs && t == "documents") " (mutated clones)" else ""))
     }
     spark.stop()
   }

@@ -41,7 +41,7 @@ class ContractSpec extends AnyFunSuite {
     // shouldn't exist), both capped at 120 (~c^2 is unfalsifiable).
     val in = getClass.getResourceAsStream("/scale_budgets.tsv")
     assert(in != null, "scale_budgets.tsv missing from main resources")
-    val rows = try scala.io.Source.fromInputStream(in).getLines().drop(1)
+    val rows = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(_.split("\t")).toSeq
     finally in.close()

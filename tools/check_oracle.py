@@ -41,18 +41,27 @@ def main(sf_dir, out_dir, only_dumped=False, query=None):
     # an in-memory DuckDB connection cannot spill, so a window/join-heavy
     # oracle over the sf10 corpus (60 M lineitem) dies rc=137 instead of
     # offloading; opt-in knobs for the big-SF gate loops
+    # DuckDB's SET rejects prepared-statement parameters, so the env
+    # knobs are escaped + validated before interpolation (r10 ADVICE:
+    # a path containing a quote used to break the SET with a confusing
+    # parse error; now quotes are SQL-doubled and control characters
+    # fail loudly at the source)
+    def set_knob(setting, value):
+        if any(ord(c) < 32 for c in value):
+            raise ValueError(f"{setting}: control character in {value!r}")
+        con.execute(f"SET {setting} = '" + value.replace("'", "''") + "'")
     tmp = os.environ.get("CHECK_ORACLE_TMP")
     if tmp:
-        con.execute(f"SET temp_directory='{tmp}'")
+        set_knob("temp_directory", tmp)
         # bound the spill so a pathological oracle can't fill the disk
         # out from under every other process (r10: three concurrent
         # spills ENOSPC'd /tmp and poisoned an unrelated test run)
         cap = os.environ.get("CHECK_ORACLE_TMP_MAX")
         if cap:
-            con.execute(f"SET max_temp_directory_size='{cap}'")
+            set_knob("max_temp_directory_size", cap)
     mem = os.environ.get("CHECK_ORACLE_MEM")
     if mem:
-        con.execute(f"SET memory_limit='{mem}'")
+        set_knob("memory_limit", mem)
     for t in TABLES:
         # harness SFs are single files; Spark-written siblings (the
         # ScaleUp sf1 dir) are part-file directories
